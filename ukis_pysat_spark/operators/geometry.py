@@ -1,0 +1,215 @@
+"""Pure-numpy computational geometry for the spatial engine.
+
+shapely/GEOS is not available in the target environment; the reference
+uses it only for bbox/polygon plumbing (ukis_pysat/raster.py:131-134,
+ukis_pysat/file.py:143-169).  Everything here is vectorized numpy and is
+called ONLY from inside Arrow-batched UDFs — there is no per-row Python
+in any hot path.
+
+Cell index
+----------
+A deterministic H3/S2-style hierarchical grid over lon/lat:
+resolution r splits the world into 2^r x 2^r rectangular cells.  A cell
+id packs (resolution, ix, iy) into an int64:
+
+    cell = (r << 58) | (ix << 29) | iy      with ix, iy < 2^29 (r <= 29)
+
+Rectangle covers are exact; polygon covers use the bbox cover as the
+coarse filter (always a superset), so the cell equi-join is a candidate
+generator and exact point-in-polygon / polygon-intersects refinement
+restores exact semantics, the standard filter-and-refine spatial join
+design (PBSM / SpatialSpark lineage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- cell index ---------------------------------------------------------
+
+MAX_RES = 29
+
+
+def cell_id(res: int, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Pack (resolution, ix, iy) into int64 cell ids (vectorized)."""
+    return (
+        (np.int64(res) << np.int64(58))
+        | (ix.astype(np.int64) << np.int64(29))
+        | iy.astype(np.int64)
+    )
+
+
+def cell_of_points(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Cell id containing each (lon, lat) point. Vectorized."""
+    n = 1 << res
+    ix = np.clip(((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(((np.asarray(lat) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    return cell_id(res, ix, iy)
+
+
+def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int) -> np.ndarray:
+    """All cells at `res` intersecting the bbox (exact rectangle cover)."""
+    n = 1 << res
+    ix0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
+    ix1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * n), 0, n - 1))
+    iy0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * n), 0, n - 1))
+    iy1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * n), 0, n - 1))
+    ix = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    iy = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(ix, iy, indexing="ij")
+    return cell_id(res, gx.ravel(), gy.ravel())
+
+
+def cover_polygon(ring_lon: np.ndarray, ring_lat: np.ndarray, res: int) -> np.ndarray:
+    """Cells at `res` covering the polygon's bbox (superset of the exact
+    cover — sufficient as the coarse filter of filter-and-refine)."""
+    return cover_bbox(
+        float(np.min(ring_lon)),
+        float(np.min(ring_lat)),
+        float(np.max(ring_lon)),
+        float(np.max(ring_lat)),
+        res,
+    )
+
+
+def neighbors(cell: int, k: int = 1) -> np.ndarray:
+    """Cells within a (2k+1)^2 square ring neighborhood (clamped at the
+    antimeridian/poles rather than wrapped — fixtures stay mid-lat)."""
+    res = int(cell >> 58)
+    n = 1 << res
+    ix = int((cell >> 29) & ((1 << 29) - 1))
+    iy = int(cell & ((1 << 29) - 1))
+    xs = np.clip(np.arange(ix - k, ix + k + 1), 0, n - 1)
+    ys = np.clip(np.arange(iy - k, iy + k + 1), 0, n - 1)
+    gx, gy = np.meshgrid(np.unique(xs), np.unique(ys), indexing="ij")
+    return cell_id(res, gx.ravel(), gy.ravel())
+
+
+# --- point in polygon ----------------------------------------------------
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray
+) -> np.ndarray:
+    """Ray-casting point-in-polygon, vectorized over points.
+
+    Matches the even-odd rule (the semantics of shapely `contains` for
+    simple polygons up to boundary cases; test points avoid boundaries).
+    Ring may be open or closed; orientation irrelevant.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    if rx[0] == rx[-1] and ry[0] == ry[-1] and len(rx) > 1:
+        rx, ry = rx[:-1], ry[:-1]
+    x1, y1 = rx, ry
+    x2, y2 = np.roll(rx, -1), np.roll(ry, -1)
+    # (n_points, n_edges) crossing tests
+    pyc = py[:, None]
+    pxc = px[:, None]
+    cond = (y1[None, :] > pyc) != (y2[None, :] > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = (x2 - x1)[None, :] * (pyc - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    crossings = cond & (pxc < xin)
+    return crossings.sum(axis=1) % 2 == 1
+
+
+def polygon_intersects(ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray) -> bool:
+    """True iff simple polygons A and B intersect (share any point).
+
+    Sufficient & complete test for simple polygons:
+    any vertex of A in B, any vertex of B in A, or any edge pair crosses.
+    """
+    ax = np.asarray(ax, dtype=np.float64)
+    ay = np.asarray(ay, dtype=np.float64)
+    bx = np.asarray(bx, dtype=np.float64)
+    by = np.asarray(by, dtype=np.float64)
+    if points_in_polygon(ax, ay, bx, by).any():
+        return True
+    if points_in_polygon(bx, by, ax, ay).any():
+        return True
+    return edges_cross(ax, ay, bx, by)
+
+
+def edges_cross(ax, ay, bx, by) -> bool:
+    """Any edge of ring A properly crosses any edge of ring B."""
+
+    def close(rx, ry):
+        if rx[0] != rx[-1] or ry[0] != ry[-1]:
+            rx = np.append(rx, rx[0])
+            ry = np.append(ry, ry[0])
+        return rx, ry
+
+    ax, ay = close(np.asarray(ax, float), np.asarray(ay, float))
+    bx, by = close(np.asarray(bx, float), np.asarray(by, float))
+    a1x, a1y, a2x, a2y = ax[:-1], ay[:-1], ax[1:], ay[1:]
+    b1x, b1y, b2x, b2y = bx[:-1], by[:-1], bx[1:], by[1:]
+
+    def cross(ox, oy, p1x, p1y, p2x, p2y):
+        return (p1x - ox) * (p2y - oy) - (p1y - oy) * (p2x - ox)
+
+    # broadcast A edges (m,1) vs B edges (1,n)
+    A1x, A1y, A2x, A2y = (v[:, None] for v in (a1x, a1y, a2x, a2y))
+    B1x, B1y, B2x, B2y = (v[None, :] for v in (b1x, b1y, b2x, b2y))
+    d1 = cross(B1x, B1y, B2x, B2y, A1x, A1y)
+    d2 = cross(B1x, B1y, B2x, B2y, A2x, A2y)
+    d3 = cross(A1x, A1y, A2x, A2y, B1x, B1y)
+    d4 = cross(A1x, A1y, A2x, A2y, B2x, B2y)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    return bool(proper.any())
+
+
+# --- distances & misc ----------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km, vectorized."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, float)) for v in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def ring_centroid(ring_lon: np.ndarray, ring_lat: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid of a simple polygon (shapely .centroid
+    semantics, ukis_pysat/file.py:252 parity for get_proj_string)."""
+    x = np.asarray(ring_lon, dtype=np.float64)
+    y = np.asarray(ring_lat, dtype=np.float64)
+    if x[0] != x[-1] or y[0] != y[-1]:
+        x = np.append(x, x[0])
+        y = np.append(y, y[0])
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    area = cross.sum() / 2.0
+    if area == 0.0:
+        return float(x[:-1].mean()), float(y[:-1].mean())
+    cx = ((x[:-1] + x[1:]) * cross).sum() / (6.0 * area)
+    cy = ((y[:-1] + y[1:]) * cross).sum() / (6.0 * area)
+    return float(cx), float(cy)
+
+
+_UTM_LETTERS = "CDEFGHJKLMNPQRSTUVWX"
+
+
+def utm_zone_letter(lon: float, lat: float) -> tuple[int, str]:
+    """UTM zone number + MGRS latitude band letter (utm-package parity
+    for the fixtures; reference usage ukis_pysat/file.py:252)."""
+    zone = int((lon + 180.0) // 6.0) + 1
+    # Norway / Svalbard exceptions (match the utm package)
+    if 56.0 <= lat < 64.0 and 3.0 <= lon < 12.0:
+        zone = 32
+    if 72.0 <= lat <= 84.0:
+        if 0.0 <= lon < 9.0:
+            zone = 31
+        elif 9.0 <= lon < 21.0:
+            zone = 33
+        elif 21.0 <= lon < 33.0:
+            zone = 35
+        elif 33.0 <= lon < 42.0:
+            zone = 37
+    idx = int((lat + 80.0) // 8.0)
+    idx = min(max(idx, 0), len(_UTM_LETTERS) - 1)
+    return zone, _UTM_LETTERS[idx]
