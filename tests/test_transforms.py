@@ -1,0 +1,176 @@
+"""Per-pixel transform tests; goldens from the reference test suite
+(/root/reference/tests/test_raster.py:160-236) that depend only on
+(w, h, transform) transfer exactly; pixel-dependent checks use the
+deterministic datagen oracle."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from ukis_pysat_spark import codec, datagen
+from ukis_pysat_spark.operators import transforms
+
+MASK_BOX = (11.9027457562112939, 51.4664152338322580, 11.9477435281016131, 51.5009522690838750)
+# reference golden bounds after mask (test_raster.py:178-186)
+MASK_GOLDEN = (11.902702941366716, 51.46639813686387, 11.947798368783504, 51.50098327545026)
+
+
+def _img0(spark):
+    return datagen.gen_images(spark, 1, profile="golden")
+
+
+def test_mask_bbox_golden(spark):
+    out = transforms.apply_transforms(_img0(spark), [transforms.mask_bbox(MASK_BOX)])
+    row = out.collect()[0]
+    assert (row.h, row.w) == (385, 502)  # test_raster.py:80
+    a, _, c, _, e, f_ = row.transform
+    left, top = c, f_
+    right, bottom = c + row.w * a, f_ + row.h * e
+    assert np.allclose((left, bottom, right, top), MASK_GOLDEN, atol=1e-9)
+
+
+def test_mask_polygon_sets_outside_to_nodata(spark):
+    # diamond inside the image; corners of the cropped window -> nodata
+    cx, cy = 11.92, 51.49
+    ring = [(cx - 0.01, cy), (cx, cy + 0.01), (cx + 0.01, cy), (cx, cy - 0.01), (cx - 0.01, cy)]
+    out = transforms.apply_transforms(_img0(spark), [transforms.mask_bbox(ring, nodata=0.0)])
+    row = out.collect()[0]
+    arr = codec.decode(row.bytes)
+    assert arr[0, 0, 0] == 0 and arr[0, -1, -1] == 0  # corners masked
+    assert (arr != 0).any()  # interior survives
+
+
+def test_mask_fill_pads_to_cover(spark):
+    # bbox extends beyond the left edge -> fill pads first (raster.py:125-129)
+    big = (MASK_BOX[0] - 0.005, MASK_BOX[1], MASK_BOX[2], MASK_BOX[3])
+    out = transforms.apply_transforms(_img0(spark), [transforms.mask_bbox(big, fill=True)])
+    row = out.collect()[0]
+    a, _, c, _, e, f_ = row.transform
+    assert c <= big[0] + 1e-9  # raster now covers the requested bbox
+    assert row.w > 502
+
+
+def test_pad_shifts_transform(spark):
+    out = transforms.apply_transforms(_img0(spark), [transforms.pad(10)])
+    row = out.collect()[0]
+    assert (row.h, row.w) == (764 + 20, 679 + 20)
+    a, _, c, _, e, f_ = row.transform
+    assert np.isclose(c, datagen.REF_ORIGIN[0] - 10 * datagen.REF_PIXEL_X)
+    assert np.isclose(f_, datagen.REF_ORIGIN[1] - 10 * datagen.REF_PIXEL_Y)
+    arr = codec.decode(row.bytes)
+    assert (arr[:, :10, :] == 0).all() and (arr[:, :, :10] == 0).all()
+
+
+def test_valid_data_bbox_oracle(spark):
+    # img0 has exactly 1 nodata row at the top (idx%7+1); all cols valid
+    row = transforms.valid_data_bbox(_img0(spark), nodata=0.0).collect()[0]
+    a, e = datagen.REF_PIXEL_X, datagen.REF_PIXEL_Y
+    c, f_ = datagen.REF_ORIGIN
+    assert np.isclose(row.left, c) and np.isclose(row.right, c + 679 * a)
+    assert np.isclose(row.top, f_ + 1 * e)  # first valid row = 1
+    assert np.isclose(row.bottom, f_ + 764 * e)
+
+
+def test_pixel_math_scale_and_shape_guard(spark):
+    out = transforms.apply_transforms(
+        _img0(spark), [transforms.pixel_math(lambda a: a * 0.3)], out_fmt="raw"
+    )
+    row = out.collect()[0]
+    arr = codec.decode(row.bytes)
+    src = datagen.pixels_for(0, 1, 764, 679, "int16", 42)
+    assert np.allclose(arr, src * 0.3)
+
+
+def test_dn2toa_matches_oracle(spark):
+    imgs = datagen.gen_images(spark, 8, profile="mixed")
+    meta = datagen.gen_metadata(spark, 8, profile="mixed")
+    out = transforms.dn2toa(imgs, meta)
+    rows = {r.image_id: r for r in out.collect()}
+    mrows = {r.image_id: r for r in meta.collect()}
+    irows = {r.image_id: r for r in imgs.collect()}
+    assert len(rows) == 8
+    for iid, r in rows.items():
+        assert r.dtype == "float32"
+        got = codec.decode(r.bytes)
+        m = mrows[iid]
+        src = codec.decode(irows[iid].bytes)
+        exp = transforms.dn2toa_arrays(
+            src, m.platform, m.sun_elevation, m.mult_reflectance, m.add_reflectance,
+            m.mult_radiance, m.add_radiance, m.k1, m.k2, m.thermal_band_idx,
+            m.quantification_value, m.radio_add_offset, m.processing_baseline,
+        )
+        assert np.allclose(got, exp, equal_nan=True)
+        # reflectance bands land in a plausible range
+        assert np.isfinite(got).all()
+        # caption survives the transform byte-identically
+        assert r.caption == irows[iid].caption
+
+
+def test_dn2toa_psnr_through_lossy_codec(spark):
+    imgs = datagen.gen_images(spark, 4, profile="mixed")
+    meta = datagen.gen_metadata(spark, 4, profile="mixed")
+    out = transforms.dn2toa(imgs, meta, out_fmt="q8")
+    irows = {r.image_id: r for r in imgs.collect()}
+    mrows = {r.image_id: r for r in meta.collect()}
+    for r in out.collect():
+        got = codec.decode(r.bytes)
+        m = mrows[r.image_id]
+        exp = transforms.dn2toa_arrays(
+            codec.decode(irows[r.image_id].bytes), m.platform, m.sun_elevation,
+            m.mult_reflectance, m.add_reflectance, m.mult_radiance, m.add_radiance,
+            m.k1, m.k2, m.thermal_band_idx, m.quantification_value,
+            m.radio_add_offset, m.processing_baseline,
+        )
+        assert codec.psnr(exp, got) >= 40.0  # BASELINE.json:15 lossy gate
+
+
+def test_warp_crs_and_resolution(spark):
+    # mirrors the reference's warp assertions (test_raster.py:223-236)
+    out = transforms.apply_transforms(_img0(spark), [transforms.warp("EPSG:3857")])
+    row = out.collect()[0]
+    assert row.crs == "EPSG:3857"
+    out2 = transforms.apply_transforms(
+        out, [transforms.warp("EPSG:4326", resolution=0.001)]
+    )
+    row2 = out2.collect()[0]
+    assert np.isclose(row2.transform[0], 0.001)
+
+    # target_align: same transform + size as the target
+    t10 = transforms.apply_transforms(_img0(spark), [transforms.warp("EPSG:3857", resolution=10)])
+    t25 = transforms.apply_transforms(_img0(spark), [transforms.warp("EPSG:3857", resolution=25)])
+    r25 = t25.collect()[0]
+    aligned = transforms.apply_transforms(
+        _img0(spark),
+        [transforms.warp("EPSG:3857", target_transform=list(r25.transform),
+                         target_size=(r25.w, r25.h))],
+    ).collect()[0]
+    assert np.allclose(aligned.transform, r25.transform)
+    assert (aligned.w, aligned.h) == (r25.w, r25.h)
+
+
+def test_warp_roundtrip_preserves_pixels(spark):
+    # 4326 -> 3857 -> 4326 at native resolution: nearest-neighbor
+    # round-trip keeps the dominant pixel values (interior exactness)
+    src = datagen.pixels_for(0, 1, 764, 679, "int16", 42)
+    out = transforms.apply_transforms(
+        _img0(spark),
+        [transforms.warp("EPSG:3857"), transforms.warp("EPSG:4326")],
+    )
+    row = out.collect()[0]
+    arr = codec.decode(row.bytes)
+    # compare central crop (edges may shift by 1px from grid snapping)
+    interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50 : arr.shape[1] - 50, 50 : arr.shape[2] - 50])
+    assert interior_match > 0.95
+
+
+def test_fused_chain_single_stage(spark):
+    # mask -> pad -> pixel_math composes in ONE decode/encode pass
+    out = transforms.apply_transforms(
+        _img0(spark),
+        transforms.compose(
+            transforms.mask_bbox(MASK_BOX),
+            transforms.pad(5),
+            transforms.pixel_math(lambda a: a + 1),
+        ),
+    )
+    row = out.collect()[0]
+    assert (row.h, row.w) == (385 + 10, 502 + 10)

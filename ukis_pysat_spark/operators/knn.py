@@ -1,0 +1,142 @@
+"""kNN: nearest scenes per AOI centroid, on the same cell index.
+
+No reference counterpart (the reference has no multi-scene queries);
+mandated by the north rule.  Two physical strategies:
+
+``knn_broadcast``  exact: the AOI centroid set is tiny relative to the
+                   scene table, so broadcast it, compute haversine with
+                   JVM built-in math (no Python), and take top-k per AOI
+                   with a row_number window.  The scan side never
+                   shuffles the payload — only (aoi_id, image_id, dist)
+                   rows enter the window's partial top-k.
+
+``knn_indexed``    candidate pruning for huge scene tables: scenes keep
+                   one cell (centroid cell); AOIs explode to a
+                   (2r+1)^2 ring neighborhood of their centroid cell at
+                   the same resolution; the cell equi-join prunes the
+                   candidate set before the same exact top-k.  Callers
+                   choose r so the ring's inner boundary exceeds the
+                   expected kth distance; tests verify equality with the
+                   exact result at small scale.
+
+Ties broken deterministically by image_id so results are retry-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ukis_pysat_spark.operators import geometry
+from ukis_pysat_spark.operators.spatial_join import DEFAULT_RES
+
+EARTH_RADIUS_KM = geometry.EARTH_RADIUS_KM
+
+
+def haversine_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in km as a pure JVM Column expression."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rl1) * F.cos(rl2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def scene_centroids(images: DataFrame) -> DataFrame:
+    """Relational scene centroid from (transform, w, h) — no decode."""
+    a = F.element_at("transform", 1)
+    c = F.element_at("transform", 3)
+    e = F.element_at("transform", 5)
+    f_ = F.element_at("transform", 6)
+    return images.select(
+        "image_id",
+        (c + F.col("w").cast("double") / 2 * a).alias("scene_lon"),
+        (f_ + F.col("h").cast("double") / 2 * e).alias("scene_lat"),
+    )
+
+
+def _topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("aoi_id").orderBy(F.col("dist_km").asc(), F.col("image_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("aoi_id", "image_id", "dist_km", "rank")
+    )
+
+
+def knn_broadcast(images: DataFrame, aois: DataFrame, k: int = 5) -> DataFrame:
+    """Exact kNN via broadcast cross join + window top-k."""
+    scenes = scene_centroids(images)
+    cand = scenes.crossJoin(
+        F.broadcast(aois.select("aoi_id", "centroid_lon", "centroid_lat"))
+    ).withColumn(
+        "dist_km",
+        haversine_col(
+            F.col("scene_lon"), F.col("scene_lat"), F.col("centroid_lon"), F.col("centroid_lat")
+        ),
+    )
+    return _topk(cand, k)
+
+
+def knn_indexed(
+    images: DataFrame, aois: DataFrame, k: int = 5, res: int = 6, ring: int = 2
+) -> DataFrame:
+    """Candidate-pruned kNN: scene centroid cell equi-joined against a
+    (2*ring+1)^2 neighborhood of each AOI centroid cell."""
+    n = F.lit(1 << res)
+    scenes = scene_centroids(images)
+    ix = F.least(F.greatest(F.floor((F.col("scene_lon") + 180.0) / 360.0 * n), F.lit(0)), n - 1)
+    iy = F.least(F.greatest(F.floor((F.col("scene_lat") + 90.0) / 180.0 * n), F.lit(0)), n - 1)
+    scene_cell = (
+        F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+        + ix.cast("long") * F.lit(1 << 29).cast("long")
+        + iy.cast("long")
+    )
+    scenes = scenes.withColumn("cell", scene_cell)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = geometry.cell_of_points(lon.values, lat.values, res)
+        return pd.Series([geometry.neighbors(int(c), ring).tolist() for c in cells])
+
+    aoi_ring = aois.select(
+        "aoi_id",
+        "centroid_lon",
+        "centroid_lat",
+        F.explode(ring_cells("centroid_lon", "centroid_lat")).alias("cell"),
+    )
+    cand = scenes.join(F.broadcast(aoi_ring), "cell").withColumn(
+        "dist_km",
+        haversine_col(
+            F.col("scene_lon"), F.col("scene_lat"), F.col("centroid_lon"), F.col("centroid_lat")
+        ),
+    )
+    return _topk(cand, k)
+
+
+def knn_bruteforce_oracle(
+    scenes_pdf: pd.DataFrame, aois_pdf: pd.DataFrame, k: int
+) -> pd.DataFrame:
+    """Driver-side numpy oracle for tests (small scale only)."""
+    out = []
+    for a in aois_pdf.itertuples(index=False):
+        d = geometry.haversine_km(
+            scenes_pdf["scene_lon"].values,
+            scenes_pdf["scene_lat"].values,
+            a.centroid_lon,
+            a.centroid_lat,
+        )
+        order = np.lexsort((scenes_pdf["image_id"].values, d))[:k]
+        for rank, i in enumerate(order, 1):
+            out.append(
+                {
+                    "aoi_id": a.aoi_id,
+                    "image_id": scenes_pdf["image_id"].values[i],
+                    "dist_km": float(d[i]),
+                    "rank": rank,
+                }
+            )
+    return pd.DataFrame(out)

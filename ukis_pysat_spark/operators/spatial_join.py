@@ -1,0 +1,231 @@
+"""Distributed raster<->vector spatial join (filter-and-refine).
+
+The reference's only spatial operation is per-image: mask an Image with
+one polygon (ukis_pysat/raster.py:113-138) or read a footprint
+(ukis_pysat/file.py:143-169).  The engine generalizes this to a
+many-to-many join between a scene table and an AOI polygon set, the
+north rule's core operator:
+
+1. FILTER: both sides get an H3/S2-style cell cover
+   (geometry.cover_polygon) via a vectorized pandas UDF, exploded to a
+   cell-keyed table; a plain cell equi-join produces candidate pairs —
+   Catalyst/AQE pick broadcast vs sort-merge and split skewed cells.
+2. PRE-REFINE: a relational bbox-overlap test (pure JVM expressions)
+   eliminates most false candidates without touching Python.
+3. REFINE: exact polygon-polygon intersection (vertex-in-polygon +
+   edge-crossing, pure numpy) inside an Arrow-batched UDF restores
+   exact semantics — output rows match a brute-force O(n*m) oracle.
+
+Skew: dense AOI clusters make some cells hot.  ``salt_cells`` spreads a
+hot cell across S shuffle keys by salting the big (scene) side with
+pmod(xxhash64(image_id), S) and replicating the small (AOI) side S
+ways; AQE's skew-join splitting handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ukis_pysat_spark.operators import geometry
+
+DEFAULT_RES = 12  # ~0.09 deg cells: tens of cells per fixture footprint
+
+
+def _cover_udf(res: int):
+    @F.pandas_udf(ArrayType(LongType()))
+    def cover(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        out = []
+        for lon, lat in zip(lons, lats):
+            cells = geometry.cover_polygon(np.asarray(lon), np.asarray(lat), res)
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return cover
+
+
+def with_cells(df: DataFrame, lon_col: str, lat_col: str, res: int = DEFAULT_RES) -> DataFrame:
+    """Add an exploded `cell` column from ring columns."""
+    return df.withColumn("cell", F.explode(_cover_udf(res)(F.col(lon_col), F.col(lat_col))))
+
+
+def scene_bounds(images: DataFrame) -> DataFrame:
+    """Relational scene bbox from (transform, w, h) — no pixel decode."""
+    a = F.element_at("transform", 1)
+    c = F.element_at("transform", 3)
+    e = F.element_at("transform", 5)
+    f_ = F.element_at("transform", 6)
+    return images.withColumns(
+        {
+            "img_lon_min": c,
+            "img_lon_max": c + F.col("w").cast("double") * a,
+            "img_lat_max": f_,
+            "img_lat_min": f_ + F.col("h").cast("double") * e,
+        }
+    )
+
+
+def salt_cells(big: DataFrame, small: DataFrame, salt: int) -> tuple[DataFrame, DataFrame]:
+    """Explicit skew salting: big side keyed (cell, salt(id)); small side
+    replicated across all `salt` buckets.  Layered under AQE skew-join."""
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)).cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s, small_s
+
+
+def spatial_join(
+    images: DataFrame,
+    aois: DataFrame,
+    res: int = DEFAULT_RES,
+    salt: int | None = None,
+) -> DataFrame:
+    """Exact scene-footprint x AOI-polygon intersection join.
+
+    Returns distinct (image_id, aoi_id) pairs whose geometries intersect.
+    """
+    img_cells = with_cells(
+        images.select("image_id", "footprint_lon", "footprint_lat"),
+        "footprint_lon",
+        "footprint_lat",
+        res,
+    ).select("image_id", "cell", "footprint_lon", "footprint_lat")
+    aoi_cells = with_cells(
+        aois.select("aoi_id", "ring_lon", "ring_lat", "lon_min", "lat_min", "lon_max", "lat_max"),
+        "ring_lon",
+        "ring_lat",
+        res,
+    )
+
+    if salt:
+        img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
+
+    # FILTER: cell equi-join -> candidates (distinct pairs carry geometry)
+    cand = (
+        img_cells.join(aoi_cells, join_keys)
+        .select("image_id", "aoi_id", "footprint_lon", "footprint_lat",
+                "ring_lon", "ring_lat", "lon_min", "lat_min", "lon_max", "lat_max")
+        .dropDuplicates(["image_id", "aoi_id"])
+    )
+
+    # PRE-REFINE: bbox overlap, pure relational
+    flon = F.col("footprint_lon")
+    flat = F.col("footprint_lat")
+    cand = cand.filter(
+        (F.array_min(flon) <= F.col("lon_max"))
+        & (F.array_max(flon) >= F.col("lon_min"))
+        & (F.array_min(flat) <= F.col("lat_max"))
+        & (F.array_max(flat) >= F.col("lat_min"))
+    )
+
+    # REFINE: exact polygon-polygon intersection in Arrow batches
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.fromiter(
+                (
+                    geometry.polygon_intersects(
+                        np.asarray(r.footprint_lon), np.asarray(r.footprint_lat),
+                        np.asarray(r.ring_lon), np.asarray(r.ring_lat),
+                    )
+                    for r in pdf.itertuples(index=False)
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            yield pdf.loc[keep, ["image_id", "aoi_id"]]
+
+    return cand.mapInPandas(refine, schema="image_id string, aoi_id string")
+
+
+def spatial_join_bruteforce(images: DataFrame, aois: DataFrame) -> DataFrame:
+    """O(n*m) oracle: cross join + exact refine.  Small scale only —
+    used by tests to prove the indexed join's output rows match exactly
+    (BASELINE.json:14)."""
+    cand = images.select("image_id", "footprint_lon", "footprint_lat").crossJoin(
+        F.broadcast(aois.select("aoi_id", "ring_lon", "ring_lat"))
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.fromiter(
+                (
+                    geometry.polygon_intersects(
+                        np.asarray(r.footprint_lon), np.asarray(r.footprint_lat),
+                        np.asarray(r.ring_lon), np.asarray(r.ring_lat),
+                    )
+                    for r in pdf.itertuples(index=False)
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            yield pdf.loc[keep, ["image_id", "aoi_id"]]
+
+    return cand.mapInPandas(refine, schema="image_id string, aoi_id string")
+
+
+def points_in_aois(
+    points: DataFrame,
+    aois: DataFrame,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = DEFAULT_RES,
+    exact: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join: cell equi-join + exact PIP refine.
+
+    The point side only needs cell_of_points (one cell per point — pure
+    relational arithmetic, no UDF); the AOI side gets a polygon cover.
+    """
+    n = F.lit(1 << res)
+    ix = F.least(
+        F.greatest(F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)),
+        n - 1,
+    )
+    iy = F.least(
+        F.greatest(F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)),
+        n - 1,
+    )
+    cell = (
+        (F.lit(res).cast("long") * F.lit(1 << 58).cast("long"))
+        + (ix.cast("long") * F.lit(1 << 29).cast("long"))
+        + iy.cast("long")
+    )
+    pts = points.withColumn("cell", cell)
+    aoi_cells = with_cells(
+        aois.select("aoi_id", "ring_lon", "ring_lat"), "ring_lon", "ring_lat", res
+    )
+    cand = pts.join(aoi_cells, "cell").select(id_col, lon_col, lat_col, "aoi_id", "ring_lon", "ring_lat")
+    if not exact:
+        return cand.select(id_col, "aoi_id")
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # group by AOI so PIP vectorizes across all points of a ring
+            parts = []
+            for aoi_id, g in pdf.groupby("aoi_id", sort=False):
+                ring_lon = np.asarray(g.iloc[0].ring_lon)
+                ring_lat = np.asarray(g.iloc[0].ring_lat)
+                inside = geometry.points_in_polygon(
+                    g[lon_col].values, g[lat_col].values, ring_lon, ring_lat
+                )
+                parts.append(g.loc[inside, [id_col, "aoi_id"]])
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return cand.mapInPandas(refine, schema=f"{id_col} string, aoi_id string")

@@ -1,0 +1,452 @@
+"""Per-pixel / per-image raster transforms (reference P2-P10).
+
+All operators share one execution harness: an Arrow-batched
+``mapInPandas`` that decodes each image's payload ONCE, applies a chain
+of numpy transforms, re-encodes, and updates the geo metadata columns.
+Chaining transforms through :func:`compose` keeps one decode/encode per
+*stage* — the reference instead round-trips the whole raster through an
+in-memory GTiff after every mutation (ukis_pysat/raster.py:189-213),
+which is the per-op tax this design eliminates.
+
+Operators:
+- pixel_math       arbitrary vectorized array math (raster.py:84-102 P2/P3)
+- valid_data_bbox  tightest window of pixels != nodata (raster.py:104-111)
+- mask_bbox        crop/mask to bbox or polygon (raster.py:113-138), with
+                   optional pad-to-cover (fill=True, raster.py:125-129)
+- pad              pad all directions + transform shift (raster.py:160-187)
+- dn2toa           DN -> TOA reflectance / brightness temperature
+                   (raster.py:276-422) via broadcast metadata join
+- warp             analytic EPSG:4326 <-> EPSG:3857 reprojection with
+                   nearest resampling (raster.py:215-274; full PROJ-grade
+                   CRS support is out of scope without GDAL)
+
+Every transform is a pure function of the row — task-retry-safe and
+partitioning-independent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ukis_pysat_spark import codec
+
+# A transform takes (arr, meta) and returns (arr, meta); meta is a dict
+# with keys transform (list[6]), nodata, crs.
+TransformFn = Callable[[np.ndarray, dict], tuple[np.ndarray, dict]]
+
+_META_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+              "bands", "dtype", "crs", "transform", "nodata",
+              "footprint_lon", "footprint_lat", "platform"]
+
+IMAGES_OUT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, bands int, dtype string, crs string, "
+    "transform array<double>, nodata double, "
+    "footprint_lon array<double>, footprint_lat array<double>, "
+    "platform string"
+)
+
+
+def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | None = None) -> DataFrame:
+    """Run a chain of transforms with ONE decode + ONE encode per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes)
+                meta = {
+                    "transform": list(row.transform),
+                    "nodata": row.nodata,
+                    "crs": row.crs,
+                }
+                for fn in fns:
+                    arr, meta = fn(arr, meta)
+                fmt = out_fmt or row.fmt
+                t = meta["transform"]
+                a, _, c, _, e, f_ = t
+                h2, w2 = arr.shape[-2], arr.shape[-1]
+                lon1, lat1 = c + w2 * a, f_ + h2 * e
+                d = row._asdict()
+                d.update(
+                    bytes=codec.encode(arr, fmt),
+                    w=int(w2),
+                    h=int(h2),
+                    fmt=fmt,
+                    bands=int(arr.shape[0]),
+                    dtype=str(arr.dtype),
+                    crs=meta["crs"],
+                    transform=[float(v) for v in t],
+                    nodata=meta["nodata"],
+                    footprint_lon=[c, lon1, lon1, c, c],
+                    footprint_lat=[f_, f_, lat1, lat1, f_],
+                )
+                out_rows.append(d)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=_META_COLS)
+
+    return images.select(*_META_COLS).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
+
+
+def compose(*fns: TransformFn) -> list[TransformFn]:
+    return list(fns)
+
+
+# --- P2/P3: arbitrary pixel math -----------------------------------------
+
+
+def pixel_math(fn: Callable[[np.ndarray], np.ndarray]) -> TransformFn:
+    """Arbitrary vectorized array math; (rows, cols) must be preserved,
+    band count may change — the reference's arr-setter contract
+    (raster.py:95-100)."""
+
+    def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
+        out = codec.promote_3d(np.asarray(fn(arr)))
+        if out.shape[-2:] != arr.shape[-2:]:
+            raise ValueError(
+                f"Shape mismatch. Shape of source array: {arr.shape}, "
+                f"shape of altered array {out.shape}"
+            )
+        return out, meta
+
+    return t
+
+
+# --- P4: valid-data bbox ---------------------------------------------------
+
+
+def valid_data_bbox(images: DataFrame, nodata: float = 0.0) -> DataFrame:
+    """Tightest geo bbox of pixels != nodata across all bands
+    (rasterio.windows.get_data_window semantics, raster.py:104-111).
+    Returns (image_id, left, bottom, right, top)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes)
+                valid = (arr != nodata).any(axis=0)
+                rows_any = np.flatnonzero(valid.any(axis=1))
+                cols_any = np.flatnonzero(valid.any(axis=0))
+                a, _, c, _, e, f_ = row.transform
+                if rows_any.size == 0:
+                    r0 = r1 = c0 = c1 = 0
+                else:
+                    r0, r1 = int(rows_any[0]), int(rows_any[-1]) + 1
+                    c0, c1 = int(cols_any[0]), int(cols_any[-1]) + 1
+                recs.append(
+                    {
+                        "image_id": row.image_id,
+                        "left": c + c0 * a,
+                        "bottom": f_ + r1 * e,
+                        "right": c + c1 * a,
+                        "top": f_ + r0 * e,
+                    }
+                )
+            if recs:
+                yield pd.DataFrame(recs)
+
+    return images.select("image_id", "bytes", "transform").mapInPandas(
+        run, schema="image_id string, left double, bottom double, right double, top double"
+    )
+
+
+# --- P5/P6/P7: mask / pad --------------------------------------------------
+
+
+def _pad_width_for(bbox: tuple, bounds: tuple, pixel_size: float) -> int:
+    """Biggest bbox overhang beyond raster bounds in pixels
+    (reference _get_pad_width, raster.py:140-158)."""
+    max_diff_ur = max(bbox[2] - bounds[2], bbox[3] - bounds[3])
+    max_diff_ll = max(bounds[0] - bbox[0], bounds[1] - bbox[1])
+    max_diff = max(max_diff_ll, max_diff_ur)
+    return math.ceil(max_diff / pixel_size)
+
+
+def pad(pad_width: int, constant_values: float = 0.0) -> TransformFn:
+    """Pad raster in all directions; shifts the transform origin
+    (raster.py:160-187)."""
+
+    def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
+        p = int(pad_width)
+        out = np.pad(
+            arr,
+            ((0, 0), (p, p), (p, p)),
+            mode="constant",
+            constant_values=constant_values,
+        )
+        a, b, c, d, e, f_ = meta["transform"]
+        meta = dict(meta, transform=[a, b, c - p * a, d, e, f_ - p * e])
+        return out, meta
+
+    return t
+
+
+def mask_bbox(
+    bbox_or_ring,
+    crop: bool = True,
+    fill: bool = False,
+    constant_values: float = 0.0,
+    nodata: float | None = None,
+) -> TransformFn:
+    """Crop/mask to a bbox tuple (left, bottom, right, top) or polygon
+    ring ([(lon,lat),...]); rasterio.mask.mask semantics (raster.py:113-138):
+
+    - window = floor/ceil of the geometry bounds in fractional pixels,
+      intersected with the array;
+    - pixels outside the polygon (center-in-polygon test) are set to
+      nodata;
+    - fill=True pads first so the raster covers the bbox
+      (raster.py:125-129).
+    """
+    from ukis_pysat_spark.operators.geometry import points_in_polygon
+
+    if isinstance(bbox_or_ring, tuple):
+        bbox = bbox_or_ring
+        ring = None
+    else:
+        ring = np.asarray(bbox_or_ring, dtype=np.float64)
+        bbox = (
+            float(ring[:, 0].min()),
+            float(ring[:, 1].min()),
+            float(ring[:, 0].max()),
+            float(ring[:, 1].max()),
+        )
+
+    def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
+        a, b, c, d, e, f_ = meta["transform"]
+        nod = nodata if nodata is not None else (meta["nodata"] or 0.0)
+        h, w = arr.shape[-2], arr.shape[-1]
+        if fill:
+            bounds = (c, f_ + h * e, c + w * a, f_)
+            pw = _pad_width_for(bbox, bounds, a)
+            if pw > 0:
+                arr, meta = pad(pw, constant_values)(arr, meta)
+                a, b, c, d, e, f_ = meta["transform"]
+                h, w = arr.shape[-2], arr.shape[-1]
+        # geometry window in fractional pixel coords (y axis flipped: e<0)
+        c0 = math.floor((bbox[0] - c) / a)
+        c1 = math.ceil((bbox[2] - c) / a)
+        r0 = math.floor((bbox[3] - f_) / e)
+        r1 = math.ceil((bbox[1] - f_) / e)
+        c0, r0 = max(c0, 0), max(r0, 0)
+        c1, r1 = min(c1, w), min(r1, h)
+        if crop:
+            out = arr[:, r0:r1, c0:c1]
+            new_c = c + c0 * a
+            new_f = f_ + r0 * e
+        else:
+            out = arr
+            new_c, new_f = c, f_
+            r0, r1, c0, c1 = 0, h, 0, w
+        if ring is not None:
+            hh, ww = out.shape[-2], out.shape[-1]
+            px_lon = new_c + (np.arange(ww) + 0.5) * a
+            px_lat = new_f + (np.arange(hh) + 0.5) * e
+            gx, gy = np.meshgrid(px_lon, px_lat)
+            inside = points_in_polygon(
+                gx.ravel(), gy.ravel(), ring[:, 0], ring[:, 1]
+            ).reshape(hh, ww)
+            out = np.where(inside[None, :, :], out, np.asarray(nod, dtype=out.dtype))
+        meta = dict(meta, transform=[a, b, new_c, d, e, new_f], nodata=nod)
+        return np.ascontiguousarray(out), meta
+
+    return t
+
+
+# --- P9: dn2toa ------------------------------------------------------------
+
+
+def dn2toa_arrays(
+    arr: np.ndarray,
+    platform: str,
+    sun_elevation: float,
+    mult_reflectance,
+    add_reflectance,
+    mult_radiance,
+    add_radiance,
+    k1,
+    k2,
+    thermal_band_idx,
+    quantification_value: float,
+    radio_add_offset,
+    processing_baseline: float,
+) -> np.ndarray:
+    """Closed-form TOA math (semantics of raster.py:276-422):
+
+    Landsat thermal bands:  L = ML*DN + AL;  T = K2 / ln(K1/L + 1)
+    Landsat reflectance:    rho = (MR*DN + AR) / sin(radians(sun_elev))
+    Sentinel-2 baseline>=4: rho = (DN + radio_offset) / QV
+    Sentinel-2 otherwise:   rho = DN / QV
+    Output float32 (matches the reference's *_toa.tif fixtures).
+    """
+    dn = arr.astype(np.float32)
+    if platform.startswith("Landsat"):
+        out = np.empty_like(dn)
+        thermal = set(int(i) for i in thermal_band_idx)
+        sin_e = np.float32(np.sin(np.radians(sun_elevation)))
+        for i in range(dn.shape[0]):
+            if i in thermal:
+                L = np.float32(mult_radiance[i]) * dn[i] + np.float32(add_radiance[i])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[i] = np.float32(k2[i]) / np.log(np.float32(k1[i]) / L + 1.0)
+            else:
+                out[i] = (
+                    np.float32(mult_reflectance[i]) * dn[i] + np.float32(add_reflectance[i])
+                ) / sin_e
+        return out
+    if platform == "Sentinel2":
+        qv = np.float32(quantification_value)
+        if processing_baseline >= 4.0:
+            off = np.asarray(radio_add_offset, dtype=np.float32)[: dn.shape[0]]
+            return (dn + off[:, None, None]) / qv
+        return dn / qv
+    raise ValueError(
+        f"Cannot convert dn2toa. Platform {platform} not supported "
+        f"[Landsat-5, Landsat-7, Landsat-8, Sentinel-2]."
+    )
+
+
+def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -> DataFrame:
+    """DN -> TOA as a broadcast metadata join + one fused Arrow stage.
+
+    The rescale-factor table is tiny relative to images (one row per
+    image/scene, no payload) — broadcast it so the transform stage is
+    shuffle-free.
+    """
+    joined = images.join(F.broadcast(metadata.drop("platform")), "image_id")
+
+    meta_cols = [
+        "sun_elevation", "mult_reflectance", "add_reflectance",
+        "mult_radiance", "add_radiance", "k1", "k2",
+        "quantification_value", "radio_add_offset",
+        "processing_baseline", "thermal_band_idx",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode(row.bytes)
+                toa = dn2toa_arrays(
+                    arr,
+                    row.platform,
+                    row.sun_elevation,
+                    row.mult_reflectance,
+                    row.add_reflectance,
+                    row.mult_radiance,
+                    row.add_radiance,
+                    row.k1,
+                    row.k2,
+                    row.thermal_band_idx,
+                    row.quantification_value,
+                    row.radio_add_offset,
+                    row.processing_baseline,
+                )
+                d = {k: getattr(row, k) for k in _META_COLS if k != "bytes"}
+                fmt = out_fmt or row.fmt
+                d["bytes"] = codec.encode(toa, fmt)
+                d["fmt"] = fmt
+                d["dtype"] = "float32"
+                d["transform"] = list(row.transform)
+                d["footprint_lon"] = list(row.footprint_lon)
+                d["footprint_lat"] = list(row.footprint_lat)
+                out_rows.append(d)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=_META_COLS)
+
+    return joined.select(*_META_COLS, *meta_cols).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
+
+
+# --- P8: warp --------------------------------------------------------------
+
+_R_MERC = 6378137.0
+
+
+def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if crs == "EPSG:4326":
+        return lon, lat
+    if crs == "EPSG:3857":
+        x = _R_MERC * np.radians(lon)
+        y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+        return x, y
+    raise ValueError(f"unsupported CRS {crs} (analytic warp supports EPSG:4326/3857)")
+
+
+def _inv(crs: str, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if crs == "EPSG:4326":
+        return x, y
+    if crs == "EPSG:3857":
+        lon = np.degrees(x / _R_MERC)
+        lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2.0)
+        return lon, lat
+    raise ValueError(f"unsupported CRS {crs}")
+
+
+def warp(
+    dst_crs: str,
+    resolution: float | tuple[float, float] | None = None,
+    nodata: float = 0.0,
+    target_transform: list | None = None,
+    target_size: tuple[int, int] | None = None,
+) -> TransformFn:
+    """Analytic reprojection with nearest resampling (the reference's
+    default resampling_method=0, raster.py:228).
+
+    Default grid mirrors calculate_default_transform: the source bbox's
+    corners are projected and the output keeps ~the source pixel count
+    unless `resolution` overrides it; `target_transform`+`target_size`
+    reproduce the reference's target_align (raster.py:235-238).
+    """
+
+    def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
+        src_crs = meta["crs"]
+        a, _, c, _, e, f_ = meta["transform"]
+        h, w = arr.shape[-2], arr.shape[-1]
+        # project the source bbox corners
+        corner_lon = np.array([c, c + w * a, c + w * a, c])
+        corner_lat = np.array([f_, f_, f_ + h * e, f_ + h * e])
+        if src_crs != "EPSG:4326":
+            corner_lon, corner_lat = _inv(src_crs, corner_lon, corner_lat)
+        X, Y = _fwd(dst_crs, corner_lon, corner_lat)
+        x0, x1 = float(X.min()), float(X.max())
+        y0, y1 = float(Y.min()), float(Y.max())
+        if target_transform is not None and target_size is not None:
+            na, _, nc, _, ne, nf = target_transform
+            W, H = target_size
+        else:
+            if resolution is None:
+                na = (x1 - x0) / w
+                ne = -(y1 - y0) / h
+            else:
+                rx, ry = (resolution, resolution) if np.isscalar(resolution) else resolution
+                na, ne = float(rx), -float(ry)
+            W = max(int(math.ceil((x1 - x0) / na)), 1)
+            H = max(int(math.ceil((y1 - y0) / -ne)), 1)
+            nc, nf = x0, y1
+        # destination pixel centers -> source pixel indices (nearest)
+        dx = nc + (np.arange(W) + 0.5) * na
+        dy = nf + (np.arange(H) + 0.5) * ne
+        gx, gy = np.meshgrid(dx, dy)
+        lon, lat = _inv(dst_crs, gx, gy)
+        if src_crs != "EPSG:4326":
+            sx, sy = _fwd(src_crs, lon, lat)
+        else:
+            sx, sy = lon, lat
+        col = np.floor((sx - c) / a).astype(np.int64)
+        row = np.floor((sy - f_) / e).astype(np.int64)
+        valid = (col >= 0) & (col < w) & (row >= 0) & (row < h)
+        colc = np.clip(col, 0, w - 1)
+        rowc = np.clip(row, 0, h - 1)
+        out = arr[:, rowc, colc]
+        out = np.where(valid[None, :, :], out, np.asarray(nodata, dtype=arr.dtype))
+        meta = dict(meta, crs=dst_crs, transform=[na, 0.0, nc, 0.0, ne, nf], nodata=nodata)
+        return np.ascontiguousarray(out), meta
+
+    return t
