@@ -1,38 +1,508 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an engine operator from SURVEY.md §2 (or a
+training-data-pipeline operator) run against the driver's parquet
+tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query.  Numeric parity rules used throughout:
+
+- sums of doubles go through DECIMAL casts so partial-aggregation order
+  cannot change the result; the final value is cast back to DOUBLE;
+- floats that pass through libm (haversine, cosine) are rounded;
+- counts/sizes are cast to BIGINT on the Spark side (F.size returns int);
+- every computed column is aliased identically in both dialects.
+
+Spatial queries derive deterministic point/box geometries from the
+TPC-H tables with integer arithmetic (identical IEEE results in both
+engines); the Spark side runs the real cell-index + PIP-refine /
+broadcast-kNN operators while the oracle uses plain BETWEEN / haversine
+SQL — so the driver's gate genuinely checks the spatial engine's
+semantics, not a reimplementation of the oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from ukis_pysat_spark import datagen
+from ukis_pysat_spark.operators import dedup, knn, multimodal, similarity, spatial_join, text, tiling, transforms
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- derived geometry tables (deterministic integer arithmetic) -----------
+
+
+def _points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("point_id"),
+        (F.lit(-30.0) + (F.col("c_custkey") * 7919 % 79999) / 1000.0 + F.lit(0.0003)).alias("lon"),
+        (F.lit(20.0) + (F.col("c_custkey") * 104729 % 44999) / 1000.0 + F.lit(0.0007)).alias("lat"),
+    )
+
+
+_POINTS_SQL = """
+    SELECT CAST(c_custkey AS VARCHAR) AS point_id,
+           -30.0 + (c_custkey * 7919 % 79999) / 1000.0 + 0.0003 AS lon,
+           20.0 + (c_custkey * 104729 % 44999) / 1000.0 + 0.0007 AS lat
+    FROM customer
+"""
+
+
+def _boxes(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    lon_min = (F.lit(-30) + (F.col("n_nationkey") * 13) % 60).cast("double")
+    lat_min = (F.lit(20) + (F.col("n_nationkey") * 17) % 38).cast("double")
+    lon_max = lon_min + 2 + (F.col("n_nationkey") % 3).cast("double")
+    lat_max = lat_min + 2 + (F.col("n_nationkey") % 2).cast("double")
+    return n.select(
+        F.concat(F.lit("aoi"), F.col("n_nationkey").cast("string")).alias("aoi_id"),
+        lon_min.alias("lon_min"),
+        lat_min.alias("lat_min"),
+        lon_max.alias("lon_max"),
+        lat_max.alias("lat_max"),
+        F.array(lon_min, lon_max, lon_max, lon_min, lon_min).alias("ring_lon"),
+        F.array(lat_min, lat_min, lat_max, lat_max, lat_min).alias("ring_lat"),
+        ((lon_min + lon_max) / 2).alias("centroid_lon"),
+        ((lat_min + lat_max) / 2).alias("centroid_lat"),
+    )
+
+
+_BOXES_SQL = """
+    SELECT 'aoi' || CAST(n_nationkey AS VARCHAR) AS aoi_id,
+           CAST(-30 + (n_nationkey * 13) % 60 AS DOUBLE) AS lon_min,
+           CAST(20 + (n_nationkey * 17) % 38 AS DOUBLE) AS lat_min,
+           CAST(-30 + (n_nationkey * 13) % 60 AS DOUBLE) + 2 + CAST(n_nationkey % 3 AS DOUBLE) AS lon_max,
+           CAST(20 + (n_nationkey * 17) % 38 AS DOUBLE) + 2 + CAST(n_nationkey % 2 AS DOUBLE) AS lat_max
+    FROM nation
+"""
+
+
+def _derived_images(spark, sf_dir, limit_key=400):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= limit_key)
+    return p.select(
+        F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id"),
+        (64 + (F.col("p_partkey") * 13) % 600).cast("int").alias("w"),
+        (64 + (F.col("p_partkey") * 7) % 700).cast("int").alias("h"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(-1.0), F.lit(0.0)).alias(
+            "transform"
+        ),
+    )
+
+
+_DERIVED_IMAGES_SQL = """
+    SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+           CAST(64 + (p_partkey * 13) % 600 AS INTEGER) AS w,
+           CAST(64 + (p_partkey * 7) % 700 AS INTEGER) AS h
+    FROM part WHERE p_partkey <= 400
+"""
+
+
+def _tile_oracle_sql(src_sql: str, width: int, height: int, overlap: int) -> str:
+    """Window-enumeration twin of operators.tiling.tile_windows."""
+    return f"""
+    WITH imgs AS ({src_sql}),
+    wins AS (
+      SELECT image_id, w, h,
+             co // {width} AS col_idx, ro // {height} AS row_idx,
+             CAST(ceil(h / {height}.0) AS BIGINT) AS nrt,
+             co, ro
+      FROM imgs,
+           unnest(generate_series(0, w - 1, {width})) t1(co),
+           unnest(generate_series(0, h - 1, {height})) t2(ro)
+    )
+    SELECT image_id,
+           col_idx * nrt + row_idx AS tile_id,
+           CAST(greatest(co - {overlap}, 0) AS INTEGER) AS col_off,
+           CAST(greatest(ro - {overlap}, 0) AS INTEGER) AS row_off,
+           CAST(least(co - {overlap} + {width + 2 * overlap}, w)
+                - greatest(co - {overlap}, 0) AS INTEGER) AS tw,
+           CAST(least(ro - {overlap} + {height + 2 * overlap}, h)
+                - greatest(ro - {overlap}, 0) AS INTEGER) AS th
+    FROM wins
+    """
+
+
+# --- entry -----------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tile derived scenes and spatially join tiles to AOI
+    boxes (bounds-overlap), counting tile hits per AOI."""
+    sf_dir = "/root/testdata/sf0.001"
+    imgs = _derived_images(spark, sf_dir).withColumn(
+        "transform",
+        F.array(
+            F.lit(0.01), F.lit(0.0), F.lit(-30.0) + (F.col("w") % 50).cast("double"),
+            F.lit(0.0), F.lit(-0.01), F.lit(60.0) - (F.col("h") % 30).cast("double"),
+        ),
+    )
+    tiles = tiling.tile_windows(imgs, 128, 128, 0)
+    boxes = _boxes(spark, sf_dir)
+    hits = tiles.join(
+        F.broadcast(boxes),
+        (F.col("left") <= F.col("lon_max"))
+        & (F.col("right") >= F.col("lon_min"))
+        & (F.col("bottom") <= F.col("lat_max"))
+        & (F.col("top") >= F.col("lat_min")),
+    )
+    return hits.groupBy("aoi_id").agg(F.count("*").alias("n_tiles")).orderBy("aoi_id")
+
+
+# --- queries ----------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # T1: relational sliding-window enumeration (raster.py:485-505)
+    def tiling_windows(spark, sf_dir):
+        win = tiling.tile_windows(_derived_images(spark, sf_dir), 128, 128, 16)
+        return win.select("image_id", "tile_id", "col_off", "row_off", "tw", "th")
+
+    q["tiling_windows"] = tiling_windows
+
+    # T1 golden shape: 679x764 @ (5,5,1) reference enumeration
+    def tiling_golden(spark, sf_dir):
+        img = spark.range(1).select(
+            F.lit("img0").alias("image_id"),
+            F.lit(679).cast("int").alias("w"),
+            F.lit(764).cast("int").alias("h"),
+            F.array(*[F.lit(v) for v in [1.0, 0.0, 0.0, 0.0, -1.0, 0.0]]).alias("transform"),
+        )
+        return tiling.tile_windows(img, 5, 5, 1).select(
+            "image_id", "tile_id", "col_off", "row_off", "tw", "th"
+        )
+
+    q["tiling_golden"] = tiling_golden
+
+    # point-in-polygon spatial join on the cell index
+    def pip_points_in_boxes(spark, sf_dir):
+        return spatial_join.points_in_aois(
+            _points(spark, sf_dir), _boxes(spark, sf_dir), res=12
+        )
+
+    q["pip_points_in_boxes"] = pip_points_in_boxes
+
+    # kNN: nearest points per AOI centroid (broadcast + window top-k)
+    def knn_points_q(spark, sf_dir):
+        out = knn.knn_points(_points(spark, sf_dir), _boxes(spark, sf_dir), k=3)
+        return out.select(
+            "aoi_id",
+            F.col("point_id"),
+            F.round("dist_km", 3).alias("dist_km"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    q["knn_points"] = knn_points_q
+
+    # TPC-H Q1 pricing summary (decimal-stable aggregation)
+    def q1_pricing(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                .cast("double")
+                .alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["q1_pricing"] = q1_pricing
+
+    # multi-join revenue rollup: region -> nation -> customer -> orders -> lineitem
+    def revenue_by_nation(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        d = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+        rev = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                .cast("double")
+                .alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+        return rev.orderBy("r_name", "n_name")
+
+    q["revenue_by_nation"] = revenue_by_nation
+
+    # events: per-type aggregate
+    def events_by_type(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        return (
+            e.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+                F.count_distinct("user_id").alias("n_users"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["events_by_type"] = events_by_type
+
+    # events: top-5 users by activity (window rank)
+    def events_user_top5(spark, sf_dir):
+        from pyspark.sql import Window
+
+        e = _t(spark, sf_dir, "events")
+        counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+        w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("user_id", "n", "rank")
+        )
+
+    q["events_user_top5"] = events_user_top5
+
+    # text analysis profile
+    def doc_profile(spark, sf_dir):
+        prof = text.document_profile(_t(spark, sf_dir, "documents"))
+        return prof.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            "pred_lang",
+            "quality",
+            "fp",
+        )
+
+    q["doc_profile"] = doc_profile
+
+    # exact dedup
+    def exact_dedup_q(spark, sf_dir):
+        return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+    q["exact_dedup"] = exact_dedup_q
+
+    # embedding cosine near-dup pairs
+    def embedding_neardup_q(spark, sf_dir):
+        return dedup.embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+    q["embedding_neardup"] = embedding_neardup_q
+
+    # exact ANN top-k (brute-force cosine baseline)
+    def ann_topk(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = (
+            e.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+        out = similarity.brute_force_topk(e, qs, k=5)
+        return out.select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+
+    q["ann_topk"] = ann_topk
+
+    # --- non-SQL-expressible operators (driver records rows-only) --------
+
+    def minhash_lsh_docs(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), n=3, n_hashes=64, bands=16, threshold=0.5
+        )
+
+    q["minhash_lsh_docs"] = minhash_lsh_docs
+
+    def simhash_docs(spark, sf_dir):
+        return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+    q["simhash_docs"] = simhash_docs
+
+    def lsh_ann_topk(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = (
+            e.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+        return similarity.lsh_ann(e, qs, k=5, n_planes=6, n_tables=8)
+
+    q["lsh_ann_topk"] = lsh_ann_topk
+
+    def tile_pixels_synth(spark, sf_dir):
+        imgs = datagen.gen_images(spark, 32, profile="bench")
+        tp = tiling.tile_pixels(imgs, 32, 32, 4)
+        return tp.groupBy("image_id").agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(F.col("tw").cast("long") * F.col("th")).alias("px_area"),
+        )
+
+    q["tile_pixels_synth"] = tile_pixels_synth
+
+    def dn2toa_synth(spark, sf_dir):
+        imgs = datagen.gen_images(spark, 16, profile="mixed")
+        meta = datagen.gen_metadata(spark, 16, profile="mixed")
+        toa = transforms.dn2toa(imgs, meta)
+        stats = multimodal.decode_stats(toa, nodata=None)
+        return stats.groupBy("image_id").agg(
+            F.count("*").alias("n_bands"),
+            F.round(F.avg("mean"), 4).alias("avg_band_mean"),
+        )
+
+    q["dn2toa_synth"] = dn2toa_synth
+
+    def spatial_join_synth(spark, sf_dir):
+        imgs = datagen.gen_images(spark, 150, profile="bench", skew_frac=0.3)
+        aois = datagen.gen_aois(spark, 60, skew_frac=0.3)
+        return spatial_join.spatial_join(imgs, aois, res=12)
+
+    q["spatial_join_synth"] = spatial_join_synth
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["tiling_windows"] = _tile_oracle_sql(_DERIVED_IMAGES_SQL, 128, 128, 16)
+
+    o["tiling_golden"] = _tile_oracle_sql(
+        "SELECT 'img0' AS image_id, CAST(679 AS INTEGER) AS w, CAST(764 AS INTEGER) AS h", 5, 5, 1
+    )
+
+    o["pip_points_in_boxes"] = f"""
+        WITH pts AS ({_POINTS_SQL}), boxes AS ({_BOXES_SQL})
+        SELECT p.point_id, b.aoi_id
+        FROM pts p JOIN boxes b
+          ON p.lon BETWEEN b.lon_min AND b.lon_max
+         AND p.lat BETWEEN b.lat_min AND b.lat_max
     """
-    return {}
+
+    o["knn_points"] = f"""
+        WITH pts AS ({_POINTS_SQL}), boxes AS ({_BOXES_SQL}),
+        cand AS (
+          SELECT b.aoi_id, p.point_id,
+                 2.0 * 6371.0 * asin(sqrt(
+                   pow(sin((radians((b.lat_min + b.lat_max) / 2) - radians(p.lat)) / 2), 2)
+                   + cos(radians(p.lat)) * cos(radians((b.lat_min + b.lat_max) / 2))
+                     * pow(sin((radians((b.lon_min + b.lon_max) / 2) - radians(p.lon)) / 2), 2)
+                 )) AS dist
+          FROM pts p CROSS JOIN boxes b
+        ),
+        ranked AS (
+          SELECT aoi_id, point_id, dist,
+                 row_number() OVER (PARTITION BY aoi_id ORDER BY dist ASC, point_id ASC) AS rank
+          FROM cand
+        )
+        SELECT aoi_id, point_id, round(dist, 3) AS dist_km, rank
+        FROM ranked WHERE rank <= 3
+    """
+
+    o["q1_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    o["revenue_by_nation"] = """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """
+
+    o["events_by_type"] = """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    o["events_user_top5"] = """
+        WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        ranked AS (SELECT user_id, n,
+                          row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+                   FROM counts)
+        SELECT user_id, n, rank FROM ranked WHERE rank <= 5
+    """
+
+    o["doc_profile"] = r"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+               CASE
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es'
+               END AS pred_lang,
+               round(0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0)
+                     + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text))
+                     + 0.3 * least((s_en / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5.0, 1.0), 6)
+                 AS quality,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM (
+          SELECT *,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|you|that|it|for)\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour|dans|une|des)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|que|para|con|una|por)\b')) AS s_es
+          FROM documents
+        )
+    """
+
+    o["exact_dedup"] = r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """
+
+    o["embedding_neardup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """
+
+    o["ann_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+                   FROM embeddings WHERE vec_id < 5),
+        cand AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.query_vec AS DOUBLE[])), 6) AS cosine
+                 FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+                   FROM cand)
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    return o

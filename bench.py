@@ -1,0 +1,128 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric follows BASELINE.json: tiles+join-rows/sec over the
+spatial engine queries (tiling, spatial join, kNN, dn2toa) on a
+synthetic images/AOI corpus sized by the scale factor, plus the
+relational/pipeline queries on the driver's parquet tables.  Synthetic
+inputs are materialized to parquet in setup (unmeasured) so the timed
+queries measure the engine reading a real images table, not datagen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ukis_pysat_spark import datagen  # noqa: E402
+from ukis_pysat_spark.operators import knn, multimodal, spatial_join, tiling, transforms  # noqa: E402
+from ukis_pysat_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def materialize_synthetic(spark, sf: float, base: str) -> tuple[str, str, str]:
+    n_images = max(int(200_000 * sf), 200)
+    n_aois = max(int(5_000 * sf), 50)
+    paths = (f"{base}/images", f"{base}/aois", f"{base}/metadata")
+    if not os.path.exists(f"{paths[0]}/_SUCCESS"):
+        datagen.gen_images(spark, n_images, profile="bench", skew_frac=0.2).write.mode(
+            "overwrite"
+        ).parquet(paths[0])
+        datagen.gen_aois(spark, n_aois, skew_frac=0.2).write.mode("overwrite").parquet(paths[1])
+        datagen.gen_metadata(spark, n_images, profile="bench").write.mode("overwrite").parquet(
+            paths[2]
+        )
+    return paths
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    base = f"/tmp/upss_bench_sf{sf}"
+    images_p, aois_p, meta_p = materialize_synthetic(spark, sf, base)
+    images = spark.read.parquet(images_p)
+    aois = spark.read.parquet(aois_p)
+    metadata = spark.read.parquet(meta_p)
+
+    timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        row_counts[name] = int(n)
+
+    # --- spatial engine headline queries (tiles + join rows) --------------
+    timed("tile_windows", lambda: tiling.tile_windows(images, 32, 32, 4).count())
+    timed("tile_pixels", lambda: tiling.tile_pixels(images, 32, 32, 4).count())
+    timed(
+        "spatial_join",
+        lambda: spatial_join.spatial_join(images, aois, res=12).count(),
+    )
+    timed("knn", lambda: knn.knn_broadcast(images, aois, k=5).count())
+    timed(
+        "dn2toa_stats",
+        lambda: multimodal.decode_stats(transforms.dn2toa(images, metadata)).count(),
+    )
+
+    # --- relational / pipeline queries on the driver tables ---------------
+    qs = entrymod.queries()
+    for name in [
+        "q1_pricing",
+        "revenue_by_nation",
+        "events_by_type",
+        "doc_profile",
+        "exact_dedup",
+        "embedding_neardup",
+        "ann_topk",
+        "minhash_lsh_docs",
+        "pip_points_in_boxes",
+        "knn_points",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    spatial_rows = sum(
+        row_counts[k] for k in ("tile_windows", "tile_pixels", "spatial_join", "knn")
+    )
+    spatial_secs = sum(
+        timings[k] for k in ("tile_windows", "tile_pixels", "spatial_join", "knn")
+    )
+    throughput = round(spatial_rows / spatial_secs, 1) if spatial_secs else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "tiles+join-rows/sec (spatial headline); per-query wall secs",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "rows": row_counts,
+                "throughput_rows_per_sec": throughput,
+                "cpus": CPUS,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

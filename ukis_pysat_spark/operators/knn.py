@@ -81,6 +81,32 @@ def knn_broadcast(images: DataFrame, aois: DataFrame, k: int = 5) -> DataFrame:
     return _topk(cand, k)
 
 
+def knn_points(
+    points: DataFrame,
+    aois: DataFrame,
+    k: int = 5,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Exact kNN for a generic (id, lon, lat) point table — same
+    broadcast + WindowGroupLimit top-k plan as knn_broadcast."""
+    cand = points.crossJoin(
+        F.broadcast(aois.select("aoi_id", "centroid_lon", "centroid_lat"))
+    ).withColumn(
+        "dist_km",
+        haversine_col(
+            F.col(lon_col), F.col(lat_col), F.col("centroid_lon"), F.col("centroid_lat")
+        ),
+    )
+    w = Window.partitionBy("aoi_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("aoi_id", F.col(id_col), "dist_km", "rank")
+    )
+
+
 def knn_indexed(
     images: DataFrame, aois: DataFrame, k: int = 5, res: int = 6, ring: int = 2
 ) -> DataFrame:
