@@ -93,7 +93,22 @@ def encode(arr: np.ndarray, fmt: str = "raw") -> bytes:
     return header + body
 
 
-def decode(payload: bytes | bytearray | memoryview) -> np.ndarray:
+def decode(payload: bytes | bytearray | memoryview, dimorder: str = "first") -> np.ndarray:
+    """Decode payload bytes back to a pixel array.
+
+    dimorder='first' -> (bands, rows, cols) (storage order);
+    dimorder='last'  -> (rows, cols, bands) view — the reference's
+    presentation-layer choice (raster.py:42-45,76-82); storage is always
+    band-first."""
+    arr = _decode_first(payload)
+    if dimorder == "first":
+        return arr
+    if dimorder == "last":
+        return arr.transpose(1, 2, 0)
+    raise TypeError("dimorder for bands or channels must be either 'first' or 'last'.")
+
+
+def _decode_first(payload: bytes | bytearray | memoryview) -> np.ndarray:
     """Decode payload bytes back to a (bands, rows, cols) array."""
     payload = bytes(payload)
     magic, version, fmt_code, dtype_code, ndim, bands, _, rows, cols = _HEADER.unpack_from(

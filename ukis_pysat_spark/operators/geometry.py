@@ -160,6 +160,85 @@ def edges_cross(ax, ay, bx, by) -> bool:
     return bool(proper.any())
 
 
+# --- batched pairwise geometry (vectorized across an Arrow batch) ---------
+
+
+def pad_rings(rings_x, rings_y) -> tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length CLOSED rings into (n, kmax) arrays, padding
+    by repeating the last vertex.  Degenerate (zero-length) padded edges
+    contribute nothing to ray-casting or crossing tests, so padded rings
+    are safe for the batch predicates below."""
+    n = len(rings_x)
+    closed_x, closed_y = [], []
+    kmax = 0
+    for rx, ry in zip(rings_x, rings_y):
+        rx = np.asarray(rx, dtype=np.float64)
+        ry = np.asarray(ry, dtype=np.float64)
+        if rx[0] != rx[-1] or ry[0] != ry[-1]:
+            rx = np.append(rx, rx[0])
+            ry = np.append(ry, ry[0])
+        closed_x.append(rx)
+        closed_y.append(ry)
+        kmax = max(kmax, len(rx))
+    RX = np.empty((n, kmax))
+    RY = np.empty((n, kmax))
+    for i, (rx, ry) in enumerate(zip(closed_x, closed_y)):
+        RX[i, : len(rx)] = rx
+        RX[i, len(rx) :] = rx[-1]
+        RY[i, : len(ry)] = ry
+        RY[i, len(ry) :] = ry[-1]
+    return RX, RY
+
+
+def pip_pairwise(PX: np.ndarray, PY: np.ndarray, RX: np.ndarray, RY: np.ndarray) -> np.ndarray:
+    """Row-wise PIP: are points (PX[i,j], PY[i,j]) inside ring i?
+    PX (n, ka); RX (n, kb) closed padded rings -> (n, ka) bool."""
+    x1 = RX[:, None, :-1]
+    x2 = RX[:, None, 1:]
+    y1 = RY[:, None, :-1]
+    y2 = RY[:, None, 1:]
+    px = PX[:, :, None]
+    py = PY[:, :, None]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    return ((cond & (px < xin)).sum(axis=2) % 2) == 1
+
+
+def _edges_cross_pairwise(AX, AY, BX, BY) -> np.ndarray:
+    """Any proper edge crossing between ring A[i] and ring B[i] -> (n,) bool."""
+    a1x, a1y = AX[:, :-1, None], AY[:, :-1, None]
+    a2x, a2y = AX[:, 1:, None], AY[:, 1:, None]
+    b1x, b1y = BX[:, None, :-1], BY[:, None, :-1]
+    b2x, b2y = BX[:, None, 1:], BY[:, None, 1:]
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = cross(b1x, b1y, b2x, b2y, a1x, a1y)
+    d2 = cross(b1x, b1y, b2x, b2y, a2x, a2y)
+    d3 = cross(a1x, a1y, a2x, a2y, b1x, b1y)
+    d4 = cross(a1x, a1y, a2x, a2y, b2x, b2y)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    return proper.any(axis=(1, 2))
+
+
+def polygon_intersects_pairwise(rings_ax, rings_ay, rings_bx, rings_by) -> np.ndarray:
+    """Vectorized polygon-intersects over n (A[i], B[i]) ring pairs.
+    Same semantics as polygon_intersects, evaluated for a whole Arrow
+    batch at once (the refine hot path of the spatial join)."""
+    AX, AY = pad_rings(rings_ax, rings_ay)
+    BX, BY = pad_rings(rings_bx, rings_by)
+    hit = pip_pairwise(AX, AY, BX, BY).any(axis=1)
+    todo = ~hit
+    if todo.any():
+        hit[todo] |= pip_pairwise(BX[todo], BY[todo], AX[todo], AY[todo]).any(axis=1)
+        todo = ~hit
+    if todo.any():
+        hit[todo] |= _edges_cross_pairwise(AX[todo], AY[todo], BX[todo], BY[todo])
+    return hit
+
+
 # --- distances & misc ----------------------------------------------------
 
 EARTH_RADIUS_KM = 6371.0

@@ -38,12 +38,32 @@ DEFAULT_RES = 12  # ~0.09 deg cells: tens of cells per fixture footprint
 
 
 def _cover_udf(res: int):
+    n_cells = 1 << res
+
     @F.pandas_udf(ArrayType(LongType()))
     def cover(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        # vectorized bbox -> cell-index ranges for the whole batch
+        m = len(lons)
+        lo_x = np.empty(m)
+        hi_x = np.empty(m)
+        lo_y = np.empty(m)
+        hi_y = np.empty(m)
+        for i, (lon, lat) in enumerate(zip(lons, lats)):
+            a = np.asarray(lon)
+            b = np.asarray(lat)
+            lo_x[i], hi_x[i] = a.min(), a.max()
+            lo_y[i], hi_y[i] = b.min(), b.max()
+        ix0 = np.clip(np.floor((lo_x + 180.0) / 360.0 * n_cells), 0, n_cells - 1).astype(np.int64)
+        ix1 = np.clip(np.floor((hi_x + 180.0) / 360.0 * n_cells), 0, n_cells - 1).astype(np.int64)
+        iy0 = np.clip(np.floor((lo_y + 90.0) / 180.0 * n_cells), 0, n_cells - 1).astype(np.int64)
+        iy1 = np.clip(np.floor((hi_y + 90.0) / 180.0 * n_cells), 0, n_cells - 1).astype(np.int64)
+        base = np.int64(res) << np.int64(58)
         out = []
-        for lon, lat in zip(lons, lats):
-            cells = geometry.cover_polygon(np.asarray(lon), np.asarray(lat), res)
-            out.append(cells.tolist())
+        for i in range(m):
+            xs = np.arange(ix0[i], ix1[i] + 1, dtype=np.int64)
+            ys = np.arange(iy0[i], iy1[i] + 1, dtype=np.int64)
+            cells = base | (xs[:, None] << np.int64(29)) | ys[None, :]
+            out.append(cells.ravel().tolist())
         return pd.Series(out)
 
     return cover
@@ -127,25 +147,22 @@ def spatial_join(
         & (F.array_max(flat) >= F.col("lat_min"))
     )
 
-    # REFINE: exact polygon-polygon intersection in Arrow batches
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.fromiter(
-                (
-                    geometry.polygon_intersects(
-                        np.asarray(r.footprint_lon), np.asarray(r.footprint_lat),
-                        np.asarray(r.ring_lon), np.asarray(r.ring_lat),
-                    )
-                    for r in pdf.itertuples(index=False)
-                ),
-                dtype=bool,
-                count=len(pdf),
-            )
-            yield pdf.loc[keep, ["image_id", "aoi_id"]]
+    return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
 
-    return cand.mapInPandas(refine, schema="image_id string, aoi_id string")
+
+def _refine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Exact polygon-polygon refinement, vectorized across each Arrow
+    batch (geometry.polygon_intersects_pairwise)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        keep = geometry.polygon_intersects_pairwise(
+            pdf["footprint_lon"].tolist(),
+            pdf["footprint_lat"].tolist(),
+            pdf["ring_lon"].tolist(),
+            pdf["ring_lat"].tolist(),
+        )
+        yield pdf.loc[keep, ["image_id", "aoi_id"]]
 
 
 def spatial_join_bruteforce(images: DataFrame, aois: DataFrame) -> DataFrame:
@@ -155,25 +172,7 @@ def spatial_join_bruteforce(images: DataFrame, aois: DataFrame) -> DataFrame:
     cand = images.select("image_id", "footprint_lon", "footprint_lat").crossJoin(
         F.broadcast(aois.select("aoi_id", "ring_lon", "ring_lat"))
     )
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.fromiter(
-                (
-                    geometry.polygon_intersects(
-                        np.asarray(r.footprint_lon), np.asarray(r.footprint_lat),
-                        np.asarray(r.ring_lon), np.asarray(r.ring_lat),
-                    )
-                    for r in pdf.itertuples(index=False)
-                ),
-                dtype=bool,
-                count=len(pdf),
-            )
-            yield pdf.loc[keep, ["image_id", "aoi_id"]]
-
-    return cand.mapInPandas(refine, schema="image_id string, aoi_id string")
+    return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
 
 
 def points_in_aois(

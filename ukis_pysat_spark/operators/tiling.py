@@ -141,9 +141,14 @@ def tile_pixels(
     reference's get_subset(tile, band) (raster.py:507-519).
     """
 
+    # memory bound: yield accumulated tile rows once they exceed this
+    # many payload bytes, independent of the Arrow input batch size
+    FLUSH_BYTES = 32 << 20
+
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[pd.DataFrame] = []
+            out_bytes = 0
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes)
                 t = list(row.transform)
@@ -176,6 +181,10 @@ def tile_pixels(
                         }
                     )
                 )
+                out_bytes += sum(len(p) for p in px)
+                if out_bytes >= FLUSH_BYTES:
+                    yield pd.concat(out, ignore_index=True)
+                    out, out_bytes = [], 0
             if out:
                 yield pd.concat(out, ignore_index=True)
 

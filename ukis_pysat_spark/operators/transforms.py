@@ -56,9 +56,12 @@ IMAGES_OUT_SCHEMA = (
 def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | None = None) -> DataFrame:
     """Run a chain of transforms with ONE decode + ONE encode per image."""
 
+    FLUSH_BYTES = 64 << 20  # bound worker memory independent of batch size
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
+            out_bytes = 0
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes)
                 meta = {
@@ -74,8 +77,9 @@ def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | N
                 h2, w2 = arr.shape[-2], arr.shape[-1]
                 lon1, lat1 = c + w2 * a, f_ + h2 * e
                 d = row._asdict()
+                payload = codec.encode(arr, fmt)
                 d.update(
-                    bytes=codec.encode(arr, fmt),
+                    bytes=payload,
                     w=int(w2),
                     h=int(h2),
                     fmt=fmt,
@@ -88,6 +92,10 @@ def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | N
                     footprint_lat=[f_, f_, lat1, lat1, f_],
                 )
                 out_rows.append(d)
+                out_bytes += len(payload)
+                if out_bytes >= FLUSH_BYTES:
+                    yield pd.DataFrame(out_rows, columns=_META_COLS)
+                    out_rows, out_bytes = [], 0
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=_META_COLS)
 
@@ -329,9 +337,12 @@ def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -
         "processing_baseline", "thermal_band_idx",
     ]
 
+    FLUSH_BYTES = 64 << 20
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
+            out_bytes = 0
             for row in pdf.itertuples(index=False):
                 arr = codec.decode(row.bytes)
                 toa = dn2toa_arrays(
@@ -358,6 +369,10 @@ def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -
                 d["footprint_lon"] = list(row.footprint_lon)
                 d["footprint_lat"] = list(row.footprint_lat)
                 out_rows.append(d)
+                out_bytes += len(d["bytes"])
+                if out_bytes >= FLUSH_BYTES:
+                    yield pd.DataFrame(out_rows, columns=_META_COLS)
+                    out_rows, out_bytes = [], 0
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=_META_COLS)
 

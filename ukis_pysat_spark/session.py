@@ -16,9 +16,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Decoded tile/image batches are large; cap rows per Arrow batch so
-# batch_bytes ~= rows * avg_payload stays well under the worker memory.
-ARROW_MAX_RECORDS = 64
+# Arrow batch sizing trades UDF vectorization width against JVM direct
+# memory: concurrent_tasks * rows * payload must stay under
+# MaxDirectMemorySize (netty buffers on the Arrow feed side).  128 rows
+# vectorizes geometry/refine batches well while 32 concurrent 32 KB-row
+# batches stay ~128 MB.  Operators that decode large payloads bound
+# Python-side memory by YIELDING incrementally (tile_pixels,
+# apply_transforms) rather than by shrinking every batch.
+ARROW_MAX_RECORDS = 128
 
 
 def get_spark(
@@ -54,6 +59,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # effective when this process launches the JVM (plain python);
+        # under spark-submit pass the same via --conf (JVM already up)
+        .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=8g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
