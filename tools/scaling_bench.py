@@ -28,10 +28,46 @@ from ukis_pysat_spark import datagen
 from ukis_pysat_spark.operators import knn, spatial_join, tiling
 from ukis_pysat_spark.session import get_spark
 
-N_IMAGES = int(os.environ.get("SCALE_N_IMAGES", "20000"))
-N_AOIS = int(os.environ.get("SCALE_N_AOIS", "500"))
+N_IMAGES = int(os.environ.get("SCALE_N_IMAGES", "160000"))
+N_AOIS = int(os.environ.get("SCALE_N_AOIS", "1000"))
 REPS = int(os.environ.get("SCALE_REPS", "3"))
 BASE = f"/tmp/upss_scale_{N_IMAGES}_{N_AOIS}"
+
+
+def warm_cache() -> None:
+    """Pull the corpus into the OS page cache before timing.  Cold
+    virtio reads run at ~100-300 MB/s on this sandbox and would be
+    attributed to whichever leg runs first."""
+    for sub in ("images", "aois"):
+        d = f"{BASE}/{sub}"
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                with open(os.path.join(d, fn), "rb") as f:
+                    while f.read(1 << 24):
+                        pass
+
+
+def cpu_scale_check(pairs=((1, 1), (4, 4), (8, 8), (16, 16), (32, 32))) -> dict:
+    """Hardware ceiling measurement: embarrassingly-parallel pure-CPU
+    work (no Spark, no I/O) at several process counts.  On this sandbox
+    32 vCPUs deliver only ~24 cores of throughput under full load, so
+    the engine's N->4N efficiency must be read against this ceiling
+    (reported alongside the Spark numbers in BENCH/BASELINE.md)."""
+    import multiprocessing as mp
+
+    def burn(_):
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        return x
+
+    out = {}
+    for n, _ in pairs:
+        t0 = time.perf_counter()
+        with mp.Pool(n) as p:
+            p.map(burn, range(n))
+        out[str(n)] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def materialize(spark):
@@ -54,13 +90,15 @@ def job(images, aois) -> int:
 
 def main(cores: int) -> None:
     spark = get_spark(
-        f"scaling-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8)
+        f"scaling-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=max(2 * cores, 8)
     )
     materialize(spark)
+    warm_cache()
     images = spark.read.parquet(f"{BASE}/images")
     aois = spark.read.parquet(f"{BASE}/aois")
 
-    job(images, aois)  # warm-up (JIT, Python workers, file cache)
+    job(images, aois)  # warm-up (JIT, Python workers)
+    job(images, aois)  # second warm-up: codegen/JIT keeps compiling through run 1
     times, rows = [], 0
     for _ in range(REPS):
         t0 = time.perf_counter()

@@ -56,6 +56,14 @@ def promote_3d(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def make_header(fmt: str, dtype_name: str, bands: int, rows: int, cols: int) -> bytes:
+    """Precomputed header for bulk encoders that append raw body bytes
+    themselves (e.g. the tiler's strided bulk path)."""
+    return _HEADER.pack(
+        MAGIC, VERSION, FMT_CODES[fmt], _DTYPE_CODE[np.dtype(dtype_name)], 3, bands, 0, rows, cols
+    )
+
+
 def encode(arr: np.ndarray, fmt: str = "raw") -> bytes:
     """Encode a (bands, rows, cols) array into payload bytes."""
     arr = promote_3d(np.ascontiguousarray(arr))

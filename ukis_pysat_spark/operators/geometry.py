@@ -169,6 +169,19 @@ def pad_rings(rings_x, rings_y) -> tuple[np.ndarray, np.ndarray]:
     contribute nothing to ray-casting or crossing tests, so padded rings
     are safe for the batch predicates below."""
     n = len(rings_x)
+    lens = np.fromiter((len(r) for r in rings_x), dtype=np.int64, count=n)
+    if n and (lens == lens[0]).all():
+        # fast path: uniform ring length -> one stack, vectorized closure
+        RX = np.stack([np.asarray(r, dtype=np.float64) for r in rings_x])
+        RY = np.stack([np.asarray(r, dtype=np.float64) for r in rings_y])
+        open_mask = (RX[:, 0] != RX[:, -1]) | (RY[:, 0] != RY[:, -1])
+        if open_mask.any():
+            RX = np.concatenate([RX, RX[:, :1]], axis=1)
+            RY = np.concatenate([RY, RY[:, :1]], axis=1)
+            # already-closed rings get a harmless duplicated last==first
+            RX[~open_mask, -1] = RX[~open_mask, -2]
+            RY[~open_mask, -1] = RY[~open_mask, -2]
+        return RX, RY
     closed_x, closed_y = [], []
     kmax = 0
     for rx, ry in zip(rings_x, rings_y):

@@ -110,18 +110,17 @@ def spatial_join(
 
     Returns distinct (image_id, aoi_id) pairs whose geometries intersect.
     """
+    # cell tables carry ONLY ids — the candidate join and dedup shuffle
+    # narrow (id, id) rows, never geometry arrays (~10x less shuffle)
     img_cells = with_cells(
         images.select("image_id", "footprint_lon", "footprint_lat"),
         "footprint_lon",
         "footprint_lat",
         res,
-    ).select("image_id", "cell", "footprint_lon", "footprint_lat")
+    ).select("image_id", "cell")
     aoi_cells = with_cells(
-        aois.select("aoi_id", "ring_lon", "ring_lat", "lon_min", "lat_min", "lon_max", "lat_max"),
-        "ring_lon",
-        "ring_lat",
-        res,
-    )
+        aois.select("aoi_id", "ring_lon", "ring_lat"), "ring_lon", "ring_lat", res
+    ).select("aoi_id", "cell")
 
     if salt:
         img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
@@ -129,13 +128,19 @@ def spatial_join(
     else:
         join_keys = ["cell"]
 
-    # FILTER: cell equi-join -> candidates (distinct pairs carry geometry)
-    cand = (
+    # FILTER: cell equi-join -> distinct candidate id pairs
+    cand_ids = (
         img_cells.join(aoi_cells, join_keys)
-        .select("image_id", "aoi_id", "footprint_lon", "footprint_lat",
-                "ring_lon", "ring_lat", "lon_min", "lat_min", "lon_max", "lat_max")
+        .select("image_id", "aoi_id")
         .dropDuplicates(["image_id", "aoi_id"])
     )
+
+    # re-attach geometry (Catalyst/AQE picks broadcast vs shuffle join)
+    img_geom = images.select("image_id", "footprint_lon", "footprint_lat")
+    aoi_geom = aois.select(
+        "aoi_id", "ring_lon", "ring_lat", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    cand = cand_ids.join(img_geom, "image_id").join(aoi_geom, "aoi_id")
 
     # PRE-REFINE: bbox overlap, pure relational
     flon = F.col("footprint_lon")
@@ -150,19 +155,37 @@ def spatial_join(
     return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
 
 
+_REFINE_CHUNK = 1 << 16  # rows per vectorized refine call
+
+
 def _refine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Exact polygon-polygon refinement, vectorized across each Arrow
-    batch (geometry.polygon_intersects_pairwise)."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
+    """Exact polygon-polygon refinement (geometry.polygon_intersects_
+    pairwise).  Arrow feeds small batches (sized for wide image rows);
+    refine rows are tiny, so batches are accumulated into large chunks
+    before the vectorized predicate runs — per-batch overhead otherwise
+    dominates at millions of candidate pairs."""
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
         keep = geometry.polygon_intersects_pairwise(
             pdf["footprint_lon"].tolist(),
             pdf["footprint_lat"].tolist(),
             pdf["ring_lon"].tolist(),
             pdf["ring_lat"].tolist(),
         )
-        yield pdf.loc[keep, ["image_id", "aoi_id"]]
+        return pdf.loc[keep, ["image_id", "aoi_id"]]
+
+    buf: list[pd.DataFrame] = []
+    n = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        buf.append(pdf)
+        n += len(pdf)
+        if n >= _REFINE_CHUNK:
+            yield process(pd.concat(buf, ignore_index=True))
+            buf, n = [], 0
+    if buf:
+        yield process(pd.concat(buf, ignore_index=True))
 
 
 def spatial_join_bruteforce(images: DataFrame, aois: DataFrame) -> DataFrame:

@@ -145,6 +145,33 @@ def tile_pixels(
     # many payload bytes, independent of the Arrow input batch size
     FLUSH_BYTES = 32 << 20
 
+    def bulk_encode(arr: np.ndarray, wins: np.ndarray) -> list[bytes]:
+        """Encode every window of one image with ONE strided gather +
+        ONE contiguous copy per distinct window shape (edge windows
+        shrink, so tiles group into at most 4 shapes).  ~10-20x less
+        per-tile Python overhead than slice-and-encode per window."""
+        px: list[bytes | None] = [None] * wins.shape[0]
+        bands = arr.shape[0]
+        dt = arr.dtype.newbyteorder("<")
+        shapes: dict[tuple[int, int], list[int]] = {}
+        for i, (_, c0, r0, tw, th) in enumerate(wins):
+            shapes.setdefault((int(th), int(tw)), []).append(i)
+        for (th, tw), idxs in shapes.items():
+            sub = wins[idxs]
+            view = np.lib.stride_tricks.sliding_window_view(arr, (th, tw), axis=(1, 2))
+            block = view[:, sub[:, 2], sub[:, 1]]  # (bands, n, th, tw)
+            block = np.ascontiguousarray(block.transpose(1, 0, 2, 3)).astype(dt, copy=False)
+            header = codec.make_header(out_fmt, str(arr.dtype.name), bands, th, tw)
+            buf = block.tobytes()
+            sz = bands * th * tw * arr.dtype.itemsize
+            if out_fmt == "raw":
+                for j, i in enumerate(idxs):
+                    px[i] = header + buf[j * sz : (j + 1) * sz]
+            else:
+                for j, i in enumerate(idxs):
+                    px[i] = codec.encode(block[j], out_fmt)
+        return px  # type: ignore[return-value]
+
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[pd.DataFrame] = []
@@ -155,12 +182,8 @@ def tile_pixels(
                 a, _, c, _, e, f = t[0], t[1], t[2], t[3], t[4], t[5]
                 wins = enumerate_windows(row.w, row.h, width, height, overlap)
                 n = wins.shape[0]
-                if band is None:
-                    px = [codec.encode(arr[:, r0 : r0 + th, c0 : c0 + tw], out_fmt)
-                          for _, c0, r0, tw, th in wins]
-                else:
-                    px = [codec.encode(arr[band, r0 : r0 + th, c0 : c0 + tw], out_fmt)
-                          for _, c0, r0, tw, th in wins]
+                src = arr if band is None else arr[band : band + 1]
+                px = bulk_encode(src, wins)
                 left = c + wins[:, 1] * a
                 top = f + wins[:, 2] * e
                 out.append(

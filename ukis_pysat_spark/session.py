@@ -57,8 +57,13 @@ def get_spark(
         )
         # image payloads make rows wide; keep file-split sizing moderate
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # wide binary rows: the default 4096-row columnar reader batch
+        # reserves rows*payload contiguous bytes PER TASK — at 32
+        # concurrent tasks that OOMs the heap.  128 rows * 32 tasks
+        # bounds reader memory at ~concurrent_tasks*128*payload.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # effective when this process launches the JVM (plain python);
         # under spark-submit pass the same via --conf (JVM already up)
         .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=8g")

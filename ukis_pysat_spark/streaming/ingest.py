@@ -1,0 +1,86 @@
+"""Structured Streaming ingest paths.
+
+The reference is a batch library (no streaming); the engine adds the
+streaming entry points a continuously-arriving scene feed needs:
+
+- ``stream_images``: a file-source stream over an images parquet
+  directory — new files are picked up incrementally with exactly-once
+  progress tracked in the stream's checkpoint location.
+- ``stream_tile_counts``: stateless tiling of streamed scenes (the
+  relational tile_windows composes with streaming sources unchanged —
+  one logical plan, batch or streaming).
+- ``stream_events_windowed``: watermarked sliding-window counts over an
+  event stream (late data handled by the watermark).
+
+All sinks go through ``foreachBatch`` + the engine's CheckpointedRun
+commit so a crashed stream resumes without duplicates (idempotent
+batch ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ukis_pysat_spark.datagen import IMAGES_SCHEMA
+from ukis_pysat_spark.operators import tiling
+
+
+def stream_images(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:
+    """Incremental parquet stream of the images table."""
+    return (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_tile_counts(images_stream: DataFrame, width: int = 256, height: int = 256,
+                       overlap: int = 0) -> DataFrame:
+    """Tiles-per-image over a streaming source; tile_windows is pure
+    relational so the same operator serves batch and streaming plans."""
+    win = tiling.tile_windows(images_stream, width, height, overlap)
+    return win.groupBy("image_id").agg(F.count("*").alias("n_tiles"))
+
+
+def stream_events_windowed(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window event counts (late rows beyond the
+    watermark are dropped, state is bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def run_stream_to_checkpointed_sink(
+    stream_df: DataFrame,
+    ckpt,
+    stage: str,
+    key_col: str,
+    checkpoint_dir: str,
+):
+    """Drive a streaming DataFrame into CheckpointedRun batch commits.
+
+    foreachBatch receives a deterministic batch_id; commits are
+    idempotent under restart because the stream checkpoint replays the
+    same batch ids and commit_batch overwrites its batch directory.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ckpt.commit_batch(batch_df, stage, key_col, batch_id=f"s{batch_id:08d}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")  # aggregations emit changed groups per microbatch
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
