@@ -213,3 +213,23 @@ def test_audio_stub_raises(spark):
     imgs = datagen.gen_images(spark, 1, profile="bench")
     with _pytest.raises(Exception, match="audio decode requires"):
         multimodal.decode_audio(imgs).collect()
+
+
+def test_embedding_neardup_blocked_matches_relational(spark):
+    rel = dedup.embedding_neardup(_emb(spark), threshold=0.35).toPandas()
+    blk = dedup.embedding_neardup_blocked(_emb(spark), threshold=0.35).toPandas()
+    r = {(int(a), int(b)) for a, b in zip(rel["id_a"], rel["id_b"])}
+    bl = {(int(a), int(b)) for a, b in zip(blk["id_a"], blk["id_b"])}
+    # threshold-boundary pairs may differ by float summation order; the
+    # symmetric difference must sit within 2e-6 of the threshold
+    assert not (r ^ bl) or all(
+        abs(c - 0.35) < 2e-6
+        for pair in (r ^ bl)
+        for c in [
+            float(rel.loc[(rel.id_a == pair[0]) & (rel.id_b == pair[1]), "cosine"].iloc[0])
+            if pair in r
+            else float(blk.loc[(blk.id_a == pair[0]) & (blk.id_b == pair[1]), "cosine"].iloc[0])
+        ]
+    )
+    common = r & bl
+    assert len(common) >= max(len(r), 1) * 0.99

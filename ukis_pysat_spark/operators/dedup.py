@@ -262,10 +262,61 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_neardup_blocked(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine >= threshold via blocked GEMM.
+
+    The normalized embedding matrix is broadcast to every executor
+    (a 10^6 x 64 float32 matrix is 256 MB — fits executor memory); each
+    task multiplies its partition's block against the full matrix with
+    one numpy matmul and emits only pairs (i < j) above threshold.
+    O(n^2) FLOPs but vectorized and embarrassingly parallel — the exact
+    path for mid-size corpora; beyond that use similarity.lsh_ann.
+    """
+    import pandas as pd  # noqa: F811 (local to keep the closure light)
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack([np.asarray(rows[i].embedding, dtype=np.float64) for i in order])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    thr = float(threshold)
+
+    def block(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx = np.fromiter((pos[int(v)] for v in pdf["vec_id"]), dtype=np.int64,
+                              count=len(pdf))
+            sims = all_mat[idx] @ all_mat.T  # (block, n)
+            keep_i, keep_j = np.nonzero(sims >= thr)
+            gi = idx[keep_i]
+            gj = keep_j
+            mask = gi < gj  # canonical i<j, drops self-pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": all_ids[gi[mask]],
+                    "id_b": all_ids[gj[mask]],
+                    "cosine": np.round(sims[keep_i[mask], keep_j[mask]], 6),
+                }
+            )
+
+    return embeddings.select("vec_id").mapInPandas(
+        block, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All pairs with cosine >= threshold.  Exact (bounded by the
-    label-blocked self-join); for the unblocked scale path use
-    similarity.lsh_ann instead."""
+    """All pairs with cosine >= threshold.  Pure-relational exact
+    variant (zip_with/aggregate — deterministic sequential summation,
+    used by the DuckDB-oracle correctness gate).  For throughput use
+    embedding_neardup_blocked; for web scale use similarity.lsh_ann."""
     a = embeddings.alias("a")
     b = embeddings.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
