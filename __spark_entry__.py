@@ -352,8 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dn2toa_synth(spark, sf_dir):
         imgs = datagen.gen_images(spark, 16, profile="mixed")
         meta = datagen.gen_metadata(spark, 16, profile="mixed")
-        toa = transforms.dn2toa(imgs, meta)
-        stats = multimodal.decode_stats(toa, nodata=None)
+        stats = transforms.dn2toa_stats(imgs, meta)
         return stats.groupBy("image_id").agg(
             F.count("*").alias("n_bands"),
             F.round(F.avg("mean"), 4).alias("avg_band_mean"),

@@ -174,3 +174,21 @@ def test_fused_chain_single_stage(spark):
     )
     row = out.collect()[0]
     assert (row.h, row.w) == (385 + 10, 502 + 10)
+
+
+def test_dn2toa_stats_fused_matches_two_stage(spark):
+    from ukis_pysat_spark.operators import multimodal
+
+    imgs = datagen.gen_images(spark, 6, profile="mixed")
+    meta = datagen.gen_metadata(spark, 6, profile="mixed")
+    fused = transforms.dn2toa_stats(imgs, meta).orderBy("image_id", "band").collect()
+    two_stage = (
+        multimodal.decode_stats(transforms.dn2toa(imgs, meta), nodata=None)
+        .orderBy("image_id", "band")
+        .collect()
+    )
+    assert len(fused) == len(two_stage)
+    for a, b in zip(fused, two_stage):
+        assert a.image_id == b.image_id and a.band == b.band
+        assert np.isclose(a.mean, b.mean) and np.isclose(a.std, b.std)
+        assert np.isclose(a.min, b.min) and np.isclose(a.max, b.max)

@@ -98,21 +98,19 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 61) - 1
 
 
-def _minhash_matrix(shingle_lists: pd.Series, n_hashes: int, seed: int) -> np.ndarray:
-    """(rows, n_hashes) MinHash signatures; vectorized numpy."""
+def _minhash_matrix(hash_lists: pd.Series, n_hashes: int, seed: int) -> np.ndarray:
+    """(rows, n_hashes) MinHash signatures from PRE-HASHED shingles
+    (int64 arrays; the string->int64 hashing runs JVM-side via
+    xxhash64 so Python only does vectorized integer math)."""
     rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
     a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
-    out = np.empty((len(shingle_lists), n_hashes), dtype=np.int64)
-    for i, sh in enumerate(shingle_lists):
-        if sh is None or len(sh) == 0:
+    out = np.empty((len(hash_lists), n_hashes), dtype=np.int64)
+    for i, hs in enumerate(hash_lists):
+        if hs is None or len(hs) == 0:
             out[i] = 0
             continue
-        # stable 64-bit hash per shingle (python hash is salted -> use
-        # a deterministic FNV-1a)
-        hs = np.fromiter(
-            (_fnv1a(s) for s in sh), dtype=np.uint64, count=len(sh)
-        ).astype(np.int64)
+        hs = np.asarray(hs, dtype=np.int64) & 0x7FFFFFFFFFFFFFFF
         # (n_shingles, n_hashes) universal hashing mod Mersenne prime
         m = (hs[:, None] * a[None, :] + b[None, :]) % _MERSENNE
         out[i] = m.min(axis=0)
@@ -141,6 +139,11 @@ def minhash_lsh_pairs(
     key join), then exact Jaccard filters false positives, so output ==
     the exact ngram_jaccard_pairs at the same threshold up to LSH
     recall (tests measure recall=1.0 on the fixtures at these params).
+
+    Shingle strings are hashed to int64 JVM-side (xxhash64 inside
+    transform()) so the Python stage is pure vectorized integer math;
+    the exact verify stage intersects hashed shingle sets (64-bit, so
+    collision-induced error is negligible and deterministic).
     """
     rows_per_band = n_hashes // bands
 
@@ -157,7 +160,13 @@ def minhash_lsh_pairs(
             buckets[:, bi] = (acc >> np.uint64(1)).astype(np.int64) + bi * (1 << 40)
         return pd.Series(list(buckets))
 
-    docs_sh = documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
+    # small-file sources arrive as one partition; spread the signature
+    # UDF across the cluster before any Python runs
+    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs_sh = documents.repartition(n_parts, "doc_id").select(
+        "doc_id",
+        F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
     bucketed = docs_sh.select(
         "doc_id", "sh", F.explode(band_buckets("sh")).alias("bucket")
     )
@@ -210,7 +219,10 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             out[i] = np.int64(np.uint64(val))
         return pd.Series(out)
 
-    docs = documents.select("doc_id", simhash64("text").alias("sh64"))
+    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = documents.repartition(n_parts, "doc_id").select(
+        "doc_id", simhash64("text").alias("sh64")
+    )
     blocks = [
         docs.select(
             "doc_id",

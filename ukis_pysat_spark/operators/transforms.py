@@ -379,6 +379,63 @@ def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -
     return joined.select(*_META_COLS, *meta_cols).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
 
 
+def dn2toa_stats(images: DataFrame, metadata: DataFrame) -> DataFrame:
+    """Fused DN->TOA + per-band statistics in ONE Arrow stage.
+
+    Decodes each image once, applies the closed-form TOA math, and emits
+    band statistics directly — no re-encode, no second decode, half the
+    Arrow payload traffic of dn2toa(...) |> decode_stats(...).
+    """
+    joined = images.select(
+        "image_id", "bytes", "platform",
+    ).join(F.broadcast(metadata.drop("platform")), "image_id")
+
+    meta_cols = [
+        "sun_elevation", "mult_reflectance", "add_reflectance",
+        "mult_radiance", "add_radiance", "k1", "k2",
+        "quantification_value", "radio_add_offset",
+        "processing_baseline", "thermal_band_idx",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                toa = dn2toa_arrays(
+                    codec.decode(row.bytes), row.platform, row.sun_elevation,
+                    row.mult_reflectance, row.add_reflectance, row.mult_radiance,
+                    row.add_radiance, row.k1, row.k2, row.thermal_band_idx,
+                    row.quantification_value, row.radio_add_offset,
+                    row.processing_baseline,
+                ).astype(np.float64)
+                means = toa.mean(axis=(1, 2))
+                stds = toa.std(axis=(1, 2))
+                mins = toa.min(axis=(1, 2))
+                maxs = toa.max(axis=(1, 2))
+                for b in range(toa.shape[0]):
+                    rows.append(
+                        {
+                            "image_id": row.image_id,
+                            "band": b,
+                            "mean": float(means[b]),
+                            "std": float(stds[b]),
+                            "min": float(mins[b]),
+                            "max": float(maxs[b]),
+                            "n_valid": int(toa.shape[1] * toa.shape[2]),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.select("image_id", "bytes", "platform", *meta_cols).mapInPandas(
+        run,
+        schema=(
+            "image_id string, band int, mean double, std double, "
+            "min double, max double, n_valid long"
+        ),
+    )
+
+
 # --- P8: warp --------------------------------------------------------------
 
 _R_MERC = 6378137.0
