@@ -116,9 +116,13 @@ def decode(payload: bytes | bytearray | memoryview, dimorder: str = "first") -> 
     raise TypeError("dimorder for bands or channels must be either 'first' or 'last'.")
 
 
-def _decode_first(payload: bytes | bytearray | memoryview) -> np.ndarray:
-    """Decode payload bytes back to a (bands, rows, cols) array."""
-    payload = bytes(payload)
+def _decode_first(payload) -> np.ndarray:
+    """Decode payload bytes back to a (bands, rows, cols) array.
+
+    Accepts anything exposing the buffer protocol (bytes, memoryview,
+    pyarrow.Buffer) — the raw path is fully zero-copy: the returned
+    array is a read-only view over the input buffer."""
+    payload = memoryview(payload)
     magic, version, fmt_code, dtype_code, ndim, bands, _, rows, cols = _HEADER.unpack_from(
         payload, 0
     )

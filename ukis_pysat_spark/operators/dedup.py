@@ -48,10 +48,17 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (relational)."""
+    """Distinct word n-gram shingles of normalized text (relational).
+
+    Documents with fewer than n words yield an EMPTY shingle set:
+    sequence(1, k) with k<=0 would produce a descending range and
+    slice(words, 0, n) would throw on executors, so the index list is
+    gated on k >= 1."""
     words = F.split(normalized_text(text), " ")
     k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     )

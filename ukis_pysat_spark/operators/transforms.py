@@ -16,9 +16,11 @@ Operators:
 - pad              pad all directions + transform shift (raster.py:160-187)
 - dn2toa           DN -> TOA reflectance / brightness temperature
                    (raster.py:276-422) via broadcast metadata join
-- warp             analytic EPSG:4326 <-> EPSG:3857 reprojection with
-                   nearest resampling (raster.py:215-274; full PROJ-grade
-                   CRS support is out of scope without GDAL)
+- warp             analytic EPSG:4326 <-> EPSG:3857 <-> UTM reprojection
+                   with nearest resampling (raster.py:215-274; UTM is the
+                   Snyder Transverse Mercator series — accepts EPSG:326xx/
+                   327xx and get_proj_string output; full PROJ-grade CRS
+                   support is out of scope without GDAL)
 
 Every transform is a pure function of the row — task-retry-safe and
 partitioning-independent.
@@ -27,6 +29,7 @@ partitioning-independent.
 from __future__ import annotations
 
 import math
+import re
 from typing import Callable, Iterator
 
 import numpy as np
@@ -75,7 +78,18 @@ def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | N
                 t = meta["transform"]
                 a, _, c, _, e, f_ = t
                 h2, w2 = arr.shape[-2], arr.shape[-1]
-                lon1, lat1 = c + w2 * a, f_ + h2 * e
+                x1, y1 = c + w2 * a, f_ + h2 * e
+                # footprint columns are ALWAYS geographic lon/lat (the
+                # spatial join's cell cover maps degrees): after a CRS
+                # change the corner coords are inverse-projected back
+                cx = np.array([c, x1, x1, c, c])
+                cy = np.array([f_, f_, y1, y1, f_])
+                try:
+                    fp_lon, fp_lat = _inv(meta["crs"], cx, cy)
+                    fp_lon = [float(v) for v in fp_lon]
+                    fp_lat = [float(v) for v in fp_lat]
+                except ValueError:  # CRS without an analytic inverse
+                    fp_lon, fp_lat = None, None
                 d = row._asdict()
                 payload = codec.encode(arr, fmt)
                 d.update(
@@ -88,8 +102,8 @@ def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | N
                     crs=meta["crs"],
                     transform=[float(v) for v in t],
                     nodata=meta["nodata"],
-                    footprint_lon=[c, lon1, lon1, c, c],
-                    footprint_lat=[f_, f_, lat1, lat1, f_],
+                    footprint_lon=fp_lon,
+                    footprint_lat=fp_lat,
                 )
                 out_rows.append(d)
                 out_bytes += len(payload)
@@ -294,6 +308,9 @@ def dn2toa_arrays(
     Sentinel-2 otherwise:   rho = DN / QV
     Output float32 (matches the reference's *_toa.tif fixtures).
     """
+    # canonicalize: both the Platform enum values ('Sentinel-2') and the
+    # datagen/table codes ('Sentinel2') are accepted
+    platform = platform.replace("-", "")
     dn = arr.astype(np.float32)
     if platform.startswith("Landsat"):
         out = np.empty_like(dn)
@@ -440,6 +457,107 @@ def dn2toa_stats(images: DataFrame, metadata: DataFrame) -> DataFrame:
 
 _R_MERC = 6378137.0
 
+# WGS84 ellipsoid + UTM constants (Transverse Mercator, Snyder series)
+_WGS_A = 6378137.0
+_WGS_F = 1.0 / 298.257223563
+_E2 = _WGS_F * (2.0 - _WGS_F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_S = 10_000_000.0
+_E1 = (1.0 - math.sqrt(1.0 - _E2)) / (1.0 + math.sqrt(1.0 - _E2))
+
+
+def _utm_params(crs: str) -> tuple[float, bool] | None:
+    """(central_meridian_deg, south) for a UTM CRS, else None.
+
+    Accepts 'EPSG:326xx'/'EPSG:327xx' and the reference-parity proj
+    string produced by get_proj_string ('+proj=utm +zone=56J, ...',
+    file.py:244 — letters C..M are the southern hemisphere)."""
+    if crs.startswith("EPSG:326") and len(crs) == 10:
+        return (int(crs[8:]) * 6.0 - 183.0, False)
+    if crs.startswith("EPSG:327") and len(crs) == 10:
+        return (int(crs[8:]) * 6.0 - 183.0, True)
+    if crs.startswith("+proj=utm"):
+        m = re.search(r"\+zone=(\d+)([C-X]?)", crs)
+        if m:
+            zone = int(m.group(1))
+            letter = m.group(2)
+            south = bool(letter) and letter < "N"
+            return (zone * 6.0 - 183.0, south)
+    return None
+
+
+def _meridian_arc(phi: np.ndarray) -> np.ndarray:
+    e2, e4, e6 = _E2, _E2**2, _E2**3
+    return _WGS_A * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+
+
+def _utm_fwd(lon, lat, lon0_deg: float, south: bool):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
+    sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
+    N = _WGS_A / np.sqrt(1.0 - _E2 * sin_p**2)
+    T = tan_p**2
+    C = _EP2 * cos_p**2
+    A = lam * cos_p
+    M = _meridian_arc(phi)
+    x = _K0 * N * (
+        A
+        + (1 - T + C) * A**3 / 6.0
+        + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * A**5 / 120.0
+    ) + _UTM_FE
+    y = _K0 * (
+        M
+        + N * tan_p * (
+            A**2 / 2.0
+            + (5 - T + 9 * C + 4 * C**2) * A**4 / 24.0
+            + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * A**6 / 720.0
+        )
+    )
+    if south:
+        y = y + _UTM_FN_S
+    return x, y
+
+
+def _utm_inv(x, y, lon0_deg: float, south: bool):
+    x = np.asarray(x, dtype=np.float64) - _UTM_FE
+    y = np.asarray(y, dtype=np.float64)
+    if south:
+        y = y - _UTM_FN_S
+    M = y / _K0
+    mu = M / (_WGS_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    e1 = _E1
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    C1 = _EP2 * cos1**2
+    T1 = tan1**2
+    N1 = _WGS_A / np.sqrt(1 - _E2 * sin1**2)
+    R1 = _WGS_A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+    D = x / (N1 * _K0)
+    phi = phi1 - (N1 * tan1 / R1) * (
+        D**2 / 2.0
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24.0
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * _EP2 - 3 * C1**2) * D**6 / 720.0
+    )
+    lam = (
+        D
+        - (1 + 2 * T1 + C1) * D**3 / 6.0
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2) * D**5 / 120.0
+    ) / cos1
+    return lon0_deg + np.degrees(lam), np.degrees(phi)
+
 
 def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if crs == "EPSG:4326":
@@ -448,7 +566,12 @@ def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.nda
         x = _R_MERC * np.radians(lon)
         y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
         return x, y
-    raise ValueError(f"unsupported CRS {crs} (analytic warp supports EPSG:4326/3857)")
+    utm = _utm_params(crs)
+    if utm is not None:
+        return _utm_fwd(lon, lat, *utm)
+    raise ValueError(
+        f"unsupported CRS {crs} (analytic warp supports EPSG:4326/3857/UTM)"
+    )
 
 
 def _inv(crs: str, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -458,6 +581,9 @@ def _inv(crs: str, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray
         lon = np.degrees(x / _R_MERC)
         lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2.0)
         return lon, lat
+    utm = _utm_params(crs)
+    if utm is not None:
+        return _utm_inv(x, y, *utm)
     raise ValueError(f"unsupported CRS {crs}")
 
 
