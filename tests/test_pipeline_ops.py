@@ -113,6 +113,37 @@ def test_simhash_finds_near_dups(spark):
     assert len(pairs) < 30
 
 
+def test_simhash_recall_exact_vs_blocked(spark):
+    """Pigeonhole guarantee: for max_hamming=6 the block join must
+    recover EVERY pair at hamming<=6 (recall 1.0 by construction) with
+    the exact hamming value — oracle = all-pairs popcount in numpy on
+    the collected simhash values (driver fixtures, small n)."""
+    docs = _docs(spark).limit(200)
+    hv = dedup.simhash64_col(docs).orderBy("doc_id").toPandas()
+    ids = hv["doc_id"].values
+    h = hv["sh64"].values.astype(np.uint64)
+    x = h[:, None] ^ h[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for b in range(64):
+        ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.nonzero((ham <= 6) & (ids[:, None] < ids[None, :]))
+    expected = {
+        (int(ids[i]), int(ids[j]), int(ham[i, j])) for i, j in zip(ii, jj)
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_no_per_row_python(spark):
+    """simhash64_col must be pure JVM: no Python eval nodes in the plan."""
+    plan = dedup.simhash64_col(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, marker
+
+
 def test_embedding_neardup_matches_duckdb(spark):
     got = (
         dedup.embedding_neardup(_emb(spark), threshold=0.9)

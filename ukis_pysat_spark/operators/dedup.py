@@ -124,13 +124,6 @@ def _minhash_matrix(hash_lists: pd.Series, n_hashes: int, seed: int) -> np.ndarr
     return out
 
 
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -173,22 +166,23 @@ def minhash_lsh_pairs(
     docs_sh = documents.repartition(n_parts, "doc_id").select(
         "doc_id",
         F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("sh"),
-    )
-    bucketed = docs_sh.select(
-        "doc_id", "sh", F.explode(band_buckets("sh")).alias("bucket")
-    )
+    ).filter(F.size("sh") > 0)  # shingle-less docs have no defined Jaccard
+    # the (band,bucket) self-join + pair dedup shuffle ONLY (doc_id,
+    # bucket) / (id, id) rows; the int64 shingle arrays are re-attached
+    # AFTER the candidate pairs are distinct (the ids-only candidate
+    # pattern of spatial_join) — at web scale the bucket join's shuffle
+    # payload is 16 bytes/row instead of the full shingle set
+    bucketed = docs_sh.select("doc_id", F.explode(band_buckets("sh")).alias("bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand_ids.join(
+        docs_sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a"
+    ).join(docs_sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -201,43 +195,77 @@ def minhash_lsh_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """64-bit SimHash near-dup pairs.
+def simhash64_col(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh64) — 64-bit SimHash, FULLY relational.
 
-    Candidates: equal 16-bit block in any of 4 block positions (pigeonhole:
-    hamming<=3 over 4 blocks guarantees one equal block) — a relational
-    equi-join per block; then exact popcount filter.
+    Word hashing runs JVM-side (explode(split) + xxhash64); the bit vote
+    is a 64-column ±1 sum with map-side partial aggregation, and the
+    final hash is a bitwise-OR fold of the positive votes.  No Python
+    touches any row — the whole thing is one whole-stage-codegen'd scan
+    plus one hash aggregate keyed by doc_id.
     """
-
-    @F.pandas_udf(LongType())
-    def simhash64(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = (t or "").lower().split()
-            if not words:
-                out[i] = 0
-                continue
-            hs = np.fromiter((_fnv1a(w) for w in words), dtype=np.uint64, count=len(words))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            val = int.from_bytes(np.packbits((v > 0).astype(np.uint8)).tobytes(), "big")
-            out[i] = np.int64(np.uint64(val))
-        return pd.Series(out)
-
-    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    docs = documents.repartition(n_parts, "doc_id").select(
-        "doc_id", simhash64("text").alias("sh64")
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    h = F.xxhash64("w")
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
     )
+    sh64 = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh64 = bit if sh64 is None else sh64.bitwiseOR(bit)
+    hashed = votes.select("doc_id", sh64.alias("sh64"))
+    # wordless documents (empty/whitespace text) hash to 0
+    return (
+        documents.select("doc_id")
+        .join(hashed, "doc_id", "left")
+        .select("doc_id", F.coalesce("sh64", F.lit(0).cast("long")).alias("sh64"))
+    )
+
+
+def _simhash_block_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_blocks near-equal (shift, width) blocks."""
+    base, extra = divmod(64, n_blocks)
+    bounds = []
+    shift = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash near-dup pairs at Hamming distance <= max_hamming.
+
+    Candidates: equal bit-block in any of (max_hamming+1) block
+    positions — the pigeonhole guarantee is exact for the REQUESTED
+    radius (h differing bits cannot touch all h+1 blocks), so recall is
+    1.0 by construction; an exact popcount filter removes false
+    positives.  Each block join is a relational equi-join on
+    (block_index, block_value).
+    """
+    n_blocks = max_hamming + 1
+    docs = simhash64_col(documents)
     blocks = [
         docs.select(
             "doc_id",
             "sh64",
             F.lit(bi).alias("blk"),
-            F.shiftrightunsigned(F.col("sh64"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            F.shiftrightunsigned(F.col("sh64"), shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
         )
-        for bi in range(4)
+        for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks))
     ]
     bucketed = blocks[0]
     for blx in blocks[1:]:
@@ -281,53 +309,81 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def embedding_neardup_blocked(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All pairs with cosine >= threshold via blocked GEMM.
+def embedding_neardup_blocked(
+    embeddings: DataFrame, threshold: float = 0.95, n_blocks: int | None = None
+) -> DataFrame:
+    """All pairs with cosine >= threshold via DISTRIBUTED block-pair GEMM.
 
-    The normalized embedding matrix is broadcast to every executor
-    (a 10^6 x 64 float32 matrix is 256 MB — fits executor memory); each
-    task multiplies its partition's block against the full matrix with
-    one numpy matmul and emits only pairs (i < j) above threshold.
-    O(n^2) FLOPs but vectorized and embarrassingly parallel — the exact
-    path for mid-size corpora; beyond that use similarity.lsh_ann.
+    The corpus is hashed into B blocks; every unordered block pair
+    (i, j), i <= j, becomes one cogroup task that multiplies block i
+    against block j with a single numpy matmul and emits only pairs
+    above threshold.  Nothing is collected to the driver and nothing is
+    broadcast: each row is shuffled at most B times (the left side of
+    block i fans out to pairs (i, i..B-1), the right side to (0..j, j)),
+    so shuffle volume is n*B rows while task memory is bounded by two
+    blocks ~ 2*(n/B)*dim*8 bytes — pick B ~ sqrt(n*dim*8/mem_budget).
+    O(n^2) FLOPs but fully vectorized and horizontally scalable; for
+    web-scale corpora where even n^2 FLOPs are prohibitive use
+    similarity.lsh_ann.
     """
-    import pandas as pd  # noqa: F811 (local to keep the closure light)
-
-    rows = embeddings.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.stack([np.asarray(rows[i].embedding, dtype=np.float64) for i in order])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = embeddings.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    if n_blocks is None:
+        n_blocks = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_blocks = max(4, min(n_blocks, 64))
+    B = int(n_blocks)
     thr = float(threshold)
 
-    def block(batches):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        pos = {int(v): i for i, v in enumerate(all_ids)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            idx = np.fromiter((pos[int(v)] for v in pdf["vec_id"]), dtype=np.int64,
-                              count=len(pdf))
-            sims = all_mat[idx] @ all_mat.T  # (block, n)
-            keep_i, keep_j = np.nonzero(sims >= thr)
-            gi = idx[keep_i]
-            gj = keep_j
-            mask = gi < gj  # canonical i<j, drops self-pairs
-            yield pd.DataFrame(
-                {
-                    "id_a": all_ids[gi[mask]],
-                    "id_b": all_ids[gj[mask]],
-                    "cosine": np.round(sims[keep_i[mask], keep_j[mask]], 6),
-                }
-            )
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    base = embeddings.select("vec_id", "embedding", blk.alias("blk"))
+    # left side: block i participates in pairs (i, j) for all j >= i
+    left = base.select(
+        F.col("blk").alias("gi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("gj"),
+        "vec_id",
+        "embedding",
+    )
+    # right side: block j participates in pairs (i, j) for all i <= j.
+    # NB the payload columns are RENAMED: both sides derive from the same
+    # plan, and identical attribute ids across the two cogroup children
+    # make Catalyst's de-duplication prune the right side's payload —
+    # distinct names force fresh attributes.
+    right = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("gi"),
+        F.col("blk").alias("gj"),
+        F.col("vec_id").alias("vec_id_r"),
+        F.col("embedding").alias("embedding_r"),
+    )
 
-    return embeddings.select("vec_id").mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
+    def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        la = np.asarray(lpdf["vec_id"].values, dtype=np.int64)
+        ra = np.asarray(rpdf["vec_id_r"].values, dtype=np.int64)
+        lm = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["embedding"]])
+        rm = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["embedding_r"]])
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        ki, kj = np.nonzero(sims >= thr)
+        ia, ib = la[ki], ra[kj]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        mask = lo < hi  # drop self pairs; canonicalize id_a < id_b
+        if gi == gj:
+            # same block on both sides: keep each unordered pair once
+            mask &= ia < ib
+        return pd.DataFrame(
+            {
+                "id_a": lo[mask],
+                "id_b": hi[mask],
+                "cosine": np.round(sims[ki[mask], kj[mask]], 6),
+            }
+        )
+
+    return (
+        left.groupBy("gi", "gj")
+        .cogroup(right.groupBy("gi", "gj"))
+        .applyInPandas(gemm, schema="id_a long, id_b long, cosine double")
     )
 
 

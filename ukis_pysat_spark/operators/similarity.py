@@ -51,12 +51,20 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarra
     return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
 
 
-def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int, multiprobe: bool):
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+def _bucket_udf(n_planes: int, n_tables: int, seed: int, multiprobe: bool):
+    """Bucket-id UDF; hyperplanes are constructed LAZILY on the executor
+    from (seed, observed vector dim) — deterministic across tasks and
+    between the data and query sides, and no driver-side action (the
+    old path ran a `.first()` on the driver to learn the dim)."""
+    state: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = m.shape[1]
+        planes = state.get(dim)
+        if planes is None:
+            planes = state[dim] = _hyperplanes(dim, n_planes, n_tables, seed)
         out = [[] for _ in range(len(vecs))]
         for t in range(n_tables):
             signs = (m @ planes[t].T) > 0  # (n, n_planes)
@@ -81,28 +89,30 @@ def lsh_ann(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 7,
-    dim: int | None = None,
+    dim: int | None = None,  # kept for API compat; inferred on executors
     multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane-LSH bucket equi-join +
     exact re-rank of candidates.  More tables / fewer planes raise
     recall at the cost of candidate volume; tests measure recall against
-    brute force on the driver fixtures."""
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
-    b_data = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=False)
-    b_query = _bucket_udf(dim, n_planes, n_tables, seed, multiprobe=multiprobe)
-    data = embeddings.select(
-        "vec_id", "embedding", F.explode(b_data("embedding")).alias("bucket")
-    )
-    qrs = queries.select(
-        "query_id", "query_vec", F.explode(b_query("query_vec")).alias("bucket")
-    )
-    cand = (
+    brute force on the driver fixtures.
+
+    Shuffle discipline: the bucket tables carry ONLY (id, bucket) — a
+    vector would otherwise cross the exchange n_tables*(1+n_planes)
+    times under multiprobe.  Embeddings are re-attached once per
+    DISTINCT candidate pair, and the (small) query vectors come back
+    via a broadcast join.
+    """
+    b_data = _bucket_udf(n_planes, n_tables, seed, multiprobe=False)
+    b_query = _bucket_udf(n_planes, n_tables, seed, multiprobe=multiprobe)
+    data = embeddings.select("vec_id", F.explode(b_data("embedding")).alias("bucket"))
+    qrs = queries.select("query_id", F.explode(b_query("query_vec")).alias("bucket"))
+    cand_ids = (
         data.join(qrs, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
     )
+    cand = cand_ids.join(embeddings, "vec_id").join(F.broadcast(queries), "query_id")
     return _topk(
         cand.select(
             "query_id",

@@ -6,10 +6,11 @@ one polygon (ukis_pysat/raster.py:113-138) or read a footprint
 many-to-many join between a scene table and an AOI polygon set, the
 north rule's core operator:
 
-1. FILTER: both sides get an H3/S2-style cell cover
-   (geometry.cover_polygon) via a vectorized pandas UDF, exploded to a
-   cell-keyed table; a plain cell equi-join produces candidate pairs —
-   Catalyst/AQE pick broadcast vs sort-merge and split skewed cells.
+1. FILTER: both sides get an H3/S2-style cell cover — pure relational
+   explode(sequence()) arithmetic over the ring bbox (zero Python),
+   exploded to a cell-keyed table; a plain cell equi-join produces
+   candidate pairs — Catalyst/AQE pick broadcast vs sort-merge and
+   split skewed cells.
 2. PRE-REFINE: a relational bbox-overlap test (pure JVM expressions)
    eliminates most false candidates without touching Python.
 3. REFINE: exact polygon-polygon intersection (vertex-in-polygon +
@@ -28,50 +29,45 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from ukis_pysat_spark.operators import geometry
 
 DEFAULT_RES = 12  # ~0.09 deg cells: tens of cells per fixture footprint
 
 
-def _cover_udf(res: int):
-    n_cells = 1 << res
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def cover(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        # vectorized bbox -> cell-index ranges for the whole batch
-        m = len(lons)
-        lo_x = np.empty(m)
-        hi_x = np.empty(m)
-        lo_y = np.empty(m)
-        hi_y = np.empty(m)
-        for i, (lon, lat) in enumerate(zip(lons, lats)):
-            a = np.asarray(lon)
-            b = np.asarray(lat)
-            lo_x[i], hi_x[i] = a.min(), a.max()
-            lo_y[i], hi_y[i] = b.min(), b.max()
-        ix0 = np.clip(np.floor((lo_x + 180.0) / 360.0 * n_cells), 0, n_cells - 1).astype(np.int64)
-        ix1 = np.clip(np.floor((hi_x + 180.0) / 360.0 * n_cells), 0, n_cells - 1).astype(np.int64)
-        iy0 = np.clip(np.floor((lo_y + 90.0) / 180.0 * n_cells), 0, n_cells - 1).astype(np.int64)
-        iy1 = np.clip(np.floor((hi_y + 90.0) / 180.0 * n_cells), 0, n_cells - 1).astype(np.int64)
-        base = np.int64(res) << np.int64(58)
-        out = []
-        for i in range(m):
-            xs = np.arange(ix0[i], ix1[i] + 1, dtype=np.int64)
-            ys = np.arange(iy0[i], iy1[i] + 1, dtype=np.int64)
-            cells = base | (xs[:, None] << np.int64(29)) | ys[None, :]
-            out.append(cells.ravel().tolist())
-        return pd.Series(out)
-
-    return cover
+def _cell_index(coord: Column, origin: float, span: float, res: int) -> Column:
+    n = 1 << res
+    return F.least(
+        F.greatest(F.floor((coord + F.lit(origin)) / F.lit(span) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
 
 
 def with_cells(df: DataFrame, lon_col: str, lat_col: str, res: int = DEFAULT_RES) -> DataFrame:
-    """Add an exploded `cell` column from ring columns."""
-    return df.withColumn("cell", F.explode(_cover_udf(res)(F.col(lon_col), F.col(lat_col))))
+    """Add an exploded `cell` column covering the ring's bbox.
+
+    FULLY relational (the tile_windows pattern): the bbox comes from
+    array_min/array_max and the ix x iy cell grid from two nested
+    explode(sequence(...)) generators — whole-stage-codegen'd JVM
+    expressions, zero Python in the spatial join's filter stage.
+    Cell packing matches geometry.cell_id: (res<<58) | (ix<<29) | iy.
+    """
+    ix0 = _cell_index(F.array_min(F.col(lon_col)), 180.0, 360.0, res)
+    ix1 = _cell_index(F.array_max(F.col(lon_col)), 180.0, 360.0, res)
+    iy0 = _cell_index(F.array_min(F.col(lat_col)), 90.0, 180.0, res)
+    iy1 = _cell_index(F.array_max(F.col(lat_col)), 90.0, 180.0, res)
+    base = F.lit(int(res) << 58).cast("long")
+    return (
+        df.withColumn("_ix", F.explode(F.sequence(ix0, ix1)))
+        .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
+        .withColumn(
+            "cell",
+            base + F.col("_ix") * F.lit(1 << 29).cast("long") + F.col("_iy"),
+        )
+        .drop("_ix", "_iy")
+    )
 
 
 def scene_bounds(images: DataFrame) -> DataFrame:
