@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ukis_pysat_spark import datagen
+from ukis_pysat_spark.functions import bands, scene_meta
 from ukis_pysat_spark.operators import dedup, knn, multimodal, similarity, spatial_join, text, tiling, transforms
 
 
@@ -315,7 +316,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_topk"] = ann_topk
 
+    # exact n-gram Jaccard pairs (relational shingle self-join)
+    def ngram_jaccard(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.4
+        )
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    # P10: wavelength -> band label/position lookup (broadcast map literal)
+    def wavelength_lookup(spark, sf_dir):
+        pls = ["Landsat5", "Landsat7", "Landsat8", "Sentinel2"]
+        wls = ["blue", "green", "red", "nir", "swir1", "swir2"]
+        n = _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.element_at(
+                F.array(*[F.lit(p) for p in pls]), (F.col("n_nationkey") % 4 + 1).cast("int")
+            ).alias("platform"),
+            F.element_at(
+                F.array(*[F.lit(w) for w in wls]), (F.col("n_nationkey") % 6 + 1).cast("int")
+            ).alias("wavelength"),
+        )
+        return n.select(
+            "k",
+            "platform",
+            "wavelength",
+            bands.wavelength_band_col(F.col("platform"), F.col("wavelength")).alias("band_label"),
+            bands.band_index_col(F.col("platform"), F.col("wavelength"))
+            .cast("long")
+            .alias("band_pos"),
+        )
+
+    q["wavelength_lookup"] = wavelength_lookup
+
+    # M1/M2/M3/M8: scene-metadata scalar functions over derived filenames
+    def scene_meta_profile(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        pol_code = F.element_at(
+            F.array(F.lit("SDH"), F.lit("SSH"), F.lit("SSV"), F.lit("SDV")),
+            (F.col("c_custkey") % 4 + 1).cast("int"),
+        )
+        hh = F.lpad((F.col("c_custkey") % 24).cast("string"), 2, "0")
+        mm = F.lpad((F.col("c_custkey") % 60).cast("string"), 2, "0")
+        start = F.concat(F.lit("20200113T"), hh, mm, mm)
+        fn = F.concat(
+            F.lit("S1A_IW_GRDH_1"), pol_code, F.lit("_"), start,
+            F.lit("_20200114T074619_030888_038D45_5E56.SAFE"),
+        )
+        lon = F.lit(-30.0) + (F.col("c_custkey") * 7919 % 79999) / 1000.0
+        lat = F.lit(20.0) + (F.col("c_custkey") * 104729 % 44999) / 1000.0
+        d = c.select(F.col("c_custkey").cast("long").alias("k"), fn.alias("filename"),
+                     lon.alias("lon"), lat.alias("lat"))
+        return d.select(
+            "k",
+            scene_meta.polarization_from_s1_filename(F.col("filename")).alias("pol"),
+            scene_meta.polarization_from_s1_filename(F.col("filename"), dual=True).alias("pol_dual"),
+            scene_meta.sat_ts_from_datetime(
+                scene_meta.ts_from_sentinel_filename(F.col("filename"))
+            ).alias("start_ts"),
+            F.concat(
+                F.lit("+proj=utm +zone="),
+                scene_meta.utm_zone_col(F.col("lon"), F.col("lat")).cast("string"),
+                scene_meta.utm_letter(F.col("lat")),
+                F.lit(", +ellps=WGS84 +datum=WGS84 +units=m +no_defs"),
+            ).alias("proj"),
+        )
+
+    q["scene_meta_profile"] = scene_meta_profile
+
     # --- non-SQL-expressible operators (driver records rows-only) --------
+
+    def dn2toa_bands_synth(spark, sf_dir):
+        imgs = datagen.gen_images(spark, 16, profile="mixed").filter(
+            F.col("platform") != "Sentinel2"
+        )
+        meta = datagen.gen_metadata(spark, 16, profile="mixed")
+        stats = transforms.dn2toa_stats(imgs, meta, wavelengths=["Blue", "Green", "Red"])
+        return stats.groupBy("image_id").agg(
+            F.count("*").alias("n_bands"),
+            F.round(F.avg("mean"), 4).alias("avg_band_mean"),
+        )
+
+    q["dn2toa_bands_synth"] = dn2toa_bands_synth
 
     def minhash_lsh_docs(spark, sf_dir):
         return dedup.minhash_lsh_pairs(
@@ -489,6 +571,92 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """
+
+    o["ngram_jaccard"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM d WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))
+                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6)
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))
+                    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) >= 0.4
+    """
+
+    # hand-written twin of the reference's wave_bands tables
+    # (raster.py:432-481) — checks the broadcast map literal's content
+    o["wavelength_lookup"] = """
+        WITH t AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS k,
+                 ['Landsat5','Landsat7','Landsat8','Sentinel2'][n_nationkey % 4 + 1] AS platform,
+                 ['blue','green','red','nir','swir1','swir2'][n_nationkey % 6 + 1] AS wavelength
+          FROM nation
+        )
+        SELECT k, platform, wavelength,
+          CASE platform
+            WHEN 'Landsat5' THEN
+              CASE wavelength WHEN 'blue' THEN '1' WHEN 'green' THEN '2' WHEN 'red' THEN '3'
+                   WHEN 'nir' THEN '4' WHEN 'swir1' THEN '5' WHEN 'swir2' THEN '7' END
+            WHEN 'Landsat7' THEN
+              CASE wavelength WHEN 'blue' THEN '1' WHEN 'green' THEN '2' WHEN 'red' THEN '3'
+                   WHEN 'nir' THEN '4' WHEN 'swir1' THEN '5' WHEN 'swir2' THEN '7' END
+            WHEN 'Landsat8' THEN
+              CASE wavelength WHEN 'blue' THEN '2' WHEN 'green' THEN '3' WHEN 'red' THEN '4'
+                   WHEN 'nir' THEN '5' WHEN 'swir1' THEN '6' WHEN 'swir2' THEN '7' END
+            WHEN 'Sentinel2' THEN
+              CASE wavelength WHEN 'blue' THEN '1' WHEN 'green' THEN '2' WHEN 'red' THEN '3'
+                   WHEN 'nir' THEN '7' WHEN 'swir1' THEN '11' WHEN 'swir2' THEN '12' END
+          END AS band_label,
+          CAST(CASE platform
+            WHEN 'Landsat5' THEN
+              CASE wavelength WHEN 'blue' THEN 0 WHEN 'green' THEN 1 WHEN 'red' THEN 2
+                   WHEN 'nir' THEN 3 WHEN 'swir1' THEN 4 WHEN 'swir2' THEN 6 END
+            WHEN 'Landsat7' THEN
+              CASE wavelength WHEN 'blue' THEN 0 WHEN 'green' THEN 1 WHEN 'red' THEN 2
+                   WHEN 'nir' THEN 3 WHEN 'swir1' THEN 4 WHEN 'swir2' THEN 7 END
+            WHEN 'Landsat8' THEN
+              CASE wavelength WHEN 'blue' THEN 1 WHEN 'green' THEN 2 WHEN 'red' THEN 3
+                   WHEN 'nir' THEN 4 WHEN 'swir1' THEN 5 WHEN 'swir2' THEN 6 END
+            WHEN 'Sentinel2' THEN
+              CASE wavelength WHEN 'blue' THEN 1 WHEN 'green' THEN 2 WHEN 'red' THEN 3
+                   WHEN 'nir' THEN 7 WHEN 'swir1' THEN 11 WHEN 'swir2' THEN 12 END
+          END AS BIGINT) AS band_pos
+        FROM t
+    """
+
+    o["scene_meta_profile"] = """
+        WITH d AS (
+          SELECT CAST(c_custkey AS BIGINT) AS k,
+                 ['SDH','SSH','SSV','SDV'][c_custkey % 4 + 1] AS pc,
+                 lpad(CAST(c_custkey % 24 AS VARCHAR), 2, '0') AS hh,
+                 lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0') AS mm,
+                 -30.0 + (c_custkey * 7919 % 79999) / 1000.0 AS lon,
+                 20.0 + (c_custkey * 104729 % 44999) / 1000.0 AS lat
+          FROM customer
+        )
+        SELECT k,
+               CASE pc WHEN 'SSV' THEN 'VV' WHEN 'SSH' THEN 'HH'
+                       WHEN 'SDV' THEN 'VV' WHEN 'SDH' THEN 'HH' END AS pol,
+               CASE pc WHEN 'SSV' THEN 'VV' WHEN 'SSH' THEN 'HH'
+                       WHEN 'SDV' THEN 'VV,VH' WHEN 'SDH' THEN 'HH,HV' END AS pol_dual,
+               '20200113T' || hh || mm || mm AS start_ts,
+               '+proj=utm +zone='
+                 || CAST(CASE WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32
+                              ELSE CAST(floor((lon + 180) / 6) AS INTEGER) + 1 END AS VARCHAR)
+                 || substring('CDEFGHJKLMNPQRSTUVWX',
+                              CAST(least(greatest(floor((lat + 80) / 8), 0), 19) AS INTEGER) + 1, 1)
+                 || ', +ellps=WGS84 +datum=WGS84 +units=m +no_defs' AS proj
+        FROM d
     """
 
     o["ann_topk"] = """

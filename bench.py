@@ -98,6 +98,9 @@ def main() -> None:
         "exact_dedup",
         "ann_topk",
         "minhash_lsh_docs",
+        "simhash_docs",
+        "ngram_jaccard",
+        "scene_meta_profile",
         "pip_points_in_boxes",
         "knn_points",
     ]:

@@ -52,6 +52,21 @@ def test_metrics_lineage(spark, tmp_path):
     assert all(r.key_min.startswith("img") for r in rows)
 
 
+def test_metrics_replay_idempotent(spark, tmp_path):
+    """A replayed batch (streaming-restart path) must REPLACE its
+    lineage rows, not append duplicates that double-count row_count."""
+    imgs = datagen.gen_images(spark, 12, profile="bench")
+    ckpt = CheckpointedRun(spark, str(tmp_path / "run4"), run_id="t4")
+    out = _transform(imgs)
+    ckpt.commit_batch(out, "tiles", "image_id", batch_id="b0000")
+    once = ckpt.metrics("tiles").collect()
+    total_once = sum(r.row_count for r in once)
+    ckpt.commit_batch(out, "tiles", "image_id", batch_id="b0000")  # replay
+    twice = ckpt.metrics("tiles").collect()
+    assert sum(r.row_count for r in twice) == total_once
+    assert len(twice) == len(once)
+
+
 def test_uncommitted_batch_ignored(spark, tmp_path):
     imgs = datagen.gen_images(spark, 10, profile="bench")
     base = tmp_path / "run3"

@@ -146,7 +146,138 @@ def test_scene_dir_scan_with_zip(spark, tmp_path):
     (tmp_path / "S2__IN_FOLDER" / "f.txt").write_text("y")
     (tmp_path / "not_a_scene.txt").write_text("z")
     files = ingest.scan_scene_files(spark, str(tmp_path))
-    idents = {r.ident for r in ingest.list_scene_idents(files).collect()}
+    rows = ingest.list_scene_idents(files).collect()
+    idents = {r.ident for r in rows}
+    kinds = {(r.ident, r.kind) for r in rows}
     assert "S1M_hello_from_inside" in idents
-    assert "S2__IN_FOLDER" not in idents or True  # dirs listed via contents
+    # scene DIRECTORIES are first-class idents (reference file.py:29-62)
+    assert ("S2__IN_FOLDER", "dir") in kinds
     assert not any("not_a_scene" in i for i in idents)
+
+
+# --- MTL / MTD rescale-factor ingestion (reference raster.py:294-331,391-401)
+
+MTL_C1 = """GROUP = L1_METADATA_FILE
+  GROUP = METADATA_FILE_INFO
+    COLLECTION_NUMBER = 01
+  END_GROUP = METADATA_FILE_INFO
+  GROUP = IMAGE_ATTRIBUTES
+    SUN_ELEVATION = 53.65148658
+  END_GROUP = IMAGE_ATTRIBUTES
+  GROUP = RADIOMETRIC_RESCALING
+    RADIANCE_MULT_BAND_10 = 3.3420E-04
+    RADIANCE_ADD_BAND_10 = 0.10000
+    RADIANCE_MULT_BAND_11 = 3.3420E-04
+    RADIANCE_ADD_BAND_11 = 0.10000
+    REFLECTANCE_MULT_BAND_1 = 2.0000E-05
+    REFLECTANCE_ADD_BAND_1 = -0.100000
+    REFLECTANCE_MULT_BAND_2 = 2.0000E-05
+    REFLECTANCE_ADD_BAND_2 = -0.100000
+  END_GROUP = RADIOMETRIC_RESCALING
+  GROUP = TIRS_THERMAL_CONSTANTS
+    K1_CONSTANT_BAND_10 = 774.8853
+    K2_CONSTANT_BAND_10 = 1321.0789
+    K1_CONSTANT_BAND_11 = 480.8883
+    K2_CONSTANT_BAND_11 = 1201.1442
+  END_GROUP = TIRS_THERMAL_CONSTANTS
+END_GROUP = L1_METADATA_FILE
+END
+"""
+
+MTL_C2 = MTL_C1.replace("L1_METADATA_FILE", "LANDSAT_METADATA_FILE").replace(
+    "RADIOMETRIC_RESCALING", "LEVEL1_RADIOMETRIC_RESCALING"
+).replace("TIRS_THERMAL_CONSTANTS", "LEVEL1_THERMAL_CONSTANTS").replace(
+    "COLLECTION_NUMBER = 01", "COLLECTION_NUMBER = 02"
+)
+
+MTD_B4 = b"""<?xml version="1.0"?>
+<n1:Level-1C_User_Product xmlns:n1="https://psd-14.sentinel2.eo.esa.int/PSD/User_Product_Level-1C.xsd">
+  <n1:General_Info>
+    <Product_Info><PROCESSING_BASELINE>04.00</PROCESSING_BASELINE></Product_Info>
+    <Product_Image_Characteristics>
+      <QUANTIFICATION_VALUE unit="none">10000</QUANTIFICATION_VALUE>
+      <Radiometric_Offset_List>
+        <RADIO_ADD_OFFSET band_id="0">-1000</RADIO_ADD_OFFSET>
+        <RADIO_ADD_OFFSET band_id="1">-1000</RADIO_ADD_OFFSET>
+        <RADIO_ADD_OFFSET band_id="12">-1000</RADIO_ADD_OFFSET>
+      </Radiometric_Offset_List>
+    </Product_Image_Characteristics>
+  </n1:General_Info>
+</n1:Level-1C_User_Product>
+"""
+
+
+def test_metadata_from_mtl_collections():
+    for text, coll in ((MTL_C1, 1), (MTL_C2, 2)):
+        m = ingest.metadata_from_mtl(text, "Landsat8", "scene1")
+        assert m["sun_elevation"] == 53.65148658
+        # band order Landsat8: ... positions of labels '10','11' are 9,10
+        assert m["mult_radiance"][9] == 3.3420e-04
+        assert m["k1"][9] == 774.8853 and m["k2"][10] == 1201.1442
+        assert m["mult_reflectance"][0] == 2.0000e-05
+        assert m["thermal_band_idx"] == [9, 10]
+
+
+def test_metadata_from_mtl_unsupported_collection():
+    bad = MTL_C1.replace("COLLECTION_NUMBER = 01", "COLLECTION_NUMBER = 03")
+    with pytest.raises(ValueError, match="COLLECTION_NUMBER"):
+        ingest.metadata_from_mtl(bad, "Landsat8", "x")
+
+
+def test_metadata_from_mtd_baseline4():
+    m = ingest.metadata_from_mtd(MTD_B4, "s2scene")
+    assert m["processing_baseline"] == 4.0
+    assert m["quantification_value"] == 10000.0
+    assert m["radio_add_offset"][0] == -1000.0
+    assert m["radio_add_offset"][12] == -1000.0
+    assert m["radio_add_offset"][5] == 0.0
+    # baseline < 4 zeroes the offsets (raster.py:411-413)
+    m_old = ingest.metadata_from_mtd(MTD_B4.replace(b"04.00", b"02.09"), "s")
+    assert all(v == 0.0 for v in m_old["radio_add_offset"])
+
+
+def test_mtl_feeds_dn2toa_end_to_end(spark, tmp_path):
+    """Parse a synthetic MTL via the binaryFile scan path and run dn2toa
+    end-to-end; thermal output matches the closed-form numpy oracle."""
+    import numpy as np
+    from ukis_pysat_spark import codec, datagen
+    from ukis_pysat_spark.operators import transforms
+
+    (tmp_path / "LC08_TEST_SCENE_MTL.txt").write_text(MTL_C1)
+    files = ingest.scan_scene_files(spark, str(tmp_path), glob="*_MTL.txt")
+    meta = ingest.parse_scene_metadata(files).withColumn(
+        "image_id", F.lit("img00000000")
+    )
+    imgs = transforms.apply_transforms(
+        datagen.gen_images(spark, 1, profile="bench"),
+        [transforms.pixel_math(lambda a: np.concatenate([a, a], axis=0))],
+    ).withColumn("platform", F.lit("Landsat8"))
+    out = transforms.dn2toa(imgs, meta, wavelengths=["Blue", "TIRS1"]).collect()[0]
+    got = codec.decode(out.bytes)
+    dn = datagen.pixels_for(0, 1, 128, 128, "int16", 42).astype(np.float32)[0]
+    sin_e = np.float32(np.sin(np.radians(53.65148658)))
+    exp_blue = (np.float32(2.0e-05) * dn + np.float32(-0.1)) / sin_e
+    L = np.float32(3.342e-04) * dn + np.float32(0.1)
+    exp_tirs = np.float32(1321.0789) / np.log(np.float32(774.8853) / L + 1.0)
+    assert got.shape[0] == 2
+    assert np.allclose(got[0], exp_blue, equal_nan=True)
+    assert np.allclose(got[1], exp_tirs, equal_nan=True)
+
+
+def test_mtd_feeds_dn2toa_end_to_end(spark, tmp_path):
+    import numpy as np
+    from ukis_pysat_spark import codec, datagen
+    from ukis_pysat_spark.operators import transforms
+
+    (tmp_path / "S2B_TEST_SCENE_MTD.xml").write_bytes(MTD_B4)
+    files = ingest.scan_scene_files(spark, str(tmp_path), glob="*_MTD.xml")
+    meta = ingest.parse_scene_metadata(files).withColumn(
+        "image_id", F.lit("img00000000")
+    )
+    imgs = datagen.gen_images(spark, 1, profile="bench").withColumn(
+        "platform", F.lit("Sentinel2")
+    )
+    out = transforms.dn2toa(imgs, meta, wavelengths=["Aerosol"]).collect()[0]
+    got = codec.decode(out.bytes)
+    dn = datagen.pixels_for(0, 1, 128, 128, "int16", 42).astype(np.float32)[0]
+    assert np.allclose(got[0], (dn + np.float32(-1000.0)) / np.float32(10000.0))

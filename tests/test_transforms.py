@@ -162,6 +162,144 @@ def test_warp_roundtrip_preserves_pixels(spark):
     assert interior_match > 0.95
 
 
+def test_lookup_bands_reference_parity():
+    from ukis_pysat_spark.functions import bands
+
+    # reference raster.py:432-481 tables, doc example raster.py:280
+    assert bands.lookup_bands("Landsat5", ["Blue", "Green", "Red"]) == ["1", "2", "3"]
+    assert bands.lookup_bands("Landsat7", ["TIRS1", "TIRS2"]) == ["6_VCID_1", "6_VCID_2"]
+    assert bands.lookup_bands("Landsat8", ["Aerosol", "TIRS1", "TIRS2"]) == ["1", "10", "11"]
+    assert bands.lookup_bands("Sentinel-2", ["Aerosol", "Swir2"]) == ["0", "12"]
+    try:
+        bands.lookup_bands("Landsat8", ["Magenta"])
+        assert False, "unknown wavelength must raise"
+    except KeyError:
+        pass
+    assert bands.is_thermal_label("Landsat8", "10")
+    assert bands.is_thermal_label("Landsat7", "6_VCID_2")
+    assert not bands.is_thermal_label("Landsat8", "6")
+    assert not bands.is_thermal_label("Sentinel2", "10")
+
+
+def test_dn2toa_wavelengths_subset(spark):
+    """dn2toa(wavelengths=...) == the matching bands of the full
+    conversion (positional semantics of raster.py:337: band i of the
+    payload is the i-th requested wavelength)."""
+    imgs = datagen.gen_images(spark, 8, profile="mixed")
+    meta = datagen.gen_metadata(spark, 8, profile="mixed")
+    wl = ["Blue", "Green", "Red"]
+    # Landsat5/7/8 rows: blue/green/red are reflectance bands at
+    # positions 0.. so the subset equals the first bands of the full run
+    # full Landsat-like stacks only: small analogs put metadata thermal
+    # indices inside the first 3 positions, where the formulas differ
+    sel = imgs.filter((F.col("platform") != "Sentinel2") & (F.col("bands") >= 7))
+    sub = {
+        r.image_id: codec.decode(r.bytes)
+        for r in transforms.dn2toa(sel, meta, wavelengths=wl).collect()
+    }
+    full = {
+        r.image_id: codec.decode(r.bytes)
+        for r in transforms.dn2toa(sel, meta).collect()
+    }
+    assert sub and set(sub) == set(full)
+    for iid, got in sub.items():
+        assert got.shape[0] == 3
+        # positional factor convention: subset equals leading bands
+        assert np.allclose(got, full[iid][:3], equal_nan=True)
+
+
+def test_dn2toa_wavelengths_thermal_relabel(spark):
+    """A wavelengths request that includes a thermal band must apply the
+    brightness-temperature formula at the REQUEST position (thermal
+    membership re-derived from labels, not from metadata indices)."""
+    imgs = datagen.gen_images(spark, 8, profile="mixed").filter(
+        F.col("platform") == "Landsat8"
+    )
+    meta = datagen.gen_metadata(spark, 8, profile="mixed")
+    out = transforms.dn2toa_stats(imgs, meta, wavelengths=["TIRS1"]).collect()
+    assert out
+    for r in out:
+        assert r.band == 0
+        # brightness temperature, not reflectance: hundreds of Kelvin
+        assert r.mean > 100.0
+
+
+def test_warp_utm_roundtrip_and_proj_string(spark):
+    # zone 32U covers the golden image's origin (11.9E, 51.5N)
+    src = datagen.pixels_for(0, 1, 764, 679, "int16", 42)
+    out = transforms.apply_transforms(
+        _img0(spark), [transforms.warp("EPSG:32632")]
+    )
+    row = out.collect()[0]
+    assert row.crs == "EPSG:32632"
+    a = row.transform[0]
+    assert 5.0 < a < 15.0  # ~deg px at 51.5N -> single-digit meters
+    # footprint columns must be geographic again (inverse-projected)
+    assert 11.0 < row.footprint_lon[0] < 13.0
+    assert 51.0 < row.footprint_lat[0] < 52.0
+    # roundtrip aligned back onto the ORIGINAL grid (UTM grid convergence
+    # rotates the footprint, so raw index comparison would misalign)
+    orig_t = [datagen.REF_PIXEL_X, 0.0, datagen.REF_ORIGIN[0],
+              0.0, datagen.REF_PIXEL_Y, datagen.REF_ORIGIN[1]]
+    back = transforms.apply_transforms(
+        out,
+        [transforms.warp("EPSG:4326", target_transform=orig_t, target_size=(679, 764))],
+    ).collect()[0]
+    arr = codec.decode(back.bytes)
+    exact = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
+    assert exact > 0.85  # nearest-neighbor double resample: ~0.92 measured
+    close = np.mean(
+        np.abs(arr[:, 50:-50, 50:-50].astype(float) - src[:, 50:-50, 50:-50]) <= 60
+    )
+    assert close > 0.99  # off-by-one-pixel picks differ only by local noise
+
+    # the get_proj_string output is a consumable warp target
+    via_proj = transforms.apply_transforms(
+        _img0(spark),
+        [transforms.warp("+proj=utm +zone=32U, +ellps=WGS84 +datum=WGS84 +units=m +no_defs")],
+    ).collect()[0]
+    assert np.allclose(via_proj.transform, row.transform)
+
+
+def test_utm_math_self_consistency():
+    lon = np.array([11.9, 6.2, 9.0])
+    lat = np.array([51.5, 50.1, 48.5])
+    x, y = transforms._utm_fwd(lon, lat, 9.0, False)
+    assert ((x > 160_000) & (x < 840_000)).all()  # inside zone envelope
+    lon2, lat2 = transforms._utm_inv(x, y, 9.0, False)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+    # southern hemisphere false northing
+    xs, ys = transforms._utm_fwd(np.array([11.9]), np.array([-33.5]), 9.0, True)
+    assert ys[0] > 5_000_000
+    lon3, lat3 = transforms._utm_inv(xs, ys, 9.0, True)
+    assert np.isclose(lat3[0], -33.5, atol=1e-9)
+
+
+def test_write_images_min_dtype_roundtrip(spark, tmp_path):
+    """S4 sink parity: dtype='min' picks the smallest representing dtype
+    (reference raster.py:555-556) and the payload roundtrips losslessly."""
+    from ukis_pysat_spark import sinks
+
+    # uint8-representable float content
+    imgs = transforms.apply_transforms(
+        _img0(spark),
+        [transforms.pixel_math(lambda a: (a % 200).astype(np.float32))],
+    )
+    dest = str(tmp_path / "sink")
+    sinks.write_images(imgs, dest, dtype="min", out_fmt="rawz")
+    back = spark.read.parquet(dest).collect()[0]
+    assert back.dtype == "uint8"
+    assert back.fmt == "rawz"
+    arr = codec.decode(back.bytes)
+    exp = (datagen.pixels_for(0, 1, 764, 679, "int16", 42) % 200).astype(np.float32)
+    assert np.array_equal(arr.astype(np.float32), exp)
+    # negative values -> int16; large positive -> uint16
+    assert codec.minimum_dtype(np.array([-5, 100])) == "int16"
+    assert codec.minimum_dtype(np.array([0, 70000])) == "uint32"
+    assert codec.minimum_dtype(np.array([0.5, 1.25])) == "float32"
+
+
 def test_fused_chain_single_stage(spark):
     # mask -> pad -> pixel_math composes in ONE decode/encode pass
     out = transforms.apply_transforms(

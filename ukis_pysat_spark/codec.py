@@ -38,7 +38,7 @@ VERSION = 1
 _HEADER = struct.Struct("<4sBBBBHHII")
 HEADER_SIZE = _HEADER.size  # 20
 
-_DTYPES = ["uint8", "uint16", "int16", "int32", "float32", "float64", "int64"]
+_DTYPES = ["uint8", "uint16", "int16", "int32", "float32", "float64", "int64", "uint32", "int8"]
 _DTYPE_CODE = {np.dtype(d): i for i, d in enumerate(_DTYPES)}
 
 FMT_CODES = {"raw": 0, "rawz": 1, "q8": 2}
@@ -157,6 +157,31 @@ def peek_shape(payload: bytes) -> tuple[int, int, int]:
     """(bands, rows, cols) without decoding the body."""
     _, _, _, _, _, bands, _, rows, cols = _HEADER.unpack_from(bytes(payload[:HEADER_SIZE]), 0)
     return bands, rows, cols
+
+
+def minimum_dtype(arr: np.ndarray) -> str:
+    """Minimal dtype that represents every value — the semantics of
+    rasterio.dtypes.get_minimum_dtype used by the reference's
+    write_to_file(dtype='min') (reference raster.py:555-556): range
+    checking picks the smallest unsigned/signed integer type for
+    integer-valued data, float32/float64 otherwise."""
+    a = np.asarray(arr)
+    lo = float(a.min()) if a.size else 0.0
+    hi = float(a.max()) if a.size else 0.0
+    is_int = np.issubdtype(a.dtype, np.integer) or bool(np.all(np.mod(a, 1) == 0))
+    if is_int:
+        if lo >= 0:
+            if hi <= 255:
+                return "uint8"
+            if hi <= 65535:
+                return "uint16"
+            return "uint32"
+        if lo >= -32768 and hi <= 32767:
+            return "int16"
+        return "int32"
+    if -3.4028235e38 <= lo and hi <= 3.4028235e38:
+        return "float32"
+    return "float64"
 
 
 def psnr(reference: np.ndarray, test: np.ndarray) -> float:

@@ -299,6 +299,7 @@ def dn2toa_arrays(
     quantification_value: float,
     radio_add_offset,
     processing_baseline: float,
+    wavelengths: list[str] | None = None,
 ) -> np.ndarray:
     """Closed-form TOA math (semantics of raster.py:276-422):
 
@@ -307,10 +308,47 @@ def dn2toa_arrays(
     Sentinel-2 baseline>=4: rho = (DN + radio_offset) / QV
     Sentinel-2 otherwise:   rho = DN / QV
     Output float32 (matches the reference's *_toa.tif fixtures).
+
+    wavelengths follows the reference semantics EXACTLY (raster.py:337
+    `for idx, b in enumerate(self._lookup_bands(platform, wavelengths))`):
+    the PIXEL array is indexed positionally by the wavelengths list
+    (band i of the payload IS the i-th requested wavelength), while the
+    rescale FACTORS are selected by the looked-up band label.  Factor
+    arrays support two conventions: label-indexed over the platform's
+    full band order (MTL/MTD-parsed metadata, sources/ingest.py) or
+    positional per payload band (synthetic metadata).  Thermal
+    membership is re-derived from the band LABELS (L8 10/11, other
+    Landsats 6*).
     """
+    from ukis_pysat_spark.functions import bands as _bands
+
     # canonicalize: both the Platform enum values ('Sentinel-2') and the
     # datagen/table codes ('Sentinel2') are accepted
     platform = platform.replace("-", "")
+    if wavelengths is not None:
+        labels = _bands.lookup_bands(platform, wavelengths)
+        k = min(len(labels), arr.shape[0])
+        labels = labels[:k]
+        arr = arr[:k]
+        order = _bands.BAND_ORDER[platform]
+
+        def _sel(x):
+            if x is None:
+                return None
+            if len(x) == len(order):  # label-indexed (full band order)
+                return [x[order.index(lab)] for lab in labels]
+            return [x[i] for i in range(k)]  # positional (payload order)
+
+        mult_reflectance = _sel(mult_reflectance)
+        add_reflectance = _sel(add_reflectance)
+        mult_radiance = _sel(mult_radiance)
+        add_radiance = _sel(add_radiance)
+        k1 = _sel(k1)
+        k2 = _sel(k2)
+        radio_add_offset = _sel(radio_add_offset)
+        thermal_band_idx = [
+            i for i, lab in enumerate(labels) if _bands.is_thermal_label(platform, lab)
+        ]
     dn = arr.astype(np.float32)
     if platform.startswith("Landsat"):
         out = np.empty_like(dn)
@@ -338,12 +376,18 @@ def dn2toa_arrays(
     )
 
 
-def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -> DataFrame:
+def dn2toa(
+    images: DataFrame,
+    metadata: DataFrame,
+    out_fmt: str | None = None,
+    wavelengths: list[str] | None = None,
+) -> DataFrame:
     """DN -> TOA as a broadcast metadata join + one fused Arrow stage.
 
     The rescale-factor table is tiny relative to images (one row per
     image/scene, no payload) — broadcast it so the transform stage is
-    shuffle-free.
+    shuffle-free.  `wavelengths` selects bands via the platform lookup
+    table (reference dn2toa(wavelengths=...), raster.py:276,424-483).
     """
     joined = images.join(F.broadcast(metadata.drop("platform")), "image_id")
 
@@ -376,6 +420,7 @@ def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -
                     row.quantification_value,
                     row.radio_add_offset,
                     row.processing_baseline,
+                    wavelengths=wavelengths,
                 )
                 d = {k: getattr(row, k) for k in _META_COLS if k != "bytes"}
                 fmt = out_fmt or row.fmt
@@ -396,7 +441,9 @@ def dn2toa(images: DataFrame, metadata: DataFrame, out_fmt: str | None = None) -
     return joined.select(*_META_COLS, *meta_cols).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
 
 
-def dn2toa_stats(images: DataFrame, metadata: DataFrame) -> DataFrame:
+def dn2toa_stats(
+    images: DataFrame, metadata: DataFrame, wavelengths: list[str] | None = None
+) -> DataFrame:
     """Fused DN->TOA + per-band statistics in ONE Arrow stage.
 
     Decodes each image once, applies the closed-form TOA math, and emits
@@ -423,7 +470,7 @@ def dn2toa_stats(images: DataFrame, metadata: DataFrame) -> DataFrame:
                     row.mult_reflectance, row.add_reflectance, row.mult_radiance,
                     row.add_radiance, row.k1, row.k2, row.thermal_band_idx,
                     row.quantification_value, row.radio_add_offset,
-                    row.processing_baseline,
+                    row.processing_baseline, wavelengths=wavelengths,
                 ).astype(np.float64)
                 means = toa.mean(axis=(1, 2))
                 stds = toa.std(axis=(1, 2))

@@ -10,9 +10,11 @@ environment, so the same semantics are built on Parquet:
   ``{base}/{stage}/batch={batch_id}/`` with Spark's committer — the
   directory is committed iff its ``_SUCCESS`` marker exists, so a
   killed run leaves at most an uncommitted (ignored) directory;
-- after the data commit, one metrics file per batch is appended under
-  ``{base}/_metrics/{stage}/`` recording (run_id, stage, batch,
-  src_partition, row_count, min/max key) — the per-partition lineage;
+- after the data commit, the batch's metrics are written with
+  mode('overwrite') to ``{base}/_metrics/{stage}/batch={batch_id}``
+  recording (run_id, stage, batch, src_partition, row_count, min/max
+  key) — the per-partition lineage; a REPLAYED batch replaces its own
+  lineage rows, so restarts can never double-count;
 - resume = anti-join the input's key column against the union of
   committed batches' keys (``processed_keys``), so work is never
   repeated and retries are idempotent (keys are data-derived, never
@@ -75,7 +77,12 @@ class CheckpointedRun:
                 F.lit(time.time()).alias("committed_at"),
             )
         )
-        metrics.write.mode("append").parquet(f"{self.base}/_metrics/{stage}")
+        # per-batch overwrite, not append: a REPLAYED batch (the restart
+        # path this class exists for) replaces its own lineage rows
+        # instead of appending duplicates that double-count row_count
+        metrics.write.mode("overwrite").parquet(
+            f"{self.base}/_metrics/{stage}/batch={batch_id}"
+        )
 
     # -- resume side --------------------------------------------------------
 
@@ -118,7 +125,9 @@ class CheckpointedRun:
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        cols = [f.split()[0] for f in METRICS_SCHEMA.split(", ")]
+        # drop the batch=... partition-discovery column; batch_id is a field
+        return self.spark.read.parquet(*paths).select(*cols)
 
 
 def run_stage_in_batches(
@@ -133,16 +142,24 @@ def run_stage_in_batches(
     """Drive a stage as N resumable batches (deterministic bucketing by
     key hash, never by partition index). `fail_after` injects a crash
     after that many batch commits — used by the resume tests."""
+    committed = {p.rsplit("batch=", 1)[-1] for p in ckpt._committed_batches(stage)}
     todo = ckpt.resume_filter(inputs, stage, key_col)
     bucket = F.pmod(F.xxhash64(key_col), F.lit(n_batches)).cast("int")
     work = todo.withColumn("_bucket", bucket)
     done = 0
     for b in range(n_batches):
-        batch = work.filter(F.col("_bucket") == b).drop("_bucket")
-        out = transform(batch)
-        if out.limit(1).count() == 0:
+        batch_id = f"b{b:04d}"
+        # a committed batch id is FINAL (buckets are deterministic key
+        # hashes): skip without recomputing — also required for safety,
+        # since overwriting it would delete files the resume anti-join
+        # plan still reads lazily
+        if batch_id in committed:
             continue
-        ckpt.commit_batch(out, stage, key_col, batch_id=f"b{b:04d}")
+        batch = work.filter(F.col("_bucket") == b).drop("_bucket")
+        # write directly — no emptiness pre-count: the transform runs
+        # ONCE per batch (an empty committed batch is harmless: it adds
+        # no keys and no metrics groups)
+        ckpt.commit_batch(transform(batch), stage, key_col, batch_id=batch_id)
         done += 1
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"injected failure after {done} batches")
