@@ -264,3 +264,15 @@ def test_embedding_neardup_blocked_matches_relational(spark):
     )
     common = r & bl
     assert len(common) >= max(len(r), 1) * 0.99
+
+
+def test_ngram_jaccard_prefix_filter_exact(spark):
+    """Prefix-filtered candidate generation (AllPairs) must return the
+    IDENTICAL pair set + jaccard values as the naive exact self-join."""
+    docs = _docs(spark).limit(300)
+    fast = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4, prefix_filter=True)
+    naive = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4, prefix_filter=False)
+    f = {(r.id_a, r.id_b): r.jaccard for r in fast.collect()}
+    v = {(r.id_a, r.id_b): r.jaccard for r in naive.collect()}
+    assert v, "fixture should contain similar pairs"
+    assert f == v

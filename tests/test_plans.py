@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions — the 100 TB contract.
+
+These tests pin the properties that make the operators scale: column
+pruning reaching the parquet scan, broadcast joins for small sides,
+and zero Python evaluation in relational stages.  They read plans, not
+rows, so they are cheap and catch silent plan regressions.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ukis_pysat_spark import datagen
+from ukis_pysat_spark.operators import dedup, spatial_join, tiling, transforms
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "images")
+    datagen.gen_images(spark, 24, profile="bench").write.mode("overwrite").parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tile_windows_prunes_bytes(spark, images_parquet):
+    """Window-geometry queries must never read the payload column: the
+    parquet ReadSchema must exclude `bytes` entirely."""
+    images = spark.read.parquet(images_parquet)
+    plan = _plan(tiling.tile_windows(images, 32, 32, 4))
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert all("bytes" not in ln for ln in scan_lines), scan_lines
+    # pure JVM: no Python eval anywhere
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
+        assert marker not in plan, marker
+
+
+def test_spatial_join_filter_stage_is_jvm(spark, images_parquet):
+    """The candidate-generation (cell cover + equi-join + dedup) stage
+    must contain no Python nodes; the ONLY Python in the whole join is
+    the final exact-refine mapInPandas."""
+    images = spark.read.parquet(images_parquet)
+    aois = datagen.gen_aois(spark, 10)
+    plan = _plan(spatial_join.spatial_join(images, aois, res=12))
+    # aois come from a datagen MapInPandas source; discount source nodes
+    # by checking that no Python node sits between the joins and the
+    # top-level refine: exactly ONE MapInPandas above the join tree.
+    join_part = plan.split("SortMergeJoin")[0].split("BroadcastHashJoin")[0]
+    assert join_part.count("MapInPandas") == 1  # the refine only
+    assert "ArrowEvalPython" not in plan  # no pandas-UDF cell cover
+
+
+def test_dn2toa_broadcasts_metadata(spark, images_parquet):
+    images = spark.read.parquet(images_parquet)
+    meta = datagen.gen_metadata(spark, 24, profile="bench")
+    plan = _plan(transforms.dn2toa_stats(images, meta))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_minhash_candidate_shuffle_is_narrow(spark):
+    """The bucket self-join must not carry the shingle arrays: no `sh`
+    column may appear inside an Exchange below the pair-dedup."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 20) for i in range(20)], ["doc_id", "text"]
+    )
+    plan = _plan(dedup.minhash_lsh_pairs(docs, n=3, n_hashes=32, bands=8))
+    # find hashpartitioning exchanges on `bucket`: their column lists
+    # must be (doc_id, bucket) only
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln and "bucket" in ln:
+            assert "sh#" not in ln, ln
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    docs = spark.createDataFrame([(i, f"t {i % 5}") for i in range(50)], ["doc_id", "text"])
+    plan = _plan(dedup.exact_dedup(docs))
+    # map-side partial agg before the exchange
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")

@@ -64,21 +64,92 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _word_count(text: Column) -> Column:
+    return F.size(F.split(normalized_text(text), " "))
+
+
+def _spread(documents: DataFrame) -> DataFrame:
+    """Repartition documents BEFORE any shingle/hash expression.
+
+    Small-file sources arrive as one input partition, and Catalyst
+    pushes deterministic projections/filters below a later repartition
+    — which would evaluate the (interpreted, HOF-heavy) shingle
+    expressions single-threaded on the scan side.  Exchanging the raw
+    (doc_id, text) rows first keeps the expensive expressions above the
+    exchange, spread across the cluster."""
+    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return documents.repartition(n_parts, "doc_id")
+
+
 def _shingle_table(documents: DataFrame, n: int) -> DataFrame:
-    return documents.select(
+    return _spread(documents).select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")
     )
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8
+    documents: DataFrame, n: int = 3, threshold: float = 0.8, prefix_filter: bool = False
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle self-join.
+    """EXACT Jaccard-similar pairs via shingle join.
 
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the intersection count comes from
-    the shingle equi-join, sizes from a per-doc count — no quadratic
+    a shingle equi-join, sizes from a per-doc count — no quadratic
     cross join, only pairs sharing >=1 shingle are ever materialized.
+    The default (naive self-join + count aggregate) is the fastest plan
+    when shingle document-frequencies are low; flip ``prefix_filter``
+    on for corpora with hot/boilerplate shingles, where the naive join
+    output grows as sum(df^2) — tests prove the two paths emit
+    IDENTICAL pairs and jaccard values.
+
+    With ``prefix_filter`` the candidate join uses the
+    AllPairs/PPJoin prefix principle with a HASH total order: each
+    document's shingles are hashed (xxhash64), sorted, and only the
+    first ``|A| - ceil(t*|A|) + 1`` participate in the candidate join —
+    two documents can reach Jaccard >= t only if their prefixes share
+    an element (any fixed total order satisfies the principle).  The
+    prefix is computed per-row with array expressions (sort_array +
+    slice — NO extra shuffle), and it bounds the damage of frequent
+    shingles: a boilerplate shingle shared by 1% of a web corpus emits
+    10^10 candidate pairs in the naive self-join but only lands in the
+    prefix of ~(1-t) of its documents under a hash order.  The verify
+    stage intersects full 64-bit-hashed shingle sets (collision odds
+    are negligible and deterministic), re-attached after the ids-only
+    pair dedup like minhash_lsh_pairs.
     """
+    if prefix_filter:
+        slack = threshold * (1.0 - 1e-9)  # guard the rounded-threshold boundary
+        hashed = F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s))
+            )
+        )
+        # the word-count gate is CHEAP, so letting Catalyst push it to
+        # the scan side is fine; it is equivalent to size(shs) > 0
+        sets = _spread(documents.filter(_word_count(F.col("text")) >= n)).select(
+            "doc_id", hashed.alias("shs")
+        )
+        plen = F.size("shs") - F.ceil(F.lit(slack) * F.size("shs")) + 1
+        pref = sets.select(
+            "doc_id", F.explode(F.slice("shs", 1, plen.cast("int"))).alias("sh")
+        )
+        a = pref.alias("a")
+        b = pref.alias("b")
+        cand = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.join(
+            sets.withColumnsRenamed({"doc_id": "id_a", "shs": "shs_a"}), "id_a"
+        ).join(sets.withColumnsRenamed({"doc_id": "id_b", "shs": "shs_b"}), "id_b")
+        inter_sz = F.size(F.array_intersect("shs_a", "shs_b"))
+        union_sz = F.size("shs_a") + F.size("shs_b") - inter_sz
+        return (
+            pairs.withColumn("jaccard", F.round(inter_sz / union_sz, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sh = _shingle_table(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -160,13 +231,14 @@ def minhash_lsh_pairs(
             buckets[:, bi] = (acc >> np.uint64(1)).astype(np.int64) + bi * (1 << 40)
         return pd.Series(list(buckets))
 
-    # small-file sources arrive as one partition; spread the signature
-    # UDF across the cluster before any Python runs
-    n_parts = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    docs_sh = documents.repartition(n_parts, "doc_id").select(
+    # shingle-less docs (fewer than n words) have no defined Jaccard;
+    # the WORD-COUNT form of the gate is cheap enough to be pushed to
+    # the scan side (a size(sh)>0 filter would drag the whole shingle
+    # expression below the exchange and single-thread it)
+    docs_sh = _spread(documents.filter(_word_count(F.col("text")) >= n)).select(
         "doc_id",
         F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("sh"),
-    ).filter(F.size("sh") > 0)  # shingle-less docs have no defined Jaccard
+    )
     # the (band,bucket) self-join + pair dedup shuffle ONLY (doc_id,
     # bucket) / (id, id) rows; the int64 shingle arrays are re-attached
     # AFTER the candidate pairs are distinct (the ids-only candidate
@@ -204,7 +276,7 @@ def simhash64_col(documents: DataFrame, text_col: str = "text") -> DataFrame:
     touches any row — the whole thing is one whole-stage-codegen'd scan
     plus one hash aggregate keyed by doc_id.
     """
-    words = documents.select(
+    words = _spread(documents).select(
         "doc_id",
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
@@ -256,20 +328,22 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     n_blocks = max_hamming + 1
     docs = simhash64_col(documents)
-    blocks = [
-        docs.select(
-            "doc_id",
-            "sh64",
-            F.lit(bi).alias("blk"),
-            F.shiftrightunsigned(F.col("sh64"), shift)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("key"),
-        )
-        for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks))
-    ]
-    bucketed = blocks[0]
-    for blx in blocks[1:]:
-        bucketed = bucketed.unionByName(blx)
+    # ONE explode, not a union of per-block projections: a union would
+    # replicate the (expensive) simhash aggregation subtree per block
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftrightunsigned(F.col("sh64"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks))
+        ]
+    )
+    bucketed = docs.select(
+        "doc_id", "sh64", F.explode(entries).alias("e")
+    ).select("doc_id", "sh64", F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cand = (
