@@ -346,24 +346,25 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("doc_id", "sh64", F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64")))
+    # the exact popcount filter runs IN the join stage, before the pair
+    # dedup: only true near-dup pairs (<= 1 per block, <= n_blocks
+    # copies) reach the dropDuplicates shuffle, instead of every
+    # bucket-collision candidate
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= max_hamming),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh64").alias("ha"),
-            F.col("b.sh64").alias("hb"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.filter(hamming <= max_hamming).select(
-        "id_a", "id_b", hamming.alias("hamming")
     )
 
 
