@@ -51,3 +51,53 @@ def test_stream_events_windowed_plan(spark):
     )
     rows = out.collect()
     assert sum(r.n for r in rows) == 4  # each event falls in 2 sliding windows
+
+
+def test_stream_first_seen_dedup_across_restarts(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): each distinct
+    normalized text is emitted exactly once — across micro-batches AND
+    across a stream restart (state survives in the checkpoint)."""
+    from ukis_pysat_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "docs_stream")
+    ckpt_dir = str(tmp_path / "dedup_ckpt")
+    out_dir = str(tmp_path / "dedup_out")
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha  beta   gamma")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sdedup.stream_first_seen(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out_dir)
+    rows = {r.doc_id for r in first.collect()}
+    # doc 3 normalizes to doc 1's text -> exactly 2 distinct fingerprints
+    assert first.select("fp").distinct().count() == 2
+    assert 2 in rows and (1 in rows or 3 in rows)
+
+    # restart with MORE data: an old dup and one genuinely new doc
+    spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "zeta eta theta")], ["doc_id", "text"]
+    ).write.mode("append").parquet(src)
+    run_once()
+    after = spark.read.parquet(out_dir)
+    # the replayed duplicate (10) was suppressed by the durable state
+    assert after.count() == 3
+    assert {r.doc_id for r in after.collect()} - rows == {11}
