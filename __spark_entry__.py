@@ -276,6 +276,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_top5"] = events_user_top5
 
+    # rollup with grouping-id: region -> nation revenue hierarchy
+    def revenue_rollup(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        d = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+        base = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        )
+        return (
+            base.rollup("r_name", "n_name")
+            .agg(
+                F.sum(d("l_extendedprice")).cast("double").alias("gross"),
+                F.count("*").alias("n_items"),
+                F.grouping_id("r_name", "n_name").cast("long").alias("lvl"),
+            )
+        )
+
+    q["revenue_rollup"] = revenue_rollup
+
     # text analysis profile
     def doc_profile(spark, sf_dir):
         prof = text.document_profile(_t(spark, sf_dir, "documents"))
@@ -421,6 +446,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def ivf_ann_topk(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = (
+            e.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+        return similarity.ivf_ann(e, qs, k=5, n_lists=16, n_probe=6)
+
+    q["ivf_ann_topk"] = ivf_ann_topk
+
     def tile_pixels_synth(spark, sf_dir):
         imgs = datagen.gen_images(spark, 32, profile="bench")
         tp = tiling.tile_pixels(imgs, 32, 32, 4)
@@ -516,6 +551,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
+    """
+
+    o["revenue_rollup"] = """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+               COUNT(*) AS n_items,
+               CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS lvl
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
     """
 
     o["events_by_type"] = """

@@ -276,3 +276,17 @@ def test_ngram_jaccard_prefix_filter_exact(spark):
     v = {(r.id_a, r.id_b): r.jaccard for r in naive.collect()}
     assert v, "fixture should contain similar pairs"
     assert f == v
+
+
+def test_ivf_ann_recall(spark):
+    e = _emb(spark)
+    q = _queries(spark, n=8)
+    exact = similarity.brute_force_topk(e, q, k=5).toPandas()
+    approx = similarity.ivf_ann(e, q, k=5, n_lists=8, n_probe=4).toPandas()
+    rec = similarity.recall_at_k(approx, exact, k=5)
+    # uniform random embeddings have little cluster structure, so the
+    # probe/lists ratio is close to a uniform hit rate; measured 0.575
+    assert rec >= 0.5, f"IVF recall {rec} too low"
+    # full probe == exact (every list probed -> brute force)
+    full = similarity.ivf_ann(e, q, k=5, n_lists=8, n_probe=8).toPandas()
+    assert similarity.recall_at_k(full, exact, k=5) == 1.0

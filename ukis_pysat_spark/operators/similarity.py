@@ -123,6 +123,96 @@ def lsh_ann(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    sample: int = 4096,
+    n_iters: int = 10,
+    seed: int = 5,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a BOUNDED deterministic
+    sample (standard IVF practice — the quantizer is a model of fixed
+    size, not a data-path collect; the sample is the `sample` smallest
+    xxhash64(vec_id) rows, so it is stable across runs/partitionings)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(int(sample))
+        .collect()
+    )
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized rows
+        for j in range(C.shape[0]):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ C.T
+        if n_probe == 1:
+            return pd.Series([[int(i)] for i in np.argmax(sims, axis=1)])
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([[int(i) for i in row] for row in top])
+
+    return assign
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are partitioned into n_lists
+    Voronoi cells of a k-means coarse quantizer; each query probes its
+    n_probe nearest cells and exact-re-ranks only those members.
+
+    Scale shape: the inverted-list table carries (vec_id, list_id)
+    ONLY — the equi-join prunes to ~n_probe/n_lists of the corpus per
+    query, embeddings re-attach once per distinct candidate, and the
+    quantizer is a broadcast-sized model (n_lists x dim floats).
+    recall@k rises with n_probe (tests measure it against brute force).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists=n_lists, seed=seed)
+    data = embeddings.select(
+        "vec_id", F.explode(_ivf_assign_udf(centroids, 1)("embedding")).alias("list_id")
+    )
+    qrs = queries.select(
+        "query_id", F.explode(_ivf_assign_udf(centroids, n_probe)("query_vec")).alias("list_id")
+    )
+    cand_ids = (
+        data.join(qrs, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cand = cand_ids.join(embeddings, "vec_id").join(F.broadcast(queries), "query_id")
+    return _topk(
+        cand.select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("query_vec")), 6).alias("cosine"),
+        ),
+        k,
+    )
+
+
 def recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the ANN result."""
     e = {(r.query_id, r.vec_id) for r in exact.itertuples(index=False) if r.rank <= k}
