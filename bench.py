@@ -101,6 +101,8 @@ def main() -> None:
         "simhash_docs",
         "ngram_jaccard",
         "scene_meta_profile",
+        "revenue_rollup",
+        "ivf_ann_topk",
         "pip_points_in_boxes",
         "knn_points",
     ]:
