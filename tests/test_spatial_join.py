@@ -65,6 +65,17 @@ def test_spatial_join_salted_same_result(spark):
     assert plain == salted
 
 
+def test_spatial_join_pathological_skew(spark):
+    """SURVEY §7.4 case: 80% of AOIs AND scenes collapse onto one
+    hotspot cell; salted join must still match brute force exactly."""
+    imgs = datagen.gen_images(spark, 100, profile="bench", skew_frac=0.8)
+    aois = datagen.gen_aois(spark, 50, skew_frac=0.8)
+    exp = _pairs(spatial_join.spatial_join_bruteforce(imgs, aois))
+    got = _pairs(spatial_join.spatial_join(imgs, aois, res=12, salt=16))
+    assert got == exp
+    assert len(exp) > 100  # the hotspot really is dense
+
+
 def test_points_in_aois_matches_numpy(spark):
     rng = np.random.Generator(np.random.Philox(key=5))
     n = 400

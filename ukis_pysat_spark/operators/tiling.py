@@ -171,6 +171,11 @@ class _TileBuf:
         self.nbytes += payload.nbytes
 
     def flush(self) -> pa.RecordBatch:
+        if self.nbytes >= (1 << 31):  # pa.binary() carries int32 offsets
+            raise ValueError(
+                "tile batch exceeds 2 GiB of payload; lower FLUSH_BYTES or "
+                "tile size (a single image's tiles must fit one batch)"
+            )
         lengths = np.concatenate(
             [np.full(n, sz, dtype=np.int64) for n, sz in self.px_sizes]
         )
