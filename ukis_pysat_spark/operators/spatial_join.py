@@ -106,17 +106,30 @@ def spatial_join(
 
     Returns distinct (image_id, aoi_id) pairs whose geometries intersect.
     """
-    # cell tables carry ONLY ids — the candidate join and dedup shuffle
-    # narrow (id, id) rows, never geometry arrays (~10x less shuffle)
+    # cell tables carry ids + the 4-double bbox (32 B/row) — NOT the
+    # geometry arrays.  The bbox rides along so the overlap pre-refine
+    # can kill false candidates IN the cell join, before the pair-dedup
+    # shuffle; geometry re-attaches only for the exact refine.
     img_cells = with_cells(
         images.select("image_id", "footprint_lon", "footprint_lat"),
         "footprint_lon",
         "footprint_lat",
         res,
-    ).select("image_id", "cell")
+    ).select(
+        "image_id",
+        "cell",
+        F.array_min("footprint_lon").alias("i_lon_min"),
+        F.array_max("footprint_lon").alias("i_lon_max"),
+        F.array_min("footprint_lat").alias("i_lat_min"),
+        F.array_max("footprint_lat").alias("i_lat_max"),
+    )
     aoi_cells = with_cells(
-        aois.select("aoi_id", "ring_lon", "ring_lat"), "ring_lon", "ring_lat", res
-    ).select("aoi_id", "cell")
+        aois.select("aoi_id", "ring_lon", "ring_lat", "lon_min", "lat_min",
+                    "lon_max", "lat_max"),
+        "ring_lon",
+        "ring_lat",
+        res,
+    ).select("aoi_id", "cell", "lon_min", "lat_min", "lon_max", "lat_max")
 
     if salt:
         img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
@@ -124,29 +137,23 @@ def spatial_join(
     else:
         join_keys = ["cell"]
 
-    # FILTER: cell equi-join -> distinct candidate id pairs
+    # FILTER: cell equi-join + bbox overlap -> distinct candidate pairs
     cand_ids = (
         img_cells.join(aoi_cells, join_keys)
+        .filter(
+            (F.col("i_lon_min") <= F.col("lon_max"))
+            & (F.col("i_lon_max") >= F.col("lon_min"))
+            & (F.col("i_lat_min") <= F.col("lat_max"))
+            & (F.col("i_lat_max") >= F.col("lat_min"))
+        )
         .select("image_id", "aoi_id")
         .dropDuplicates(["image_id", "aoi_id"])
     )
 
-    # re-attach geometry (Catalyst/AQE picks broadcast vs shuffle join)
+    # re-attach geometry for the exact refine only
     img_geom = images.select("image_id", "footprint_lon", "footprint_lat")
-    aoi_geom = aois.select(
-        "aoi_id", "ring_lon", "ring_lat", "lon_min", "lat_min", "lon_max", "lat_max"
-    )
+    aoi_geom = aois.select("aoi_id", "ring_lon", "ring_lat")
     cand = cand_ids.join(img_geom, "image_id").join(aoi_geom, "aoi_id")
-
-    # PRE-REFINE: bbox overlap, pure relational
-    flon = F.col("footprint_lon")
-    flat = F.col("footprint_lat")
-    cand = cand.filter(
-        (F.array_min(flon) <= F.col("lon_max"))
-        & (F.array_max(flon) >= F.col("lon_min"))
-        & (F.array_min(flat) <= F.col("lat_max"))
-        & (F.array_max(flat) >= F.col("lat_min"))
-    )
 
     return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
 
