@@ -233,7 +233,18 @@ def points_in_aois(
     aoi_cells = with_cells(
         aois.select("aoi_id", "ring_lon", "ring_lat"), "ring_lon", "ring_lat", res
     )
-    cand = pts.join(aoi_cells, "cell").select(id_col, lon_col, lat_col, "aoi_id", "ring_lon", "ring_lat")
+    # relational point-in-bbox pre-refine kills most false candidates
+    # (cell covers are bbox supersets) before any Python runs
+    cand = (
+        pts.join(aoi_cells, "cell")
+        .filter(
+            (F.col(lon_col) >= F.array_min("ring_lon"))
+            & (F.col(lon_col) <= F.array_max("ring_lon"))
+            & (F.col(lat_col) >= F.array_min("ring_lat"))
+            & (F.col(lat_col) <= F.array_max("ring_lat"))
+        )
+        .select(id_col, lon_col, lat_col, "aoi_id", "ring_lon", "ring_lat")
+    )
     if not exact:
         return cand.select(id_col, "aoi_id")
 
