@@ -66,13 +66,19 @@ def main() -> None:
 
     def timed(name: str, fn):
         fn()  # warm-up: JIT/codegen/python-worker costs are one-time
-        best, n = None, 0
+        reps = []
+        n = 0
         for _ in range(2):  # min-of-2: the sandbox has co-tenant noise spikes
             t0 = time.perf_counter()
             n = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        # the two reps disagreeing by >1.5x means a noise spike hit one
+        # of them — buy a third sample before taking the min
+        if max(reps) > 1.5 * min(reps) and min(reps) > 0.5:
+            t0 = time.perf_counter()
+            n = fn()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
         row_counts[name] = int(n)
 
     # --- spatial engine headline queries (tiles + join rows) --------------
