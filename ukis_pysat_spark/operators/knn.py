@@ -28,7 +28,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from ukis_pysat_spark.operators import geometry
 from ukis_pysat_spark.operators.spatial_join import DEFAULT_RES
@@ -123,16 +122,33 @@ def knn_indexed(
     )
     scenes = scenes.withColumn("cell", scene_cell)
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        cells = geometry.cell_of_points(lon.values, lat.values, res)
-        return pd.Series([geometry.neighbors(int(c), ring).tolist() for c in cells])
-
-    aoi_ring = aois.select(
-        "aoi_id",
-        "centroid_lon",
-        "centroid_lat",
-        F.explode(ring_cells("centroid_lon", "centroid_lat")).alias("cell"),
+    # ring neighborhood relationally: the AOI centroid cell's (ix, iy)
+    # crossed with two explode(sequence(-ring, ring)) offset generators,
+    # clamped at the grid edge (geometry.neighbors semantics) — no UDF
+    aix = F.least(
+        F.greatest(F.floor((F.col("centroid_lon") + 180.0) / 360.0 * n), F.lit(0)), n - 1
+    ).cast("long")
+    aiy = F.least(
+        F.greatest(F.floor((F.col("centroid_lat") + 90.0) / 180.0 * n), F.lit(0)), n - 1
+    ).cast("long")
+    r_ = F.lit(int(ring))
+    aoi_ring = (
+        aois.select("aoi_id", "centroid_lon", "centroid_lat",
+                    aix.alias("_ix"), aiy.alias("_iy"))
+        .withColumn("_dx", F.explode(F.sequence(-r_, r_)))
+        .withColumn("_dy", F.explode(F.sequence(-r_, r_)))
+        .select(
+            "aoi_id",
+            "centroid_lon",
+            "centroid_lat",
+            (
+                F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+                + F.least(F.greatest(F.col("_ix") + F.col("_dx"), F.lit(0)), n.cast("long") - 1)
+                * F.lit(1 << 29).cast("long")
+                + F.least(F.greatest(F.col("_iy") + F.col("_dy"), F.lit(0)), n.cast("long") - 1)
+            ).alias("cell"),
+        )
+        .dropDuplicates(["aoi_id", "cell"])  # edge clamping can collide
     )
     cand = scenes.join(F.broadcast(aoi_ring), "cell").withColumn(
         "dist_km",
