@@ -301,6 +301,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["revenue_rollup"] = revenue_rollup
 
+    # set operations (SURVEY §2.5): nations seen via customers vs via
+    # suppliers — intersect / except / union-distinct with a tag column
+    def nation_setops(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+        s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+        both = c.intersect(s).select("nk", F.lit("both").alias("src"))
+        cust_only = c.subtract(s).select("nk", F.lit("cust_only").alias("src"))
+        return both.unionByName(cust_only)
+
+    q["nation_setops"] = nation_setops
+
     # text analysis profile
     def doc_profile(spark, sf_dir):
         prof = text.document_profile(_t(spark, sf_dir, "documents"))
@@ -564,6 +575,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+    """
+
+    o["nation_setops"] = """
+        SELECT nk, 'both' AS src FROM (
+          SELECT c_nationkey AS nk FROM customer
+          INTERSECT
+          SELECT s_nationkey AS nk FROM supplier
+        )
+        UNION ALL
+        SELECT nk, 'cust_only' AS src FROM (
+          SELECT c_nationkey AS nk FROM customer
+          EXCEPT
+          SELECT s_nationkey AS nk FROM supplier
+        )
     """
 
     o["events_by_type"] = """
