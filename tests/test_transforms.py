@@ -330,3 +330,37 @@ def test_dn2toa_stats_fused_matches_two_stage(spark):
         assert a.image_id == b.image_id and a.band == b.band
         assert np.isclose(a.mean, b.mean) and np.isclose(a.std, b.std)
         assert np.isclose(a.min, b.min) and np.isclose(a.max, b.max)
+
+
+def test_minimum_dtype_wide_integer_rungs():
+    """ADVICE r2: values beyond uint32/int32 must pick int64/uint64 (not
+    silently wrap through a too-small dtype), and ranges no integer type
+    represents must raise before any cast happens."""
+    assert codec.minimum_dtype(np.array([0, 2**40])) == "uint64"
+    assert codec.minimum_dtype(np.array([0, 2**63], dtype=np.uint64)) == "uint64"
+    assert codec.minimum_dtype(np.array([-5e9, 0.0])) == "int64"  # int-valued floats
+    assert codec.minimum_dtype(np.array([-(2**40), 2**40])) == "int64"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no integer dtype"):
+        codec.minimum_dtype(np.array([-1, 2**63], dtype=np.float64))
+    # the verified ADVICE repro: [0, 2**40] must roundtrip losslessly
+    arr = np.array([[[0, 2**40]]], dtype=np.int64)
+    dt = codec.minimum_dtype(arr)
+    back = codec.decode(codec.encode(arr.astype(np.dtype(dt)), "raw"))
+    assert int(back.max()) == 2**40
+
+
+def test_utm_params_requires_determinable_hemisphere():
+    """ADVICE r2: '+proj=utm +zone=56' without letter or +south/+north is
+    ambiguous -> None (warp raises unsupported-CRS instead of silently
+    assuming north and shifting southern coords by the false northing)."""
+    assert transforms._utm_params("+proj=utm +zone=56") is None
+    assert transforms._utm_params("+proj=utm +zone=56 +south") == (153.0, True)
+    assert transforms._utm_params("+proj=utm +zone=56 +north") == (153.0, False)
+    assert transforms._utm_params("+proj=utm +zone=56J, +ellps=WGS84") == (153.0, True)
+    assert transforms._utm_params("+proj=utm +zone=33N, +ellps=WGS84") == (153.0 - 23 * 6, False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported CRS"):
+        transforms._fwd("+proj=utm +zone=56", np.array([153.0]), np.array([-33.0]))

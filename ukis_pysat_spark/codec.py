@@ -38,7 +38,7 @@ VERSION = 1
 _HEADER = struct.Struct("<4sBBBBHHII")
 HEADER_SIZE = _HEADER.size  # 20
 
-_DTYPES = ["uint8", "uint16", "int16", "int32", "float32", "float64", "int64", "uint32", "int8"]
+_DTYPES = ["uint8", "uint16", "int16", "int32", "float32", "float64", "int64", "uint32", "int8", "uint64"]
 _DTYPE_CODE = {np.dtype(d): i for i, d in enumerate(_DTYPES)}
 
 FMT_CODES = {"raw": 0, "rawz": 1, "q8": 2}
@@ -166,19 +166,37 @@ def minimum_dtype(arr: np.ndarray) -> str:
     checking picks the smallest unsigned/signed integer type for
     integer-valued data, float32/float64 otherwise."""
     a = np.asarray(arr)
-    lo = float(a.min()) if a.size else 0.0
-    hi = float(a.max()) if a.size else 0.0
-    is_int = np.issubdtype(a.dtype, np.integer) or bool(np.all(np.mod(a, 1) == 0))
+    if a.size == 0:
+        return "uint8"
+    native_int = np.issubdtype(a.dtype, np.integer)
+    if native_int:
+        # exact integer bounds (no float round-trip: float(2**64-1) would
+        # overshoot the uint64 ceiling and mis-raise)
+        lo, hi = int(a.min()), int(a.max())
+    else:
+        lo, hi = float(a.min()), float(a.max())
+    is_int = native_int or bool(np.all(np.mod(a, 1) == 0))
     if is_int:
         if lo >= 0:
             if hi <= 255:
                 return "uint8"
             if hi <= 65535:
                 return "uint16"
-            return "uint32"
-        if lo >= -32768 and hi <= 32767:
-            return "int16"
-        return "int32"
+            if hi <= 4294967295:
+                return "uint32"
+            if hi <= 18446744073709551615:
+                return "uint64"
+        else:
+            if lo >= -32768 and hi <= 32767:
+                return "int16"
+            if lo >= -2147483648 and hi <= 2147483647:
+                return "int32"
+            if lo >= -(2**63) and hi <= 2**63 - 1:
+                return "int64"
+        raise ValueError(
+            f"no integer dtype can represent range [{lo}, {hi}]; cast "
+            "explicitly (e.g. to float64) before dtype='min'"
+        )
     if -3.4028235e38 <= lo and hi <= 3.4028235e38:
         return "float32"
     return "float64"

@@ -520,7 +520,12 @@ def _utm_params(crs: str) -> tuple[float, bool] | None:
 
     Accepts 'EPSG:326xx'/'EPSG:327xx' and the reference-parity proj
     string produced by get_proj_string ('+proj=utm +zone=56J, ...',
-    file.py:244 — letters C..M are the southern hemisphere)."""
+    file.py:244 — letters C..M are the southern hemisphere).
+
+    A proj string whose hemisphere is NOT determinable (no zone letter
+    and no explicit '+south'/'+north' token) returns None — silently
+    assuming north would shift southern coordinates by the 10,000 km
+    false northing, so _fwd/_inv raise unsupported-CRS instead."""
     if crs.startswith("EPSG:326") and len(crs) == 10:
         return (int(crs[8:]) * 6.0 - 183.0, False)
     if crs.startswith("EPSG:327") and len(crs) == 10:
@@ -530,7 +535,14 @@ def _utm_params(crs: str) -> tuple[float, bool] | None:
         if m:
             zone = int(m.group(1))
             letter = m.group(2)
-            south = bool(letter) and letter < "N"
+            if letter:
+                south = letter < "N"
+            elif re.search(r"\+south\b", crs):
+                south = True
+            elif re.search(r"\+north\b", crs):
+                south = False
+            else:
+                return None  # hemisphere indeterminable
             return (zone * 6.0 - 183.0, south)
     return None
 
