@@ -76,3 +76,25 @@ def test_single_band_subset(spark):
     row = tp.filter((F.col("image_id") == "img00000001") & (F.col("tile_id") == 0)).collect()[0]
     arr = codec.decode(row.px)
     assert arr.shape[0] == 1  # single band extracted, promoted to 3-D
+
+
+def test_tile_pixels_rawz_variable_sizes(spark):
+    """ADVICE r2: rawz tile payloads differ in size per tile — the
+    buffer must carry per-tile lengths instead of requiring equal
+    sizes.  Gate: rawz output decodes pixel-identical to raw output."""
+    imgs = datagen.gen_images(spark, 3, profile="mixed", seed=7)
+    raw = {
+        (r.image_id, r.tile_id): r
+        for r in tiling.tile_pixels(imgs, 48, 48, 4, out_fmt="raw").collect()
+    }
+    rz = tiling.tile_pixels(imgs, 48, 48, 4, out_fmt="rawz").collect()
+    assert len(rz) == len(raw)
+    sizes = {len(r.px) for r in rz}
+    assert len(sizes) > 1, "fixture must actually produce variable rawz sizes"
+    for r in rz:
+        ref = raw[(r.image_id, r.tile_id)]
+        assert np.array_equal(codec.decode(r.px), codec.decode(ref.px))
+        assert (r.col_off, r.row_off, r.tw, r.th) == (
+            ref.col_off, ref.row_off, ref.tw, ref.th,
+        )
+        assert r.caption == ref.caption

@@ -157,7 +157,10 @@ class _TileBuf:
         }
         self.ids: list[tuple[str, str, int]] = []  # (image_id, caption, n)
         self.px_values: list[np.ndarray] = []  # uint8 payload chunks
-        self.px_sizes: list[tuple[int, int]] = []  # (n_tiles, bytes_per_tile)
+        # (n_tiles, bytes_per_tile) — bytes_per_tile is an int for the
+        # uniform bulk path or an int64 array of per-tile lengths for
+        # variable-size encodings (rawz/q8 payload sizes differ per tile)
+        self.px_sizes: list[tuple[int, int | np.ndarray]] = []
         self.n = 0
         self.nbytes = 0
 
@@ -177,7 +180,10 @@ class _TileBuf:
                 "tile size (a single image's tiles must fit one batch)"
             )
         lengths = np.concatenate(
-            [np.full(n, sz, dtype=np.int64) for n, sz in self.px_sizes]
+            [
+                sz if isinstance(sz, np.ndarray) else np.full(n, sz, dtype=np.int64)
+                for n, sz in self.px_sizes
+            ]
         )
         offsets = np.empty(self.n + 1, dtype=np.int32)
         offsets[0] = 0
@@ -257,17 +263,16 @@ def tile_pixels(
             out[:, :hlen] = np.frombuffer(header, dtype=np.uint8)
             out[:, hlen:] = np.ascontiguousarray(block).view(np.uint8).reshape(n, sz)
             return out.reshape(-1), n, hlen + sz
-        # compressed/lossy formats: per-tile encode, equal-size not
-        # guaranteed -> pack into one buffer with uniform max size padding
-        # avoided by emitting per-tile (slow path, small tiles only)
+        # compressed/lossy formats (rawz/q8): per-tile encode.  Payload
+        # sizes differ per tile in practice, so the buffer carries the
+        # actual per-tile lengths — flush() builds the binary offsets
+        # from their cumsum (uniform sizes collapse to the scalar form).
         bufs = [codec.encode(np.ascontiguousarray(block[j]), out_fmt) for j in range(n)]
         sizes = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+        payload = np.frombuffer(b"".join(bufs), dtype=np.uint8)
         if n and (sizes == sizes[0]).all():
-            return np.frombuffer(b"".join(bufs), dtype=np.uint8), n, int(sizes[0])
-        raise ValueError(
-            f"variable-size {out_fmt!r} tiles in one shape group are not "
-            "supported by the bulk path; use out_fmt='raw'"
-        )
+            return payload, n, int(sizes[0])
+        return payload, n, sizes
 
     def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         buf = _TileBuf()

@@ -7,7 +7,10 @@ profile the reference's fixtures (and most L1 scene quicklooks) use:
 
 - little/big endian classic TIFF (magic 42; BigTIFF not supported);
 - strip- AND tile-organized data;
-- compression: none (1), zlib/deflate (8 and legacy 32946);
+- compression: none (1), LZW (5), zlib/deflate (8 and legacy 32946),
+  PackBits (32773);
+- Predictor (tag 317): none (1) and horizontal differencing (2);
+  the floating-point predictor (3) raises NotImplementedError;
 - PlanarConfiguration chunky (1) and separate (2);
 - integer/float SampleFormat with 8/16/32/64 bits per sample;
 - geo tags: ModelPixelScale + ModelTiepoint -> GDAL-style affine,
@@ -34,6 +37,67 @@ from ukis_pysat_spark import codec
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _lzw_decode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, code 256 =
+    ClearCode, 257 = EndOfInformation, table entries from 258, code width
+    9→12 bits with the TIFF 'early change' (width grows one code early,
+    when the next free index reaches 2^width - 1).
+
+    Pure-Python: the per-code loop is the slow path of ingest, but it
+    runs once per file inside an Arrow stage — per-executor and
+    horizontally scalable, never on the driver."""
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    nbits = 9
+    prev = b""
+    bitpos = 0
+    total_bits = len(raw) * 8
+    while bitpos + nbits <= total_bits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(raw[byte_i : byte_i + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == 256:  # ClearCode
+            table = list(base)
+            nbits = 9
+            prev = b""
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # the KwKwK case: code == next free index
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1  # early change
+    return bytes(out)
+
+
+def _packbits_decode(raw: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n<128 -> n+1 literal bytes;
+    n>128 -> next byte repeated 257-n times; n==128 -> no-op."""
+    out = bytearray()
+    i = 0
+    L = len(raw)
+    while i < L:
+        n = raw[i]
+        i += 1
+        if n < 128:
+            out += raw[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += raw[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
 
 
 def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
@@ -100,13 +164,23 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     bits = int(tags[258][0])
     sfmt = int(tags.get(339, [1])[0])
     dt = _dtype_for(bits, sfmt, bo)
+    dt_native = dt.newbyteorder("=")
+    pred = int(tags.get(317, [1])[0])
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} not supported")
+    if pred == 2 and dt.kind not in ("u", "i"):
+        raise NotImplementedError("horizontal-differencing predictor on non-integer data")
 
     def decomp(o: int, c: int) -> bytes:
         raw = bytes(data[o : o + c])
         if comp == 1:
             return raw
+        if comp == 5:
+            return _lzw_decode(raw)
         if comp in (8, 32946):
             return zlib.decompress(raw)
+        if comp == 32773:
+            return _packbits_decode(raw)
         raise NotImplementedError(f"TIFF compression {comp} not supported")
 
     if 324 in tags:  # tile-organized
@@ -124,6 +198,13 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
                     body = decomp(int(tags[324][idx]), int(tags[325][idx]))
                     tile = np.frombuffer(body, dtype=dt, count=tw * th * plane_spp)
                     tile = tile.reshape(th, tw, plane_spp)
+                    if pred == 2:
+                        # horizontal differencing resets per tile row and
+                        # runs per sample channel -> cumsum along width,
+                        # same-dtype accumulator for correct wraparound
+                        tile = np.cumsum(
+                            tile.astype(dt_native, copy=False), axis=1, dtype=dt_native
+                        )
                     y0, x0 = ty * th, tx * tw
                     ys, xs = min(th, h - y0), min(tw, w - x0)
                     if planar == 2:
@@ -139,9 +220,16 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         arr = np.frombuffer(body, dtype=dt, count=w * h * spp)
         if planar == 2:
             arr = arr.reshape(spp, h, w)
+            if pred == 2:
+                # strips never split a row, so row-wise cumsum over the
+                # assembled planes equals per-strip un-differencing
+                arr = np.cumsum(arr.astype(dt_native, copy=False), axis=2, dtype=dt_native)
         else:
-            arr = arr.reshape(h, w, spp).transpose(2, 0, 1)
-    arr = np.ascontiguousarray(arr).astype(dt.newbyteorder("="), copy=False)
+            arr = arr.reshape(h, w, spp)
+            if pred == 2:
+                arr = np.cumsum(arr.astype(dt_native, copy=False), axis=1, dtype=dt_native)
+            arr = arr.transpose(2, 0, 1)
+    arr = np.ascontiguousarray(arr).astype(dt_native, copy=False)
 
     meta: dict = {"transform": None, "crs": None, "nodata": None}
     if 33550 in tags and 33922 in tags:
