@@ -420,13 +420,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scene_meta_profile"] = scene_meta_profile
 
-    # --- non-SQL-expressible operators (driver records rows-only) --------
-
+    # P9 value-level oracle: the 'oracle' datagen profile makes pixels
+    # AND rescale factors closed-form functions of (idx, band, row, col)
+    # — the DuckDB twin recomputes the per-band TOA means from scratch
+    # over a generated pixel grid (float32 ops emulated with FLOAT casts,
+    # bit-exact vs numpy float32; validated op-by-op).  Landsat
+    # reflectance with wavelength band selection here; the thermal path
+    # (nonlinear log, not float32-reproducible in SQL) is gated by the
+    # reference's own *_toa.tif goldens in tests/test_reference_parity.py.
     def dn2toa_bands_synth(spark, sf_dir):
-        imgs = datagen.gen_images(spark, 16, profile="mixed").filter(
+        imgs = datagen.gen_images(spark, 16, profile="oracle").filter(
             F.col("platform") != "Sentinel2"
         )
-        meta = datagen.gen_metadata(spark, 16, profile="mixed")
+        meta = datagen.gen_metadata(spark, 16, profile="oracle")
         stats = transforms.dn2toa_stats(imgs, meta, wavelengths=["Blue", "Green", "Red"])
         return stats.groupBy("image_id").agg(
             F.count("*").alias("n_bands"),
@@ -477,9 +483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_pixels_synth"] = tile_pixels_synth
 
+    # P9 value-level oracle, Sentinel-2 full 13-band path (baseline>=4
+    # radiometric offsets included); same closed-form 'oracle' profile.
     def dn2toa_synth(spark, sf_dir):
-        imgs = datagen.gen_images(spark, 16, profile="mixed")
-        meta = datagen.gen_metadata(spark, 16, profile="mixed")
+        imgs = datagen.gen_images(spark, 16, profile="oracle").filter(
+            F.col("platform") == "Sentinel2"
+        )
+        meta = datagen.gen_metadata(spark, 16, profile="oracle")
         stats = transforms.dn2toa_stats(imgs, meta)
         return stats.groupBy("image_id").agg(
             F.count("*").alias("n_bands"),
@@ -730,6 +740,71 @@ def oracle_sql() -> dict[str, str]:
                               CAST(least(greatest(floor((lat + 80) / 8), 0), 19) AS INTEGER) + 1, 1)
                  || ', +ellps=WGS84 +datum=WGS84 +units=m +no_defs' AS proj
         FROM d
+    """
+
+    # P9 dn2toa value-level oracle: recompute the per-band TOA means
+    # from scratch over the closed-form 'oracle' pixel grid.  DN =
+    # fmod(r*3 + c*5 + b*17 + checker, 2000) + 1 with idx%7+1 nodata
+    # rows (datagen.pixels_for, noise=False); float32 arithmetic is
+    # emulated with FLOAT casts — DuckDB FLOAT ops are IEEE float32,
+    # verified bit-exact against numpy float32 across the value range.
+    dn2toa_grid = """
+    WITH imgs AS (
+      SELECT idx,
+             ['Landsat5','Landsat7','Landsat8','Sentinel2'][idx % 4 + 1] AS platform,
+             [7,9,11,13][idx % 4 + 1] AS nb,
+             [6,7,6,5][idx % 4 + 1] AS nrows,
+             [9,8,7,8][idx % 4 + 1] AS ncols
+      FROM range(16) t(idx)
+    ),
+    px AS (
+      SELECT i.idx, i.platform, i.nb, b.b, r.r, c.c,
+             CASE WHEN r.r < i.idx % 7 + 1 THEN 0.0
+                  ELSE fmod(r.r * 3.0 + c.c * 5.0 + b.b * 17.0
+                            + ((r.r // 8 + c.c // 8) % 2) * 50.0, 2000.0) + 1.0
+             END AS dn
+      FROM imgs i,
+           LATERAL (SELECT unnest(range(i.nb)) AS b) b,
+           LATERAL (SELECT unnest(range(i.nrows)) AS r) r,
+           LATERAL (SELECT unnest(range(i.ncols)) AS c) c
+    )
+    """
+
+    # Landsat reflectance, wavelengths Blue/Green/Red: pixel bands are
+    # positional 0..2, factor index is the label position in the
+    # platform band order (L8 labels '2','3','4' -> 1..3; others 0..2)
+    o["dn2toa_bands_synth"] = dn2toa_grid + """
+    , rho AS (
+      SELECT idx, b,
+             (CAST(2e-5 * (1.0 + 0.01 * m + 0.001 * (idx % 5)) AS FLOAT) * CAST(dn AS FLOAT)
+              + CAST(-0.1 * (1.0 + 0.005 * m) AS FLOAT))
+             / CAST(sin(radians(25.0 + CAST(idx * 13 % 40 AS DOUBLE))) AS FLOAT) AS v
+      FROM (SELECT *, b + CASE WHEN platform = 'Landsat8' THEN 1 ELSE 0 END AS m
+            FROM px WHERE platform <> 'Sentinel2' AND b < 3)
+    ),
+    bm AS (SELECT idx, b, avg(CAST(v AS DOUBLE)) AS mean_b FROM rho GROUP BY idx, b)
+    SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+           count(*) AS n_bands, round(avg(mean_b), 4) AS avg_band_mean
+    FROM bm GROUP BY idx
+    """
+
+    # Sentinel-2, all 13 bands: (DN + radio_offset)/QV for processing
+    # baseline >= 4 (idx % 8 < 4), DN/QV otherwise
+    o["dn2toa_synth"] = dn2toa_grid + """
+    , rho AS (
+      SELECT idx, b,
+             CASE WHEN idx % 8 < 4
+                  THEN (CAST(dn AS FLOAT)
+                        + CAST(CASE WHEN (idx + b) % 2 = 0 THEN -1000.0 ELSE 0.0 END AS FLOAT))
+                       / CAST(10000.0 AS FLOAT)
+                  ELSE CAST(dn AS FLOAT) / CAST(10000.0 AS FLOAT)
+             END AS v
+      FROM px WHERE platform = 'Sentinel2'
+    ),
+    bm AS (SELECT idx, b, avg(CAST(v AS DOUBLE)) AS mean_b FROM rho GROUP BY idx, b)
+    SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+           count(*) AS n_bands, round(avg(mean_b), 4) AS avg_band_mean
+    FROM bm GROUP BY idx
     """
 
     o["ann_topk"] = """

@@ -37,10 +37,14 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def materialize_synthetic(spark, sf: float, base: str) -> tuple[str, str, str]:
+def materialize_synthetic(spark, sf: float, base: str) -> tuple[str, str, str, str, str]:
     n_images = max(int(200_000 * sf), 200)
     n_aois = max(int(5_000 * sf), 50)
-    paths = (f"{base}/images", f"{base}/aois", f"{base}/metadata")
+    n_toa = max(int(10_000 * sf), 50)  # scene-like 512 KiB payloads
+    paths = (
+        f"{base}/images", f"{base}/aois", f"{base}/metadata",
+        f"{base}/toa_images", f"{base}/toa_metadata",
+    )
     if not os.path.exists(f"{paths[0]}/_SUCCESS"):
         datagen.gen_images(spark, n_images, profile="bench", skew_frac=0.2).write.mode(
             "overwrite"
@@ -49,6 +53,13 @@ def materialize_synthetic(spark, sf: float, base: str) -> tuple[str, str, str]:
         datagen.gen_metadata(spark, n_images, profile="bench").write.mode("overwrite").parquet(
             paths[2]
         )
+    if not os.path.exists(f"{paths[3]}/_SUCCESS"):
+        datagen.gen_images(spark, n_toa, profile="toa_bench").write.mode("overwrite").parquet(
+            paths[3]
+        )
+        datagen.gen_metadata(spark, n_toa, profile="toa_bench").write.mode("overwrite").parquet(
+            paths[4]
+        )
     return paths
 
 
@@ -56,10 +67,12 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     base = f"/tmp/upss_bench_sf{sf}"
-    images_p, aois_p, meta_p = materialize_synthetic(spark, sf, base)
+    images_p, aois_p, meta_p, toa_img_p, toa_meta_p = materialize_synthetic(spark, sf, base)
     images = spark.read.parquet(images_p)
     aois = spark.read.parquet(aois_p)
     metadata = spark.read.parquet(meta_p)
+    toa_images = spark.read.parquet(toa_img_p)
+    toa_metadata = spark.read.parquet(toa_meta_p)
 
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
@@ -92,6 +105,12 @@ def main() -> None:
     timed(
         "dn2toa_stats",
         lambda: transforms.dn2toa_stats(images, metadata).count(),
+    )
+    # payload-EMITTING TOA pipeline (Arrow-native buffer emitter) over
+    # scene-like 512 KiB images — measures the images-out hot path
+    timed(
+        "dn2toa_pixels",
+        lambda: transforms.dn2toa(toa_images, toa_metadata).count(),
     )
 
     # --- relational / pipeline queries on the driver tables ---------------

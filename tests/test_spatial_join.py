@@ -121,3 +121,71 @@ def test_knn_indexed_matches_broadcast_when_ring_covers(spark):
     g = idx.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
     e = exact.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
     assert (g["image_id"] == e["image_id"]).all()
+
+
+def _scene_at(image_id: str, lon: float, lat: float):
+    # transform places the 100x100 scene's centroid exactly at (lon, lat)
+    a = 1e-4
+    return (image_id, 100, 100, [a, 0.0, lon - 50 * a, 0.0, -a, lat + 50 * a])
+
+
+def _scenes_df(spark, pts):
+    return spark.createDataFrame(
+        [_scene_at(*p) for p in pts],
+        "image_id string, w int, h int, transform array<double>",
+    )
+
+
+def _aoi_df(spark, aoi_id, lon, lat):
+    return spark.createDataFrame(
+        [(aoi_id, lon, lat)], "aoi_id string, centroid_lon double, centroid_lat double"
+    )
+
+
+def test_knn_indexed_exact_fallback_under_return(spark):
+    """VERDICT r2 #4a: all scenes outside the ring -> the raw ring path
+    returns ZERO rows; exact_fallback must equal knn_broadcast."""
+    scenes = _scenes_df(spark, [(f"s{i}", float(i), 40.0) for i in range(10)])
+    aoi = _aoi_df(spark, "a0", 0.0, 0.0)  # 40 deg of latitude away
+    raw = knn.knn_indexed(scenes, aoi, k=3, res=6, ring=1, exact_fallback=False)
+    assert raw.count() < 3  # provable under-return
+    fixed = knn.knn_indexed(scenes, aoi, k=3, res=6, ring=1).toPandas()
+    exact = knn.knn_broadcast(scenes, aoi, k=3).toPandas()
+    f = fixed.sort_values("rank").reset_index(drop=True)
+    e = exact.sort_values("rank").reset_index(drop=True)
+    assert list(f["image_id"]) == list(e["image_id"])
+    assert np.allclose(f["dist_km"], e["dist_km"])
+
+
+def test_knn_indexed_exact_fallback_kth_outside_ring(spark):
+    """VERDICT r2 #4b: the nastier case — the ring holds >= k scenes but
+    a CLOSER scene sits just outside it.  The certificate (k-th distance
+    vs the ring's guaranteed-covered radius) must reject the ring answer
+    and the fallback must return the true kNN."""
+    # centroid cell at res 6: lon cell 5.625 deg, lat cell 2.8125 deg
+    inside_far = [(f"in{i}", 10.9, 5.0 + 0.1 * i) for i in range(3)]  # ~1250 km, inside ring
+    outside_near = [("out0", -6.0, 0.1)]  # ~680 km but 2 lon cells away
+    scenes = _scenes_df(spark, inside_far + outside_near)
+    aoi = _aoi_df(spark, "a0", 0.1, 0.1)
+    raw = knn.knn_indexed(scenes, aoi, k=3, res=6, ring=1, exact_fallback=False).toPandas()
+    assert "out0" not in set(raw["image_id"]), "fixture: out0 must be outside the ring"
+    exact = knn.knn_broadcast(scenes, aoi, k=3).toPandas()
+    assert exact.sort_values("rank")["image_id"].iloc[0] == "out0"
+    fixed = knn.knn_indexed(scenes, aoi, k=3, res=6, ring=1).toPandas()
+    f = fixed.sort_values("rank").reset_index(drop=True)
+    e = exact.sort_values("rank").reset_index(drop=True)
+    assert list(f["image_id"]) == list(e["image_id"])
+    assert np.allclose(f["dist_km"], e["dist_km"])
+
+
+def test_knn_indexed_certified_skips_fallback(spark):
+    """When the ring is sufficient the certified path must keep the ring
+    answer (equal to broadcast) — covering the guard-radius math."""
+    imgs = datagen.gen_images(spark, 200, profile="bench")
+    aois = datagen.gen_aois(spark, 8)
+    exact = knn.knn_broadcast(imgs, aois, k=3).toPandas()
+    idx = knn.knn_indexed(imgs, aois, k=3, res=3, ring=2).toPandas()
+    g = idx.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
+    assert (g["image_id"] == e["image_id"]).all()
+    assert np.allclose(g["dist_km"], e["dist_km"])

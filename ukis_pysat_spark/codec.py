@@ -101,6 +101,28 @@ def encode(arr: np.ndarray, fmt: str = "raw") -> bytes:
     return header + body
 
 
+def encode_chunks(arr: np.ndarray, fmt: str = "raw") -> tuple[bytes, np.ndarray]:
+    """(header bytes, body uint8 array) without materializing one joined
+    bytes object — bulk Arrow emitters (operators/arrowio.py) append the
+    two chunks into a shared buffer, so the raw path costs ZERO payload
+    copies here (the body is a view of the input array)."""
+    arr = promote_3d(np.ascontiguousarray(arr))
+    if np.dtype(arr.dtype.name) not in _DTYPE_CODE:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    dt = arr.dtype.newbyteorder("<")
+    bands, rows, cols = arr.shape
+    header = make_header(fmt, arr.dtype.name, bands, rows, cols)
+    if fmt == "raw":
+        body = arr.astype(dt, copy=False).view(np.uint8).reshape(-1)
+    elif fmt in ("rawz", "q8"):
+        # compressed/lossy bodies are produced by the scalar encoder
+        # (compression materializes a copy regardless)
+        body = np.frombuffer(encode(arr, fmt), dtype=np.uint8)[HEADER_SIZE:]
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return header, body
+
+
 def decode(payload: bytes | bytearray | memoryview, dimorder: str = "first") -> np.ndarray:
     """Decode payload bytes back to a pixel array.
 

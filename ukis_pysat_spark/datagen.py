@@ -68,25 +68,42 @@ _PROFILES = {
     ],
     # bench: constant moderate payload so throughput measures the engine
     "bench": [(1, 128, 128, "int16")],
+    # toa_bench: scene-like 512 KiB payloads for payload-emitting stages
+    # (kept under ~1 MiB/row: input Arrow batches are 128 rows, and 32
+    # concurrent tasks x rows x payload must fit MaxDirectMemorySize)
+    "toa_bench": [(4, 256, 256, "uint16")],
+    # oracle: NOISE-FREE pixels + closed-form metadata so per-band TOA
+    # means are SQL-expressible (the driver's dn2toa value-level oracle).
+    # Shapes are the FULL band stacks of the four platforms (idx % 4
+    # aligns shape and platform; nb == len(BAND_ORDER[p]) makes the
+    # metadata factor arrays label-indexed), small enough that a DuckDB
+    # per-pixel grid stays tiny.  Values stay < 256 for the uint8 rows
+    # (b<=8 -> max 241) so no cast wrap enters the closed form.
+    "oracle": [(7, 6, 9, "uint8"), (9, 7, 8, "uint8"), (11, 6, 7, "uint16"), (13, 5, 8, "uint16")],
 }
 
 _PLATFORMS = ["Landsat5", "Landsat7", "Landsat8", "Sentinel2"]
 
 
-def pixels_for(idx: int, bands: int, rows: int, cols: int, dtype: str, seed: int) -> np.ndarray:
+def pixels_for(
+    idx: int, bands: int, rows: int, cols: int, dtype: str, seed: int, noise: bool = True
+) -> np.ndarray:
     """Recomputable pixel content: gradient + checkerboard + seeded noise.
 
     A strip of nodata(=0) rows at the top makes valid-data-bbox tests
     meaningful (cf. reference get_valid_data_bbox, raster.py:104-111).
+    noise=False (the 'oracle' profile) keeps the content a closed-form
+    function of (idx, b, r, c) that plain SQL can reproduce per pixel.
     """
-    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed * 1_000_003 + idx)))
     r = np.arange(rows, dtype=np.float64)[:, None]
     c = np.arange(cols, dtype=np.float64)[None, :]
     b = np.arange(bands, dtype=np.float64)[:, None, None]
     base = (r * 3.0 + c * 5.0)[None, :, :] + b * 17.0
     checker = (((r // 8).astype(np.int64) + (c // 8).astype(np.int64)) % 2)[None, :, :] * 50.0
-    noise = rng.integers(0, 25, size=(bands, rows, cols)).astype(np.float64)
-    arr = np.mod(base + checker + noise, 2000.0) + 1.0  # 1..2000, 0 reserved as nodata
+    if noise:
+        rng = np.random.Generator(np.random.Philox(key=np.uint64(seed * 1_000_003 + idx)))
+        base = base + rng.integers(0, 25, size=(bands, rows, cols)).astype(np.float64)
+    arr = np.mod(base + checker, 2000.0) + 1.0  # 1..2000, 0 reserved as nodata
     nod = idx % 7 + 1  # 1..7 nodata rows at the top
     arr[:, :nod, :] = 0.0
     return arr.astype(np.dtype(dtype))
@@ -132,11 +149,12 @@ def images_pdf(
     """Generate image rows for the given ids (pure; used inside
     mapInPandas on executors and directly by tests/oracles)."""
     shapes = _PROFILES[profile]
+    noise = profile != "oracle"
     rows = []
     for idx in np.asarray(ids, dtype=np.int64):
         idx = int(idx)
         bands, h_, w_, dtype = shapes[idx % len(shapes)]
-        arr = pixels_for(idx, bands, h_, w_, dtype, seed)
+        arr = pixels_for(idx, bands, h_, w_, dtype, seed, noise=noise)
         if idx == 0:
             lon0, lat0 = REF_ORIGIN
             transform = [REF_PIXEL_X, 0.0, lon0, 0.0, REF_PIXEL_Y, lat0]
@@ -253,8 +271,14 @@ METADATA_SCHEMA = (
 
 def metadata_pdf(ids: np.ndarray, seed: int = 42, profile: str = "mixed") -> pd.DataFrame:
     """Per-image dn2toa rescale factors (the broadcast side of the TOA
-    transform; semantics mirror MTL/MTD contents, raster.py:276-422)."""
+    transform; semantics mirror MTL/MTD contents, raster.py:276-422).
+
+    The 'oracle' profile replaces the seeded factors with CLOSED-FORM
+    functions of (idx, band) — plain double arithmetic any SQL engine
+    reproduces bit-exactly — so the driver's DuckDB oracle can compute
+    the expected TOA statistics from scratch."""
     shapes = _PROFILES[profile]
+    closed_form = profile == "oracle"
     rows = []
     for idx in np.asarray(ids, dtype=np.int64):
         idx = int(idx)
@@ -267,6 +291,25 @@ def metadata_pdf(ids: np.ndarray, seed: int = 42, profile: str = "mixed") -> pd.
             thermal = [i for i in range(nb) if i >= nb - 2] if nb >= 3 else []
         elif platform in ("Landsat5", "Landsat7"):
             thermal = [nb // 2] if nb >= 3 else []
+        if closed_form:
+            rows.append(
+                {
+                    "image_id": f"img{idx:08d}",
+                    "platform": platform,
+                    "sun_elevation": 25.0 + (idx * 13 % 40),
+                    "mult_reflectance": [2e-5 * (1.0 + 0.01 * i + 0.001 * (idx % 5)) for i in range(nb)],
+                    "add_reflectance": [-0.1 * (1.0 + 0.005 * i) for i in range(nb)],
+                    "mult_radiance": [3e-4 * (1.0 + 0.01 * i) for i in range(nb)],
+                    "add_radiance": [0.1 * (1.0 + 0.01 * i) for i in range(nb)],
+                    "k1": [774.0 + i for i in range(nb)],
+                    "k2": [1321.0 + i for i in range(nb)],
+                    "quantification_value": 10000.0,
+                    "radio_add_offset": [-1000.0 if (idx + i) % 2 == 0 else 0.0 for i in range(nb)],
+                    "processing_baseline": 4.0 if idx % 8 < 4 else 2.09,
+                    "thermal_band_idx": [int(t) for t in thermal],
+                }
+            )
+            continue
         rows.append(
             {
                 "image_id": f"img{idx:08d}",

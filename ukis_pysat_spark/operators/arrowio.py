@@ -1,0 +1,146 @@
+"""Arrow-native emitter for image-row stages (the `_TileBuf` pattern of
+operators/tiling.py applied to the full images schema).
+
+Every payload-emitting stage used to build per-row dicts with Python
+``bytes`` payloads into pandas object columns inside ``mapInPandas`` —
+pandas block assembly plus one bytes object per image was the dominant
+constant on pixel-emitting pipelines (removing it took tile_pixels from
+22 s to ~5 s).  This module gives apply_transforms / dn2toa /
+cast_images the same treatment:
+
+- the stage runs as ``mapInArrow``;
+- each output payload is appended as (header, body) uint8 chunks into a
+  shared buffer; one contiguous ``values`` buffer + an int32 offsets
+  cumsum becomes the Arrow binary column directly (zero per-row bytes
+  objects, and for fmt='raw' zero payload copies before the flush);
+- the small metadata columns ride as plain Python lists -> pa.array
+  (one value per IMAGE, negligible next to the payload).
+
+Flushes are bounded by payload bytes, independent of the input batch
+size, so worker memory stays flat however large the images are.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ukis_pysat_spark import codec
+
+# column order is the engine's images schema (datagen.IMAGES_SCHEMA /
+# transforms.IMAGES_OUT_SCHEMA); 'bytes' is the payload column
+META_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+             "bands", "dtype", "crs", "transform", "nodata",
+             "footprint_lon", "footprint_lat", "platform"]
+
+IMAGES_OUT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, bands int, dtype string, crs string, "
+    "transform array<double>, nodata double, "
+    "footprint_lon array<double>, footprint_lat array<double>, "
+    "platform string"
+)
+
+_PA_TYPES = {
+    "image_id": pa.string(),
+    "w": pa.int32(),
+    "h": pa.int32(),
+    "fmt": pa.string(),
+    "caption": pa.string(),
+    "phash": pa.int64(),
+    "bands": pa.int32(),
+    "dtype": pa.string(),
+    "crs": pa.string(),
+    "transform": pa.list_(pa.float64()),
+    "nodata": pa.float64(),
+    "footprint_lon": pa.list_(pa.float64()),
+    "footprint_lat": pa.list_(pa.float64()),
+    "platform": pa.string(),
+}
+
+_PA_SCHEMA = pa.schema(
+    [("image_id", pa.string()), ("bytes", pa.binary())]
+    + [(n, _PA_TYPES[n]) for n in META_COLS[2:]]
+)
+
+
+class ImagesBuf:
+    """Accumulates image rows; flushes ONE RecordBatch whose binary
+    payload column is built from (offsets, values) buffers."""
+
+    def __init__(self) -> None:
+        self.meta: dict[str, list] = {n: [] for n in META_COLS if n != "bytes"}
+        self.chunks: list[np.ndarray] = []  # header/body uint8 chunks
+        self.sizes: list[int] = []  # total payload bytes per row
+        self.n = 0
+        self.nbytes = 0
+
+    def add(self, d: dict, header: bytes, body: np.ndarray) -> None:
+        for k in self.meta:
+            self.meta[k].append(d[k])
+        self.chunks.append(np.frombuffer(header, dtype=np.uint8))
+        self.chunks.append(body)
+        size = len(header) + body.nbytes
+        self.sizes.append(size)
+        self.n += 1
+        self.nbytes += size
+
+    def flush(self) -> pa.RecordBatch:
+        if self.nbytes >= (1 << 31):  # pa.binary() carries int32 offsets
+            raise ValueError(
+                "image batch exceeds 2 GiB of payload; lower flush_bytes "
+                "(a single image's payload must fit one batch)"
+            )
+        offsets = np.empty(self.n + 1, dtype=np.int32)
+        offsets[0] = 0
+        np.cumsum(np.asarray(self.sizes, dtype=np.int64), out=offsets[1:])
+        values = np.concatenate(self.chunks) if self.chunks else np.empty(0, np.uint8)
+        px = pa.Array.from_buffers(
+            pa.binary(), self.n, [None, pa.py_buffer(offsets), pa.py_buffer(values)]
+        )
+        arrays = [pa.array(self.meta["image_id"], type=pa.string()), px] + [
+            pa.array(self.meta[n], type=_PA_TYPES[n]) for n in META_COLS[2:]
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=_PA_SCHEMA)
+
+
+# row_fn contract: dict (python values; 'bytes' is a buffer-protocol
+# object) -> (meta dict WITHOUT payload, pixel array, fmt string)
+RowFn = Callable[[dict], tuple[dict, np.ndarray, str]]
+
+
+def map_image_rows(
+    images: DataFrame,
+    in_cols: list[str],
+    row_fn: RowFn,
+    flush_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Run `row_fn` over every image row and emit images-schema rows
+    through the Arrow-native buffer (one decode + one encode per row,
+    no pandas in the loop)."""
+
+    def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buf = ImagesBuf()
+        for batch in batches:
+            # bulk C-side conversion of the small columns; the payload
+            # column stays Arrow so each row is a zero-copy buffer view
+            names = [n for n in batch.schema.names if n != "bytes"]
+            lists = [batch.column(n).to_pylist() for n in names]
+            payload = batch.column("bytes") if "bytes" in batch.schema.names else None
+            for ri in range(batch.num_rows):
+                row = {n: ls[ri] for n, ls in zip(names, lists)}
+                if payload is not None:
+                    row["bytes"] = payload[ri].as_buffer()
+                d, arr, fmt = row_fn(row)
+                header, body = codec.encode_chunks(arr, fmt)
+                buf.add(d, header, body)
+                if buf.nbytes >= flush_bytes:
+                    yield buf.flush()
+                    buf = ImagesBuf()
+        if buf.n:
+            yield buf.flush()
+
+    return images.select(*in_cols).mapInArrow(emit, schema=IMAGES_OUT_SCHEMA)

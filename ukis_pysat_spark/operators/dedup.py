@@ -87,19 +87,58 @@ def _shingle_table(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
+def expected_candidate_blowup(documents: DataFrame, n: int = 3) -> tuple[float, int]:
+    """(expected naive candidate pairs = sum_sh C(df,2), total shingle
+    rows) from ONE map-side-combinable aggregation over the shingle
+    table.  This is the cheap measured signal the auto path selection
+    uses: the naive self-join's output volume is exactly sum(df^2)/2-ish,
+    so a corpus with hot/boilerplate shingles announces itself here
+    BEFORE the quadratic join is launched."""
+    row = (
+        _shingle_table(documents, n)
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"),
+            F.sum("df").alias("rows"),
+        )
+        .collect()[0]
+    )
+    return float(row["cand"] or 0.0), int(row["rows"] or 0)
+
+
+def choose_prefix_filter(
+    documents: DataFrame, n: int = 3, naive_blowup_factor: float = 20.0
+) -> bool:
+    """True when the measured candidate volume of the naive shingle
+    self-join exceeds ``naive_blowup_factor`` candidate pairs per
+    shingle row — i.e. the join's OUTPUT would dwarf its input and the
+    AllPairs/PPJoin prefix path is the right plan."""
+    cand, rows = expected_candidate_blowup(documents, n)
+    return cand > naive_blowup_factor * max(rows, 1)
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8, prefix_filter: bool = False
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs via shingle join.
 
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the intersection count comes from
     a shingle equi-join, sizes from a per-doc count — no quadratic
     cross join, only pairs sharing >=1 shingle are ever materialized.
-    The default (naive self-join + count aggregate) is the fastest plan
-    when shingle document-frequencies are low; flip ``prefix_filter``
-    on for corpora with hot/boilerplate shingles, where the naive join
-    output grows as sum(df^2) — tests prove the two paths emit
-    IDENTICAL pairs and jaccard values.
+    The naive self-join + count aggregate is the fastest plan when
+    shingle document-frequencies are low, but its candidate volume
+    grows as sum(df^2): one boilerplate shingle shared by 1% of a web
+    corpus emits ~10^10 pairs.  ``prefix_filter=None`` (default)
+    therefore MEASURES the corpus first — one map-side-combinable
+    aggregation over the shingle table (choose_prefix_filter) — and
+    picks the prefix path when the naive join's expected output exceeds
+    20 candidate pairs per shingle row.  Explicit True/False skips the
+    measuring pass.  Tests prove the two paths emit IDENTICAL pairs and
+    jaccard values.
 
     With ``prefix_filter`` the candidate join uses the
     AllPairs/PPJoin prefix principle with a HASH total order: each
@@ -116,6 +155,8 @@ def ngram_jaccard_pairs(
     are negligible and deterministic), re-attached after the ids-only
     pair dedup like minhash_lsh_pairs.
     """
+    if prefix_filter is None:
+        prefix_filter = choose_prefix_filter(documents, n)
     if prefix_filter:
         slack = threshold * (1.0 - 1e-9)  # guard the rounded-threshold boundary
         hashed = F.array_sort(

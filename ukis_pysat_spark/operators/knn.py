@@ -14,15 +14,22 @@ mandated by the north rule.  Two physical strategies:
                    one cell (centroid cell); AOIs explode to a
                    (2r+1)^2 ring neighborhood of their centroid cell at
                    the same resolution; the cell equi-join prunes the
-                   candidate set before the same exact top-k.  Callers
-                   choose r so the ring's inner boundary exceeds the
-                   expected kth distance; tests verify equality with the
-                   exact result at small scale.
+                   candidate set before the same exact top-k.  A
+                   post-condition check certifies each AOI (>= k
+                   candidates AND k-th distance within the ring's
+                   provably-covered radius); AOIs the ring cannot
+                   certify are re-answered EXACTLY by the broadcast
+                   scan, so the operator is exact for any ring size
+                   (exact_fallback=False restores the raw pruned
+                   behavior).  Longitudes are assumed not to wrap at
+                   +-180 (the cell index convention engine-wide).
 
 Ties broken deterministically by image_id so results are retry-stable.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -107,10 +114,24 @@ def knn_points(
 
 
 def knn_indexed(
-    images: DataFrame, aois: DataFrame, k: int = 5, res: int = 6, ring: int = 2
+    images: DataFrame,
+    aois: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    ring: int = 2,
+    exact_fallback: bool = True,
 ) -> DataFrame:
     """Candidate-pruned kNN: scene centroid cell equi-joined against a
-    (2*ring+1)^2 neighborhood of each AOI centroid cell."""
+    (2*ring+1)^2 neighborhood of each AOI centroid cell.
+
+    exact_fallback=True (default) makes the result EXACT regardless of
+    ring size: an AOI's ring answer is kept only when it is provably
+    complete (it found >= k candidates and its k-th distance lies inside
+    the radius the ring is guaranteed to cover); every other AOI is
+    re-answered by the exact broadcast scan.  The stragglers are the
+    exception by construction, so the extra scan carries a tiny
+    broadcast side — and when NO AOI escalates, AQE's empty-relation
+    propagation skips it entirely."""
     n = F.lit(1 << res)
     scenes = scene_centroids(images)
     ix = F.least(F.greatest(F.floor((F.col("scene_lon") + 180.0) / 360.0 * n), F.lit(0)), n - 1)
@@ -156,7 +177,47 @@ def knn_indexed(
             F.col("scene_lon"), F.col("scene_lat"), F.col("centroid_lon"), F.col("centroid_lat")
         ),
     )
-    return _topk(cand, k)
+    ranked = _topk(cand, k)
+    if not exact_fallback:
+        return ranked
+
+    # ---- ring-sufficiency certificate ------------------------------------
+    # A scene OUTSIDE the (2r+1)^2 neighborhood differs from the AOI
+    # centroid by >= ring whole cells in lon or in lat, so its distance
+    # is at least guard_km:
+    #   lat case:  dist >= R * dphi            >= ring*cell_lat * km/deg
+    #   lon case:  dist  = 2R asin sqrt(a) >= 2R sqrt(cos p1 cos p2)
+    #              * |sin(dlam/2)|, and |scene lat| <= |centroid|+ring*
+    #              cell_lat there (else the lat case bounds it), so
+    #              cos p1 cos p2 >= cos^2(lat_abs).
+    # An AOI whose k-th ring distance is inside guard_km provably has
+    # its true kNN inside the ring; anything else goes to the exact
+    # broadcast scan.
+    cell_lat = 180.0 / (1 << res)
+    cell_lon = 360.0 / (1 << res)
+    km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0
+    lat_abs = F.least(
+        F.abs(F.col("centroid_lat")) + F.lit(float(ring) * cell_lat), F.lit(90.0)
+    )
+    guard_lat = F.lit(float(ring) * cell_lat * km_per_deg)
+    guard_lon = (
+        F.lit(2.0 * EARTH_RADIUS_KM)
+        * F.cos(F.radians(lat_abs))
+        * F.sin(F.radians(F.lit(float(ring) * cell_lon)) / 2.0)
+    )
+    guard_km = F.least(guard_lat, guard_lon) * F.lit(1.0 - 1e-9)  # float safety
+
+    stats = ranked.groupBy("aoi_id").agg(
+        F.count("*").alias("_n"), F.max("dist_km").alias("_kth")
+    )
+    checked = aois.select("aoi_id", "centroid_lon", "centroid_lat").join(
+        stats, "aoi_id", "left"
+    )
+    certified = (F.coalesce(F.col("_n"), F.lit(0)) >= k) & (F.col("_kth") <= guard_km)
+    unsat = checked.filter(~certified).select("aoi_id", "centroid_lon", "centroid_lat")
+    sat_ids = checked.filter(certified).select("aoi_id")
+    exact = knn_broadcast(images, unsat, k=k)
+    return ranked.join(F.broadcast(sat_ids), "aoi_id").unionByName(exact)
 
 
 def knn_bruteforce_oracle(

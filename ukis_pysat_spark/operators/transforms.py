@@ -1,12 +1,15 @@
 """Per-pixel / per-image raster transforms (reference P2-P10).
 
-All operators share one execution harness: an Arrow-batched
-``mapInPandas`` that decodes each image's payload ONCE, applies a chain
-of numpy transforms, re-encodes, and updates the geo metadata columns.
-Chaining transforms through :func:`compose` keeps one decode/encode per
-*stage* — the reference instead round-trips the whole raster through an
-in-memory GTiff after every mutation (ukis_pysat/raster.py:189-213),
-which is the per-op tax this design eliminates.
+All operators share one execution harness: an Arrow-native
+``mapInArrow`` stage (operators/arrowio.py) that decodes each image's
+payload ONCE (zero-copy from the Arrow buffer), applies a chain of
+numpy transforms, and appends the re-encoded payload into a shared
+native binary buffer — no pandas block assembly, no per-row Python
+bytes objects.  Chaining transforms through :func:`compose` keeps one
+decode/encode per *stage* — the reference instead round-trips the whole
+raster through an in-memory GTiff after every mutation
+(ukis_pysat/raster.py:189-213), which is the per-op tax this design
+eliminates.
 
 Operators:
 - pixel_math       arbitrary vectorized array math (raster.py:84-102 P2/P3)
@@ -38,82 +41,60 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from ukis_pysat_spark import codec
+from ukis_pysat_spark.operators import arrowio
+from ukis_pysat_spark.operators.arrowio import IMAGES_OUT_SCHEMA, META_COLS as _META_COLS
 
 # A transform takes (arr, meta) and returns (arr, meta); meta is a dict
 # with keys transform (list[6]), nodata, crs.
 TransformFn = Callable[[np.ndarray, dict], tuple[np.ndarray, dict]]
 
-_META_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-              "bands", "dtype", "crs", "transform", "nodata",
-              "footprint_lon", "footprint_lat", "platform"]
-
-IMAGES_OUT_SCHEMA = (
-    "image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash long, bands int, dtype string, crs string, "
-    "transform array<double>, nodata double, "
-    "footprint_lon array<double>, footprint_lat array<double>, "
-    "platform string"
-)
-
 
 def apply_transforms(images: DataFrame, fns: list[TransformFn], out_fmt: str | None = None) -> DataFrame:
-    """Run a chain of transforms with ONE decode + ONE encode per image."""
+    """Run a chain of transforms with ONE decode + ONE encode per image
+    (Arrow-native emitter, see operators/arrowio.py)."""
 
-    FLUSH_BYTES = 64 << 20  # bound worker memory independent of batch size
+    def row_fn(row: dict) -> tuple[dict, np.ndarray, str]:
+        arr = codec.decode(row["bytes"])
+        meta = {
+            "transform": list(row["transform"]),
+            "nodata": row["nodata"],
+            "crs": row["crs"],
+        }
+        for fn in fns:
+            arr, meta = fn(arr, meta)
+        fmt = out_fmt or row["fmt"]
+        t = meta["transform"]
+        a, _, c, _, e, f_ = t
+        h2, w2 = arr.shape[-2], arr.shape[-1]
+        x1, y1 = c + w2 * a, f_ + h2 * e
+        # footprint columns are ALWAYS geographic lon/lat (the spatial
+        # join's cell cover maps degrees): after a CRS change the corner
+        # coords are inverse-projected back
+        cx = np.array([c, x1, x1, c, c])
+        cy = np.array([f_, f_, y1, y1, f_])
+        try:
+            fp_lon, fp_lat = _inv(meta["crs"], cx, cy)
+            fp_lon = [float(v) for v in fp_lon]
+            fp_lat = [float(v) for v in fp_lat]
+        except ValueError:  # CRS without an analytic inverse
+            fp_lon, fp_lat = None, None
+        d = dict(row)
+        d.pop("bytes")
+        d.update(
+            w=int(w2),
+            h=int(h2),
+            fmt=fmt,
+            bands=int(arr.shape[0]),
+            dtype=str(arr.dtype),
+            crs=meta["crs"],
+            transform=[float(v) for v in t],
+            nodata=meta["nodata"],
+            footprint_lon=fp_lon,
+            footprint_lat=fp_lat,
+        )
+        return d, arr, fmt
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_rows = []
-            out_bytes = 0
-            for row in pdf.itertuples(index=False):
-                arr = codec.decode(row.bytes)
-                meta = {
-                    "transform": list(row.transform),
-                    "nodata": row.nodata,
-                    "crs": row.crs,
-                }
-                for fn in fns:
-                    arr, meta = fn(arr, meta)
-                fmt = out_fmt or row.fmt
-                t = meta["transform"]
-                a, _, c, _, e, f_ = t
-                h2, w2 = arr.shape[-2], arr.shape[-1]
-                x1, y1 = c + w2 * a, f_ + h2 * e
-                # footprint columns are ALWAYS geographic lon/lat (the
-                # spatial join's cell cover maps degrees): after a CRS
-                # change the corner coords are inverse-projected back
-                cx = np.array([c, x1, x1, c, c])
-                cy = np.array([f_, f_, y1, y1, f_])
-                try:
-                    fp_lon, fp_lat = _inv(meta["crs"], cx, cy)
-                    fp_lon = [float(v) for v in fp_lon]
-                    fp_lat = [float(v) for v in fp_lat]
-                except ValueError:  # CRS without an analytic inverse
-                    fp_lon, fp_lat = None, None
-                d = row._asdict()
-                payload = codec.encode(arr, fmt)
-                d.update(
-                    bytes=payload,
-                    w=int(w2),
-                    h=int(h2),
-                    fmt=fmt,
-                    bands=int(arr.shape[0]),
-                    dtype=str(arr.dtype),
-                    crs=meta["crs"],
-                    transform=[float(v) for v in t],
-                    nodata=meta["nodata"],
-                    footprint_lon=fp_lon,
-                    footprint_lat=fp_lat,
-                )
-                out_rows.append(d)
-                out_bytes += len(payload)
-                if out_bytes >= FLUSH_BYTES:
-                    yield pd.DataFrame(out_rows, columns=_META_COLS)
-                    out_rows, out_bytes = [], 0
-            if out_rows:
-                yield pd.DataFrame(out_rows, columns=_META_COLS)
-
-    return images.select(*_META_COLS).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
+    return arrowio.map_image_rows(images, _META_COLS, row_fn)
 
 
 def compose(*fns: TransformFn) -> list[TransformFn]:
@@ -388,6 +369,8 @@ def dn2toa(
     image/scene, no payload) — broadcast it so the transform stage is
     shuffle-free.  `wavelengths` selects bands via the platform lookup
     table (reference dn2toa(wavelengths=...), raster.py:276,424-483).
+    Payloads are emitted through the Arrow-native buffer
+    (operators/arrowio.py) — no pandas, no per-row bytes objects.
     """
     joined = images.join(F.broadcast(metadata.drop("platform")), "image_id")
 
@@ -398,47 +381,31 @@ def dn2toa(
         "processing_baseline", "thermal_band_idx",
     ]
 
-    FLUSH_BYTES = 64 << 20
+    def row_fn(row: dict) -> tuple[dict, np.ndarray, str]:
+        toa = dn2toa_arrays(
+            codec.decode(row["bytes"]),
+            row["platform"],
+            row["sun_elevation"],
+            row["mult_reflectance"],
+            row["add_reflectance"],
+            row["mult_radiance"],
+            row["add_radiance"],
+            row["k1"],
+            row["k2"],
+            row["thermal_band_idx"],
+            row["quantification_value"],
+            row["radio_add_offset"],
+            row["processing_baseline"],
+            wavelengths=wavelengths,
+        )
+        fmt = out_fmt or row["fmt"]
+        d = {k: row[k] for k in _META_COLS if k != "bytes"}
+        d["fmt"] = fmt
+        d["dtype"] = "float32"
+        d["bands"] = int(toa.shape[0])
+        return d, toa, fmt
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_rows = []
-            out_bytes = 0
-            for row in pdf.itertuples(index=False):
-                arr = codec.decode(row.bytes)
-                toa = dn2toa_arrays(
-                    arr,
-                    row.platform,
-                    row.sun_elevation,
-                    row.mult_reflectance,
-                    row.add_reflectance,
-                    row.mult_radiance,
-                    row.add_radiance,
-                    row.k1,
-                    row.k2,
-                    row.thermal_band_idx,
-                    row.quantification_value,
-                    row.radio_add_offset,
-                    row.processing_baseline,
-                    wavelengths=wavelengths,
-                )
-                d = {k: getattr(row, k) for k in _META_COLS if k != "bytes"}
-                fmt = out_fmt or row.fmt
-                d["bytes"] = codec.encode(toa, fmt)
-                d["fmt"] = fmt
-                d["dtype"] = "float32"
-                d["transform"] = list(row.transform)
-                d["footprint_lon"] = list(row.footprint_lon)
-                d["footprint_lat"] = list(row.footprint_lat)
-                out_rows.append(d)
-                out_bytes += len(d["bytes"])
-                if out_bytes >= FLUSH_BYTES:
-                    yield pd.DataFrame(out_rows, columns=_META_COLS)
-                    out_rows, out_bytes = [], 0
-            if out_rows:
-                yield pd.DataFrame(out_rows, columns=_META_COLS)
-
-    return joined.select(*_META_COLS, *meta_cols).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
+    return arrowio.map_image_rows(joined, _META_COLS + meta_cols, row_fn)
 
 
 def dn2toa_stats(

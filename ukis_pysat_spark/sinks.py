@@ -11,44 +11,32 @@ compression is the Parquet codec.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from ukis_pysat_spark import codec
-from ukis_pysat_spark.operators.transforms import IMAGES_OUT_SCHEMA, _META_COLS
+from ukis_pysat_spark.operators import arrowio
+from ukis_pysat_spark.operators.arrowio import META_COLS as _META_COLS
 
 
 def cast_images(images: DataFrame, dtype: str = "min", out_fmt: str | None = None) -> DataFrame:
     """Cast every payload to `dtype` ('min' = smallest dtype representing
     the values, per image — reference raster.py:555-556) and re-encode,
-    updating the dtype/fmt metadata columns.  One decode+encode per row.
+    updating the dtype/fmt metadata columns.  One decode+encode per row,
+    emitted through the Arrow-native buffer (operators/arrowio.py).
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                arr = codec.decode(row.bytes)
-                dt = codec.minimum_dtype(arr) if dtype == "min" else dtype
-                out = arr.astype(np.dtype(dt))
-                fmt = out_fmt or row.fmt
-                d = row._asdict()
-                d.update(
-                    bytes=codec.encode(out, fmt),
-                    dtype=str(out.dtype),
-                    fmt=fmt,
-                    transform=list(row.transform),
-                    footprint_lon=None if row.footprint_lon is None else list(row.footprint_lon),
-                    footprint_lat=None if row.footprint_lat is None else list(row.footprint_lat),
-                )
-                rows.append(d)
-            if rows:
-                yield pd.DataFrame(rows, columns=_META_COLS)
+    def row_fn(row: dict) -> tuple[dict, np.ndarray, str]:
+        arr = codec.decode(row["bytes"])
+        dt = codec.minimum_dtype(arr) if dtype == "min" else dtype
+        out = arr.astype(np.dtype(dt), copy=False)
+        fmt = out_fmt or row["fmt"]
+        d = {k: row[k] for k in _META_COLS if k != "bytes"}
+        d["dtype"] = str(out.dtype)
+        d["fmt"] = fmt
+        return d, out, fmt
 
-    return images.select(*_META_COLS).mapInPandas(run, schema=IMAGES_OUT_SCHEMA)
+    return arrowio.map_image_rows(images, _META_COLS, row_fn)
 
 
 def write_images(
