@@ -101,3 +101,68 @@ def test_stream_first_seen_dedup_across_restarts(spark, tmp_path):
     # the replayed duplicate (10) was suppressed by the durable state
     assert after.count() == 3
     assert {r.doc_id for r in after.collect()} - rows == {11}
+
+
+def test_stream_first_seen_ttl_expiry(spark, tmp_path):
+    """VERDICT r2 #8: ttl_seconds bounds state retention.  Semantics are
+    Spark's processing-time timeout model: a fingerprint expires at the
+    first micro-batch that runs past its idle TTL WITHOUT new data for
+    it; until then duplicates stay suppressed.  The test drives one
+    stream through three availableNow runs: suppress within TTL (long
+    TTL leg), then expire + re-emit (short TTL leg with a flush batch
+    that lets the timeout fire)."""
+    import time
+
+    from ukis_pysat_spark.streaming import dedup as sdedup
+
+    def run_once(src, ckpt_dir, out_dir, ttl):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sdedup.stream_first_seen(stream, ttl_seconds=ttl)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # --- leg 1: duplicates within the TTL stay suppressed ---------------
+    src1, ck1, out1 = (str(tmp_path / n) for n in ("s1", "c1", "o1"))
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(src1)
+    run_once(src1, ck1, out1, ttl=600.0)
+    assert spark.read.parquet(out1).count() == 2
+    spark.createDataFrame([(3, "alpha beta")], ["doc_id", "text"]).write.mode(
+        "append"
+    ).parquet(src1)
+    run_once(src1, ck1, out1, ttl=600.0)
+    assert spark.read.parquet(out1).count() == 2, "doc 3 must be suppressed"
+
+    # --- leg 2: idle past the TTL -> expire -> re-emit -------------------
+    src2, ck2, out2 = (str(tmp_path / n) for n in ("s2", "c2", "o2"))
+    spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(src2)
+    run_once(src2, ck2, out2, ttl=1.0)
+    time.sleep(2.0)
+    # flush batch with UNRELATED data: the expired key has no new rows in
+    # this batch, so its timeout fires and the state is removed
+    spark.createDataFrame([(6, "other text")], ["doc_id", "text"]).write.mode(
+        "append"
+    ).parquet(src2)
+    run_once(src2, ck2, out2, ttl=1.0)
+    # the old text replays -> must RE-emit (state was dropped)
+    spark.createDataFrame([(4, "alpha beta")], ["doc_id", "text"]).write.mode(
+        "append"
+    ).parquet(src2)
+    run_once(src2, ck2, out2, ttl=1.0)
+    got = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert 4 in got, "expired fingerprint must re-emit after the TTL"
+    assert got == {1, 6, 4}

@@ -364,3 +364,46 @@ def test_utm_params_requires_determinable_hemisphere():
 
     with _pytest.raises(ValueError, match="unsupported CRS"):
         transforms._fwd("+proj=utm +zone=56", np.array([153.0]), np.array([-33.0]))
+
+
+def test_warp_bilinear_golden_ramp(spark):
+    """VERDICT r2 #7: bilinear resampling against a closed-form linear
+    ramp — a 2x same-CRS upsample of arr[r,c] = 10r + c must reproduce
+    10*fy + fx exactly at every interior destination pixel (bilinear of
+    a linear field IS the field), while nearest provably differs."""
+    ramp = (10.0 * np.arange(16)[:, None] + np.arange(16)[None, :]).astype(np.float64)
+    arr = ramp[None, :, :]
+    meta = {"transform": [0.01, 0.0, 10.0, 0.0, -0.01, 50.0], "nodata": 0.0, "crs": "EPSG:4326"}
+    tgt = dict(
+        target_transform=[0.005, 0.0, 10.0, 0.0, -0.005, 50.0], target_size=(32, 32)
+    )
+    bl, meta_bl = transforms.warp("EPSG:4326", resampling="bilinear", **tgt)(
+        arr.copy(), dict(meta)
+    )
+    nn, _ = transforms.warp("EPSG:4326", resampling="nearest", **tgt)(
+        arr.copy(), dict(meta)
+    )
+    assert bl.shape == (1, 32, 32) and nn.shape == (1, 32, 32)
+    # destination center (i, j) sits at source pixel-center coords
+    # fy = i/2 - 0.25, fx = j/2 - 0.25 (closed form, not impl-derived)
+    ii, jj = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    fy = ii / 2.0 - 0.25
+    fx = jj / 2.0 - 0.25
+    interior = (fx >= 0) & (fx <= 15) & (fy >= 0) & (fy <= 15)
+    expected = 10.0 * fy + fx
+    assert np.allclose(bl[0][interior], expected[interior], atol=1e-9)
+    # nearest yields the step function — must differ on interior pixels
+    assert not np.allclose(nn[0][interior], expected[interior])
+    assert meta_bl["transform"][0] == 0.005
+    # integer dtype: result is rounded, not truncated
+    bl_i, _ = transforms.warp("EPSG:4326", resampling="bilinear", **tgt)(
+        (ramp[None] * 3).astype(np.int32), dict(meta)
+    )
+    assert bl_i.dtype == np.int32
+    assert np.array_equal(
+        bl_i[0][interior], np.rint(3 * expected[interior]).astype(np.int32)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported resampling"):
+        transforms.warp("EPSG:4326", resampling="cubic")

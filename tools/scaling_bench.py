@@ -31,6 +31,7 @@ from ukis_pysat_spark.session import get_spark
 N_IMAGES = int(os.environ.get("SCALE_N_IMAGES", "160000"))
 N_AOIS = int(os.environ.get("SCALE_N_AOIS", "1000"))
 REPS = int(os.environ.get("SCALE_REPS", "3"))
+WARMUPS = int(os.environ.get("SCALE_WARMUPS", "2"))
 BASE = f"/tmp/upss_scale_{N_IMAGES}_{N_AOIS}"
 
 
@@ -97,8 +98,8 @@ def main(cores: int) -> None:
     images = spark.read.parquet(f"{BASE}/images")
     aois = spark.read.parquet(f"{BASE}/aois")
 
-    job(images, aois)  # warm-up (JIT, Python workers)
-    job(images, aois)  # second warm-up: codegen/JIT keeps compiling through run 1
+    for _ in range(WARMUPS):  # JIT/codegen/Python-worker warm-up
+        job(images, aois)
     times, rows = [], 0
     for _ in range(REPS):
         t0 = time.perf_counter()

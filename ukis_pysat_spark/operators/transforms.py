@@ -619,15 +619,26 @@ def warp(
     nodata: float = 0.0,
     target_transform: list | None = None,
     target_size: tuple[int, int] | None = None,
+    resampling: str = "nearest",
 ) -> TransformFn:
-    """Analytic reprojection with nearest resampling (the reference's
-    default resampling_method=0, raster.py:228).
+    """Analytic reprojection with nearest (the reference's default
+    resampling_method=0) or bilinear (=1) resampling — the two most-used
+    entries of the reference's GDAL resampling enum (raster.py:228).
 
     Default grid mirrors calculate_default_transform: the source bbox's
     corners are projected and the output keeps ~the source pixel count
     unless `resolution` overrides it; `target_transform`+`target_size`
     reproduce the reference's target_align (raster.py:235-238).
+
+    Bilinear samples in pixel-CENTER coordinates (4-neighbor weights,
+    edge-replicated), computes in float64 and rounds back for integer
+    dtypes; a destination pixel is valid when its source position lands
+    inside the source extent (same validity rule as nearest).
     """
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(
+            f"unsupported resampling {resampling!r} (nearest | bilinear)"
+        )
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
         src_crs = meta["crs"]
@@ -666,9 +677,31 @@ def warp(
         col = np.floor((sx - c) / a).astype(np.int64)
         row = np.floor((sy - f_) / e).astype(np.int64)
         valid = (col >= 0) & (col < w) & (row >= 0) & (row < h)
-        colc = np.clip(col, 0, w - 1)
-        rowc = np.clip(row, 0, h - 1)
-        out = arr[:, rowc, colc]
+        if resampling == "nearest":
+            colc = np.clip(col, 0, w - 1)
+            rowc = np.clip(row, 0, h - 1)
+            out = arr[:, rowc, colc]
+        else:  # bilinear
+            fx = (sx - c) / a - 0.5  # pixel-center coordinates
+            fy = (sy - f_) / e - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            wx = fx - x0
+            wy = fy - y0
+            x0c = np.clip(x0, 0, w - 1)
+            x1c = np.clip(x0 + 1, 0, w - 1)
+            y0c = np.clip(y0, 0, h - 1)
+            y1c = np.clip(y0 + 1, 0, h - 1)
+            fsrc = arr.astype(np.float64, copy=False)
+            interp = (
+                fsrc[:, y0c, x0c] * ((1.0 - wx) * (1.0 - wy))[None, :, :]
+                + fsrc[:, y0c, x1c] * (wx * (1.0 - wy))[None, :, :]
+                + fsrc[:, y1c, x0c] * ((1.0 - wx) * wy)[None, :, :]
+                + fsrc[:, y1c, x1c] * (wx * wy)[None, :, :]
+            )
+            if np.issubdtype(arr.dtype, np.integer):
+                interp = np.rint(interp)
+            out = interp.astype(arr.dtype)
         out = np.where(valid[None, :, :], out, np.asarray(nodata, dtype=arr.dtype))
         meta = dict(meta, crs=dst_crs, transform=[na, 0.0, nc, 0.0, ne, nf], nodata=nodata)
         return np.ascontiguousarray(out), meta
