@@ -102,6 +102,12 @@ def main() -> None:
         lambda: spatial_join.spatial_join(images, aois, res=12).count(),
     )
     timed("knn", lambda: knn.knn_broadcast(images, aois, k=5).count())
+    # cell-ring pruned kNN with the certified exact fallback (the scale
+    # path for huge scene tables; result provably equals broadcast)
+    timed(
+        "knn_indexed",
+        lambda: knn.knn_indexed(images, aois, k=5, res=6, ring=2).count(),
+    )
     timed(
         "dn2toa_stats",
         lambda: transforms.dn2toa_stats(images, metadata).count(),

@@ -39,7 +39,7 @@ def _build_zip(path: str = "/tmp/upss_scaling.zip") -> str:
     return path
 
 
-def run_leg(cores: int, zip_path: str, reps: int) -> dict:
+def run_leg(cores: int, zip_path: str, reps: int, timeout: int | None = None) -> dict:
     env = dict(os.environ, SCALE_REPS=str(reps), SCALE_WARMUPS="1")
     cmd = [
         "spark-submit",
@@ -50,12 +50,26 @@ def run_leg(cores: int, zip_path: str, reps: int) -> dict:
         os.path.join(REPO, "tools", "scaling_bench.py"),
         str(cores),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
-    for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"leg {cores} produced no JSON:\n{out.stderr[-2000:]}")
+    # a leg that exceeds ~4x its expected wall is a wedged python worker
+    # (observed once: zero-CPU task hang on this sandbox) — kill + retry
+    timeout = timeout or int(os.environ.get("SCALE_LEG_TIMEOUT", "1800"))
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, timeout=timeout
+            )
+        except subprocess.TimeoutExpired:
+            print(f"leg {cores} attempt {attempt} timed out; retrying", file=sys.stderr)
+            continue
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        print(
+            f"leg {cores} attempt {attempt} no JSON:\n{out.stderr[-1500:]}",
+            file=sys.stderr,
+        )
+    raise RuntimeError(f"leg {cores} failed twice")
 
 
 def main() -> None:

@@ -87,15 +87,25 @@ def _shingle_table(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
-def expected_candidate_blowup(documents: DataFrame, n: int = 3) -> tuple[float, int]:
+def expected_candidate_blowup(
+    documents: DataFrame, n: int = 3, sample_mod: int = 10
+) -> tuple[float, int, float]:
     """(expected naive candidate pairs = sum_sh C(df,2), total shingle
-    rows) from ONE map-side-combinable aggregation over the shingle
-    table.  This is the cheap measured signal the auto path selection
-    uses: the naive self-join's output volume is exactly sum(df^2)/2-ish,
-    so a corpus with hot/boilerplate shingles announces itself here
-    BEFORE the quadratic join is launched."""
+    rows, sample fraction) from ONE map-side-combinable aggregation over
+    a deterministic 1/``sample_mod`` document sample (xxhash64(doc_id),
+    retry-stable).  This is the cheap measured signal the auto path
+    selection uses: the naive self-join's output volume is sum(df^2)/2-
+    ish, so a corpus with hot/boilerplate shingles announces itself
+    BEFORE the quadratic join is launched.  Sampling keeps the pre-pass
+    at ~1/sample_mod of one shingle pass even at web scale; the
+    decision ratio rescales exactly (E[C(df_s,2)] = p^2 C(df,2),
+    rows_s = p*rows => ratio_s = p*ratio)."""
+    p = 1.0 / sample_mod
+    sampled = documents.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sample_mod)) == 0
+    ) if sample_mod > 1 else documents
     row = (
-        _shingle_table(documents, n)
+        _shingle_table(sampled, n)
         .groupBy("sh")
         .agg(F.count("*").alias("df"))
         .agg(
@@ -104,18 +114,25 @@ def expected_candidate_blowup(documents: DataFrame, n: int = 3) -> tuple[float, 
         )
         .collect()[0]
     )
-    return float(row["cand"] or 0.0), int(row["rows"] or 0)
+    return float(row["cand"] or 0.0), int(row["rows"] or 0), p
 
 
 def choose_prefix_filter(
-    documents: DataFrame, n: int = 3, naive_blowup_factor: float = 20.0
+    documents: DataFrame,
+    n: int = 3,
+    naive_blowup_factor: float = 20.0,
+    sample_mod: int = 10,
 ) -> bool:
     """True when the measured candidate volume of the naive shingle
     self-join exceeds ``naive_blowup_factor`` candidate pairs per
     shingle row — i.e. the join's OUTPUT would dwarf its input and the
-    AllPairs/PPJoin prefix path is the right plan."""
-    cand, rows = expected_candidate_blowup(documents, n)
-    return cand > naive_blowup_factor * max(rows, 1)
+    AllPairs/PPJoin prefix path is the right plan.  Measured on the
+    deterministic sample; the threshold rescales by the sample
+    fraction (see expected_candidate_blowup)."""
+    cand, rows, p = expected_candidate_blowup(documents, n, sample_mod)
+    if rows == 0:  # degenerate/tiny sample: keep the naive default
+        return False
+    return cand > naive_blowup_factor * p * rows
 
 
 def ngram_jaccard_pairs(
