@@ -79,3 +79,29 @@ def test_exact_dedup_partial_aggregation(spark):
     # map-side partial agg before the exchange
     assert "partial_" in plan.lower() or "HashAggregate" in plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_image_emitting_stages_are_map_in_arrow(spark, images_parquet):
+    """Round 3: the payload-emitting stages (apply_transforms, dn2toa,
+    cast_images) must run as a single MapInArrow above the (possibly
+    broadcast-joined) scan — no MapInPandas, no extra Python nodes."""
+    from ukis_pysat_spark import sinks
+
+    images = spark.read.parquet(images_parquet)
+    # materialize metadata so the datagen MapInPandas source doesn't
+    # show up in the stage plan under audit
+    meta_path = images_parquet + "_meta_plan"
+    datagen.gen_metadata(spark, 24, profile="bench").write.mode("overwrite").parquet(meta_path)
+    meta = spark.read.parquet(meta_path)
+    for df in (
+        transforms.apply_transforms(images, [transforms.pixel_math(lambda a: a + 1)]),
+        transforms.dn2toa(images, meta),
+        sinks.cast_images(images, dtype="min"),
+    ):
+        plan = _plan(df)
+        assert plan.count("MapInArrow") == 1, plan
+        assert "MapInPandas" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # dn2toa keeps the metadata side broadcast
+    plan = _plan(transforms.dn2toa(images, meta))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan

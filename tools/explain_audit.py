@@ -60,6 +60,12 @@ def main() -> None:
             dedup.minhash_lsh_pairs(docs, n=3, n_hashes=32, bands=8),
         "ivf_ann (ids-only inverted-list join; broadcast queries)":
             similarity.ivf_ann(emb, q, k=5, n_lists=8, n_probe=2),
+        "dn2toa payload-emitting (round 3: single MapInArrow above the broadcast join)":
+            transforms.dn2toa(images, meta),
+        "knn_indexed with certified exact fallback (round 3: ring top-k + certificate join; fallback branch under AQE empty-propagation)":
+            knn.knn_indexed(images, aois, k=5, res=6, ring=2),
+        "ngram_jaccard prefix path (per-row hash-order prefixes; no extra shuffle before the candidate join)":
+            dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, prefix_filter=True),
     }
     out = ["# Physical plans of the headline operators",
            "",
