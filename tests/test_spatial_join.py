@@ -189,3 +189,45 @@ def test_knn_indexed_certified_skips_fallback(spark):
     e = exact.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
     assert (g["image_id"] == e["image_id"]).all()
     assert np.allclose(g["dist_km"], e["dist_km"])
+
+
+def test_axis_aligned_box_classifier(spark):
+    """Box-box candidate pairs skip Python refinement; the classifier
+    must accept exactly closed axis-aligned rectangles (either winding)
+    and reject quads, bowties, open rings and degenerate boxes."""
+    rows = [
+        ("rect_ccw", [0.0, 2.0, 2.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0], True),
+        ("rect_cw", [0.0, 0.0, 2.0, 2.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0], True),
+        # same value sets but self-crossing (bowtie): edges not rectilinear
+        ("bowtie", [0.0, 2.0, 0.0, 2.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0], False),
+        ("diamond", [1.0, 2.0, 1.0, 0.0, 1.0], [0.0, 1.0, 2.0, 1.0, 0.0], False),
+        ("open", [0.0, 2.0, 2.0, 0.0, 0.5], [0.0, 0.0, 1.0, 1.0, 0.0], False),
+        ("degenerate", [0.0, 0.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0], False),
+        ("hexagon", [0.0, 1.0, 2.0, 2.0, 1.0, 0.0], [0.0, 0.0, 1.0, 2.0, 2.0, 0.0], False),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "name string, ring_lon array<double>, ring_lat array<double>",
+    ).select(
+        "name", spatial_join.axis_aligned_box(F.col("ring_lon"), F.col("ring_lat")).alias("b")
+    )
+    got = {r.name: r.b for r in df.collect()}
+    assert got == {r[0]: r[3] for r in rows}, got
+
+
+def test_spatial_join_all_box_matches_bruteforce(spark):
+    """All-box corpus (the satellite-scene common case): the join runs
+    the relational fast path end-to-end and must still match the
+    brute-force PIP oracle exactly."""
+    imgs = datagen.gen_images(spark, 120, profile="bench", skew_frac=0.3)
+    # datagen AOIs alternate boxes and quads; keep only the boxes
+    aois = datagen.gen_aois(spark, 40, skew_frac=0.3).filter(
+        spatial_join.axis_aligned_box(F.col("ring_lon"), F.col("ring_lat"))
+    )
+    assert aois.count() > 10
+    got = {(r.image_id, r.aoi_id) for r in spatial_join.spatial_join(imgs, aois, res=12).collect()}
+    exp = {
+        (r.image_id, r.aoi_id)
+        for r in spatial_join.spatial_join_bruteforce(imgs, aois).collect()
+    }
+    assert got == exp

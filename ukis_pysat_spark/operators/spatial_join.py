@@ -70,6 +70,35 @@ def with_cells(df: DataFrame, lon_col: str, lat_col: str, res: int = DEFAULT_RES
     )
 
 
+def axis_aligned_box(lon_col: Column, lat_col: Column) -> Column:
+    """True when a closed 5-vertex ring is an axis-aligned rectangle.
+
+    For such rings the bbox-overlap pre-refine IS the exact
+    intersection test, so box-box candidate pairs need no Python
+    refinement at all.  The check is pure JVM array expressions:
+    4 vertices + closure, exactly two distinct values per axis, and
+    every edge rectilinear (changes exactly one coordinate — this
+    excludes self-crossing 'bowtie' quads that share the same value
+    sets)."""
+    edge_lon_eq = F.zip_with(
+        F.slice(lon_col, 1, 4), F.slice(lon_col, 2, 4), lambda a, b: a == b
+    )
+    edge_lat_eq = F.zip_with(
+        F.slice(lat_col, 1, 4), F.slice(lat_col, 2, 4), lambda a, b: a == b
+    )
+    rectilinear = F.forall(
+        F.zip_with(edge_lon_eq, edge_lat_eq, lambda a, b: a != b), lambda x: x
+    )
+    return (
+        (F.size(lon_col) == 5)
+        & (F.size(F.array_distinct(lon_col)) == 2)
+        & (F.size(F.array_distinct(lat_col)) == 2)
+        & (F.element_at(lon_col, 1) == F.element_at(lon_col, 5))
+        & (F.element_at(lat_col, 1) == F.element_at(lat_col, 5))
+        & rectilinear
+    )
+
+
 def scene_bounds(images: DataFrame) -> DataFrame:
     """Relational scene bbox from (transform, w, h) — no pixel decode."""
     a = F.element_at("transform", 1)
@@ -150,10 +179,36 @@ def spatial_join(
         .dropDuplicates(["image_id", "aoi_id"])
     )
 
-    # re-attach geometry for the exact refine only
-    img_geom = images.select("image_id", "footprint_lon", "footprint_lat")
-    aoi_geom = aois.select("aoi_id", "ring_lon", "ring_lat")
-    cand = cand_ids.join(img_geom, "image_id").join(aoi_geom, "aoi_id")
+    # re-attach geometry for the exact refine only.  Box-box pairs are
+    # ALREADY exact (for axis-aligned rectangles bbox overlap == exact
+    # intersection, and the overlap test ran inside the cell join), so
+    # their geometry arrays are nulled out — they ride through the
+    # refine stage as an id-copy fast path with no Arrow array payload
+    # and no PIP math.  Satellite scenes + box AOIs make this the
+    # common case; nulling (instead of a filtered union) keeps ONE
+    # candidate subtree in the plan (a union would recompute the cell
+    # join per branch).
+    img_geom = images.select(
+        "image_id", "footprint_lon", "footprint_lat",
+        axis_aligned_box(F.col("footprint_lon"), F.col("footprint_lat")).alias("_ibox"),
+    )
+    aoi_geom = aois.select(
+        "aoi_id", "ring_lon", "ring_lat",
+        axis_aligned_box(F.col("ring_lon"), F.col("ring_lat")).alias("_abox"),
+    )
+    easy = F.col("_ibox") & F.col("_abox")
+    cand = (
+        cand_ids.join(img_geom, "image_id")
+        .join(aoi_geom, "aoi_id")
+        .select(
+            "image_id",
+            "aoi_id",
+            F.when(~easy, F.col("footprint_lon")).alias("footprint_lon"),
+            F.when(~easy, F.col("footprint_lat")).alias("footprint_lat"),
+            F.when(~easy, F.col("ring_lon")).alias("ring_lon"),
+            F.when(~easy, F.col("ring_lat")).alias("ring_lat"),
+        )
+    )
 
     return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
 
@@ -169,13 +224,22 @@ def _refine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     dominates at millions of candidate pairs."""
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        # null geometry marks a pair pre-proven by the relational
+        # box-box bbox test — id-copy fast path, no PIP
+        pre = pdf["footprint_lon"].isna()
+        if pre.all():
+            return pdf[["image_id", "aoi_id"]]
+        hard = pdf.loc[~pre]
         keep = geometry.polygon_intersects_pairwise(
-            pdf["footprint_lon"].tolist(),
-            pdf["footprint_lat"].tolist(),
-            pdf["ring_lon"].tolist(),
-            pdf["ring_lat"].tolist(),
+            hard["footprint_lon"].tolist(),
+            hard["footprint_lat"].tolist(),
+            hard["ring_lon"].tolist(),
+            hard["ring_lat"].tolist(),
         )
-        return pdf.loc[keep, ["image_id", "aoi_id"]]
+        return pd.concat(
+            [pdf.loc[pre, ["image_id", "aoi_id"]], hard.loc[keep, ["image_id", "aoi_id"]]],
+            ignore_index=True,
+        )
 
     buf: list[pd.DataFrame] = []
     n = 0
@@ -231,10 +295,18 @@ def points_in_aois(
     )
     pts = points.withColumn("cell", cell)
     aoi_cells = with_cells(
-        aois.select("aoi_id", "ring_lon", "ring_lat"), "ring_lon", "ring_lat", res
+        aois.select(
+            "aoi_id", "ring_lon", "ring_lat",
+            axis_aligned_box(F.col("ring_lon"), F.col("ring_lat")).alias("_abox"),
+        ),
+        "ring_lon",
+        "ring_lat",
+        res,
     )
     # relational point-in-bbox pre-refine kills most false candidates
-    # (cell covers are bbox supersets) before any Python runs
+    # (cell covers are bbox supersets) before any Python runs; for
+    # axis-aligned box AOIs point-in-bbox IS the exact test, so their
+    # rings are nulled out and ride the refine as an id-copy fast path
     cand = (
         pts.join(aoi_cells, "cell")
         .filter(
@@ -243,7 +315,14 @@ def points_in_aois(
             & (F.col(lat_col) >= F.array_min("ring_lat"))
             & (F.col(lat_col) <= F.array_max("ring_lat"))
         )
-        .select(id_col, lon_col, lat_col, "aoi_id", "ring_lon", "ring_lat")
+        .select(
+            id_col,
+            lon_col,
+            lat_col,
+            "aoi_id",
+            F.when(~F.col("_abox"), F.col("ring_lon")).alias("ring_lon"),
+            F.when(~F.col("_abox"), F.col("ring_lat")).alias("ring_lat"),
+        )
     )
     if not exact:
         return cand.select(id_col, "aoi_id")
@@ -252,9 +331,12 @@ def points_in_aois(
         for pdf in batches:
             if not len(pdf):
                 continue
-            # group by AOI so PIP vectorizes across all points of a ring
             parts = []
-            for aoi_id, g in pdf.groupby("aoi_id", sort=False):
+            pre = pdf["ring_lon"].isna()
+            if pre.any():  # box AOIs: bbox test already exact
+                parts.append(pdf.loc[pre, [id_col, "aoi_id"]])
+            # group by AOI so PIP vectorizes across all points of a ring
+            for aoi_id, g in pdf.loc[~pre].groupby("aoi_id", sort=False):
                 ring_lon = np.asarray(g.iloc[0].ring_lon)
                 ring_lat = np.asarray(g.iloc[0].ring_lat)
                 inside = geometry.points_in_polygon(
