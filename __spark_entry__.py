@@ -473,6 +473,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    # the pixel-emitting tiler's geometry IS oracle-checkable: the bench
+    # profile is a fixed 128x128 shape, so per-image tile counts and
+    # pixel areas reduce to the same window enumeration the relational
+    # tiling oracle reproduces (payload fidelity is pytest-gated by the
+    # decoded-slice equality tests)
     def tile_pixels_synth(spark, sf_dir):
         imgs = datagen.gen_images(spark, 32, profile="bench")
         tp = tiling.tile_pixels(imgs, 32, 32, 4)
@@ -740,6 +745,17 @@ def oracle_sql() -> dict[str, str]:
                               CAST(least(greatest(floor((lat + 80) / 8), 0), 19) AS INTEGER) + 1, 1)
                  || ', +ellps=WGS84 +datum=WGS84 +units=m +no_defs' AS proj
         FROM d
+    """
+
+    _bench_imgs_sql = (
+        "SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id, "
+        "CAST(128 AS INTEGER) AS w, CAST(128 AS INTEGER) AS h FROM range(32) t(idx)"
+    )
+    o["tile_pixels_synth"] = f"""
+        WITH wins AS ({_tile_oracle_sql(_bench_imgs_sql, 32, 32, 4)})
+        SELECT image_id, count(*) AS n_tiles,
+               sum(CAST(tw AS BIGINT) * th) AS px_area
+        FROM wins GROUP BY image_id
     """
 
     # P9 dn2toa value-level oracle: recompute the per-band TOA means
