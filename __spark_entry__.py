@@ -420,6 +420,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scene_meta_profile"] = scene_meta_profile
 
+    # the NORTH-RULE CORE operator, hash-gated: the real cell-cover ->
+    # equi-join -> bbox-in-join -> refine pipeline over closed-form
+    # integer-derived scene footprints x AOI boxes.  Box-box pairs are
+    # exactly decided by bbox overlap (axis_aligned_box fast path), so
+    # a SQL overlap join is a TRUE oracle for the whole operator.
+    def spatial_box_join(spark, sf_dir):
+        p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+        lon0 = (F.lit(-30) + (F.col("p_partkey") * 29) % 60).cast("double")
+        lat0 = (F.lit(20) + (F.col("p_partkey") * 31) % 38).cast("double")
+        lon1 = lon0 + 1 + (F.col("p_partkey") % 4).cast("double")
+        lat1 = lat0 + 1 + (F.col("p_partkey") % 3).cast("double")
+        scenes = p.select(
+            F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias("image_id"),
+            F.array(lon0, lon1, lon1, lon0, lon0).alias("footprint_lon"),
+            F.array(lat0, lat0, lat1, lat1, lat0).alias("footprint_lat"),
+        )
+        return spatial_join.spatial_join(scenes, _boxes(spark, sf_dir), res=8)
+
+    q["spatial_box_join"] = spatial_box_join
+
     # P9 value-level oracle: the 'oracle' datagen profile makes pixels
     # AND rescale factors closed-form functions of (idx, band, row, col)
     # — the DuckDB twin recomputes the per-band TOA means from scratch
@@ -745,6 +765,23 @@ def oracle_sql() -> dict[str, str]:
                               CAST(least(greatest(floor((lat + 80) / 8), 0), 19) AS INTEGER) + 1, 1)
                  || ', +ellps=WGS84 +datum=WGS84 +units=m +no_defs' AS proj
         FROM d
+    """
+
+    o["spatial_box_join"] = f"""
+        WITH scenes AS (
+          SELECT 'img' || CAST(p_partkey AS VARCHAR) AS image_id,
+                 CAST(-30 + (p_partkey * 29) % 60 AS DOUBLE) AS s_lon_min,
+                 CAST(20 + (p_partkey * 31) % 38 AS DOUBLE) AS s_lat_min,
+                 CAST(-30 + (p_partkey * 29) % 60 AS DOUBLE) + 1
+                   + CAST(p_partkey % 4 AS DOUBLE) AS s_lon_max,
+                 CAST(20 + (p_partkey * 31) % 38 AS DOUBLE) + 1
+                   + CAST(p_partkey % 3 AS DOUBLE) AS s_lat_max
+          FROM part WHERE p_partkey <= 400
+        ), boxes AS ({_BOXES_SQL})
+        SELECT s.image_id, b.aoi_id
+        FROM scenes s JOIN boxes b
+          ON s.s_lon_min <= b.lon_max AND s.s_lon_max >= b.lon_min
+         AND s.s_lat_min <= b.lat_max AND s.s_lat_max >= b.lat_min
     """
 
     _bench_imgs_sql = (
