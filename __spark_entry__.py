@@ -791,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
     o["tile_pixels_synth"] = f"""
         WITH wins AS ({_tile_oracle_sql(_bench_imgs_sql, 32, 32, 4)})
         SELECT image_id, count(*) AS n_tiles,
-               sum(CAST(tw AS BIGINT) * th) AS px_area
+               CAST(sum(CAST(tw AS BIGINT) * th) AS BIGINT) AS px_area
         FROM wins GROUP BY image_id
     """
 

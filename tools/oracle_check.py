@@ -34,6 +34,14 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(txt.encode()).hexdigest()
 
 
+def dtype_kinds(df: pd.DataFrame) -> list:
+    # int-vs-float drift (e.g. DuckDB HUGEINT -> pandas float64 while
+    # Spark emits int64) must FAIL here: the driver's hash is
+    # dtype-sensitive where the %.6g formatting above is not, so the
+    # mirror must compare dtype kinds explicitly, not paper over them.
+    return [df[c].dtype.kind for c in df.columns]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -61,11 +69,17 @@ def main() -> None:
         g, e = canon(got), canon(exp)
         ok_rows = len(g) == len(e)
         ok_schema = list(g.columns) == list(e.columns)
-        ok_hash = ok_rows and ok_schema and value_hash(g) == value_hash(e)
+        ok_dtypes = ok_schema and dtype_kinds(g) == dtype_kinds(e)
+        ok_hash = (ok_rows and ok_schema and ok_dtypes
+                   and value_hash(g) == value_hash(e))
         status = "OK" if ok_hash else "MISMATCH"
-        print(f"{name}: {status} rows={len(g)}/{len(e)} schema={ok_schema}")
+        print(f"{name}: {status} rows={len(g)}/{len(e)} schema={ok_schema} "
+              f"dtypes={ok_dtypes}")
         if not ok_hash:
             fails += 1
+            if ok_schema and not ok_dtypes:
+                print("  dtype kinds got:", dtype_kinds(g),
+                      "exp:", dtype_kinds(e))
             if ok_schema and ok_rows:
                 neq = (g.round(5).astype(str) != e.round(5).astype(str)) if False else None
                 print("  got head:", g.head(3).to_dict("records"))
