@@ -105,3 +105,37 @@ def test_image_emitting_stages_are_map_in_arrow(spark, images_parquet):
     # dn2toa keeps the metadata side broadcast
     plan = _plan(transforms.dn2toa(images, meta))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_training_sample_is_take_ordered(spark):
+    """The IVF coarse-quantizer training sample must stay a bounded
+    TakeOrderedAndProject (per-partition top-K heap, no global sort
+    exchange) — a full Sort over the embeddings table would turn the
+    fixed-size model fit into a data-scale shuffle."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(64)
+    )
+    plan = _plan(sample)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_multimodal_stages_are_map_in_arrow(spark, images_parquet):
+    """Round 4: the multimodal operators (decode_stats, resize_images,
+    frame_sample) must each run as a single MapInArrow above the scan —
+    no MapInPandas, no per-row Python eval nodes."""
+    from ukis_pysat_spark.operators import multimodal
+
+    images = spark.read.parquet(images_parquet)
+    for df in (
+        multimodal.decode_stats(images),
+        multimodal.resize_images(images, 32, 32),
+        multimodal.frame_sample(images, every_n=2),
+    ):
+        plan = _plan(df)
+        assert plan.count("MapInArrow") == 1, plan
+        assert "MapInPandas" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan

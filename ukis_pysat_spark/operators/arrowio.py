@@ -67,12 +67,26 @@ _PA_SCHEMA = pa.schema(
 )
 
 
-class ImagesBuf:
-    """Accumulates image rows; flushes ONE RecordBatch whose binary
-    payload column is built from (offsets, values) buffers."""
+class PayloadBuf:
+    """Accumulates rows of an arbitrary (meta..., one binary payload)
+    schema; flushes ONE RecordBatch whose payload column is built from
+    (offsets, values) buffers — zero per-row bytes objects.
 
-    def __init__(self) -> None:
-        self.meta: dict[str, list] = {n: [] for n in META_COLS if n != "bytes"}
+    `fields` is the full output field list in order, as (name, pyarrow
+    type) pairs; exactly one field named `payload_name` is the binary
+    payload column (its declared type is ignored — it is always
+    pa.binary())."""
+
+    def __init__(self, fields, payload_name: str = "bytes") -> None:
+        self.fields = list(fields)
+        self.payload_name = payload_name
+        self.types = {n: t for n, t in self.fields}
+        self.meta: dict[str, list] = {
+            n: [] for n, _ in self.fields if n != payload_name
+        }
+        self.schema = pa.schema(
+            [(n, pa.binary() if n == payload_name else t) for n, t in self.fields]
+        )
         self.chunks: list[np.ndarray] = []  # header/body uint8 chunks
         self.sizes: list[int] = []  # total payload bytes per row
         self.n = 0
@@ -101,10 +115,21 @@ class ImagesBuf:
         px = pa.Array.from_buffers(
             pa.binary(), self.n, [None, pa.py_buffer(offsets), pa.py_buffer(values)]
         )
-        arrays = [pa.array(self.meta["image_id"], type=pa.string()), px] + [
-            pa.array(self.meta[n], type=_PA_TYPES[n]) for n in META_COLS[2:]
+        arrays = [
+            px if n == self.payload_name else pa.array(self.meta[n], type=self.types[n])
+            for n, _ in self.fields
         ]
-        return pa.RecordBatch.from_arrays(arrays, schema=_PA_SCHEMA)
+        return pa.RecordBatch.from_arrays(arrays, schema=self.schema)
+
+
+class ImagesBuf(PayloadBuf):
+    """PayloadBuf specialized to the engine's full images schema."""
+
+    def __init__(self) -> None:
+        super().__init__(
+            [("image_id", pa.string()), ("bytes", pa.binary())]
+            + [(n, _PA_TYPES[n]) for n in META_COLS[2:]]
+        )
 
 
 # row_fn contract: dict (python values; 'bytes' is a buffer-protocol
@@ -144,3 +169,61 @@ def map_image_rows(
             yield buf.flush()
 
     return images.select(*in_cols).mapInArrow(emit, schema=IMAGES_OUT_SCHEMA)
+
+
+_DDL_OF_PA = {
+    pa.string(): "string",
+    pa.binary(): "binary",
+    pa.int32(): "int",
+    pa.int64(): "long",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.list_(pa.float64()): "array<double>",
+}
+
+
+def _ddl(fields) -> str:
+    return ", ".join(f"{n} {_DDL_OF_PA[t]}" for n, t in fields)
+
+
+# rows_fn contract: dict (python values; 'bytes' is a buffer-protocol
+# object) -> iterable of (meta dict WITHOUT payload, pixel array, fmt)
+# — zero, one, or many output rows per input row (flatMap).
+RowsFn = Callable[[dict], "Iterator[tuple[dict, np.ndarray, str]]"]
+
+
+def flat_map_payload_rows(
+    images: DataFrame,
+    in_cols: list[str],
+    rows_fn: RowsFn,
+    fields: list,
+    payload_name: str = "bytes",
+    flush_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Generalized Arrow-native emitter: run `rows_fn` over every input
+    row (1 -> N output rows) and emit rows of the caller-declared
+    (meta..., payload binary) schema through a PayloadBuf — same
+    zero-per-row-bytes discipline as map_image_rows, with flushes
+    bounded by payload size, not input batch size."""
+    fields = [(n, t) for n, t in fields]
+
+    def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buf = PayloadBuf(fields, payload_name)
+        for batch in batches:
+            names = [n for n in batch.schema.names if n != "bytes"]
+            lists = [batch.column(n).to_pylist() for n in names]
+            payload = batch.column("bytes") if "bytes" in batch.schema.names else None
+            for ri in range(batch.num_rows):
+                row = {n: ls[ri] for n, ls in zip(names, lists)}
+                if payload is not None:
+                    row["bytes"] = payload[ri].as_buffer()
+                for d, arr, fmt in rows_fn(row):
+                    header, body = codec.encode_chunks(arr, fmt)
+                    buf.add(d, header, body)
+                    if buf.nbytes >= flush_bytes:
+                        yield buf.flush()
+                        buf = PayloadBuf(fields, payload_name)
+        if buf.n:
+            yield buf.flush()
+
+    return images.select(*in_cols).mapInArrow(emit, schema=_ddl(fields))

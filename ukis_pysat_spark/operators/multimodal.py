@@ -6,6 +6,14 @@ are not in this environment) — but the Spark-side plumbing (schema,
 Arrow batch shape, partitioning) is real and tested, so dropping in a
 real decoder is a one-function change.
 
+All three payload-touching operators run as a SINGLE ``mapInArrow``
+stage (round 4): decode_stats assembles columnar output lists directly
+into RecordBatches (no pandas, no per-row dicts), and the two
+payload-EMITTING operators (resize_images, frame_sample) go through the
+Arrow-native PayloadBuf of operators/arrowio.py — one contiguous values
+buffer + offsets per flush, zero per-row Python bytes objects, the same
+discipline as the tiling/dn2toa emitters.
+
 - decode_stats      per-image band statistics (mean/std/min/max) —
                     a feature-extraction pass that never ships pixels.
 - resize_images     nearest-neighbor resize to (out_h, out_w), real
@@ -22,98 +30,118 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from ukis_pysat_spark import codec
+from ukis_pysat_spark.operators import arrowio
 
 STATS_SCHEMA = (
     "image_id string, band int, mean double, std double, "
     "min double, max double, n_valid long"
 )
 
+_STATS_PA_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("band", pa.int32()),
+        ("mean", pa.float64()),
+        ("std", pa.float64()),
+        ("min", pa.float64()),
+        ("max", pa.float64()),
+        ("n_valid", pa.int64()),
+    ]
+)
+
 
 def decode_stats(images: DataFrame, nodata: float | None = 0.0) -> DataFrame:
-    """Per-band pixel statistics over valid (!= nodata) pixels."""
+    """Per-band pixel statistics over valid (!= nodata) pixels.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = codec.decode(r.bytes).astype(np.float64)
+    One mapInArrow stage; the payload column enters as zero-copy Arrow
+    buffer views and the (tiny) output rows are assembled as columnar
+    lists -> one RecordBatch per input batch — no pandas anywhere."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("image_id").to_pylist()
+            payload = batch.column("bytes")
+            cols: dict[str, list] = {n: [] for n in _STATS_PA_SCHEMA.names}
+            for ri in range(batch.num_rows):
+                arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
                 for b in range(arr.shape[0]):
                     plane = arr[b]
                     if nodata is not None:
                         plane = plane[plane != nodata]
                     n = plane.size
-                    rows.append(
-                        {
-                            "image_id": r.image_id,
-                            "band": b,
-                            "mean": float(plane.mean()) if n else 0.0,
-                            "std": float(plane.std()) if n else 0.0,
-                            "min": float(plane.min()) if n else 0.0,
-                            "max": float(plane.max()) if n else 0.0,
-                            "n_valid": int(n),
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
+                    cols["image_id"].append(ids[ri])
+                    cols["band"].append(b)
+                    cols["mean"].append(float(plane.mean()) if n else 0.0)
+                    cols["std"].append(float(plane.std()) if n else 0.0)
+                    cols["min"].append(float(plane.min()) if n else 0.0)
+                    cols["max"].append(float(plane.max()) if n else 0.0)
+                    cols["n_valid"].append(int(n))
+            if cols["image_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[f.name], type=f.type)
+                        for f in _STATS_PA_SCHEMA
+                    ],
+                    schema=_STATS_PA_SCHEMA,
+                )
 
-    return images.select("image_id", "bytes").mapInPandas(run, schema=STATS_SCHEMA)
+    return images.select("image_id", "bytes").mapInArrow(run, schema=STATS_SCHEMA)
 
 
 def resize_images(images: DataFrame, out_h: int, out_w: int, out_fmt: str = "raw") -> DataFrame:
-    """Nearest-neighbor resize; emits (image_id, bytes, w, h, caption)."""
+    """Nearest-neighbor resize; emits (image_id, bytes, w, h, caption)
+    through the Arrow-native payload buffer (1 -> 1 rows_fn)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = codec.decode(r.bytes)
-                ri = (np.arange(out_h) * arr.shape[1] // out_h).astype(np.int64)
-                ci = (np.arange(out_w) * arr.shape[2] // out_w).astype(np.int64)
-                small = arr[:, ri[:, None], ci[None, :]]
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "bytes": codec.encode(np.ascontiguousarray(small), out_fmt),
-                        "w": out_w,
-                        "h": out_h,
-                        "caption": r.caption,
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
+    def rows_fn(row: dict):
+        arr = codec.decode(row["bytes"])
+        ri = (np.arange(out_h) * arr.shape[1] // out_h).astype(np.int64)
+        ci = (np.arange(out_w) * arr.shape[2] // out_w).astype(np.int64)
+        small = np.ascontiguousarray(arr[:, ri[:, None], ci[None, :]])
+        meta = {
+            "image_id": row["image_id"],
+            "w": out_w,
+            "h": out_h,
+            "caption": row["caption"],
+        }
+        yield meta, small, out_fmt
 
-    return images.select("image_id", "bytes", "caption").mapInPandas(
-        run, schema="image_id string, bytes binary, w int, h int, caption string"
+    return arrowio.flat_map_payload_rows(
+        images,
+        ["image_id", "bytes", "caption"],
+        rows_fn,
+        fields=[
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("caption", pa.string()),
+        ],
     )
 
 
 def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
     """Sample every nth frame of a (frames, rows, cols) payload; the
     deterministic fake video decode is the codec itself (band axis =
-    time axis)."""
+    time axis).  1 -> N emission through the Arrow-native buffer."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = codec.decode(r.bytes)
-                for fi in range(0, arr.shape[0], every_n):
-                    rows.append(
-                        {
-                            "image_id": r.image_id,
-                            "frame": fi,
-                            "bytes": codec.encode(arr[fi]),
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
+    def rows_fn(row: dict):
+        arr = codec.decode(row["bytes"])
+        for fi in range(0, arr.shape[0], every_n):
+            yield {"image_id": row["image_id"], "frame": fi}, arr[fi], "raw"
 
-    return videos.select("image_id", "bytes").mapInPandas(
-        run, schema="image_id string, frame int, bytes binary"
+    return arrowio.flat_map_payload_rows(
+        videos,
+        ["image_id", "bytes"],
+        rows_fn,
+        fields=[
+            ("image_id", pa.string()),
+            ("frame", pa.int32()),
+            ("bytes", pa.binary()),
+        ],
     )
 
 
@@ -122,15 +150,18 @@ def decode_audio(audio: DataFrame) -> DataFrame:
     schema are the real plumbing; the decoder raises with a clear
     message the moment a task touches a payload."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows:
                 raise NotImplementedError(
                     "audio decode requires an audio codec library not present "
                     "in this environment; plug a decoder into decode_audio.run"
                 )
-            yield pd.DataFrame({"image_id": [], "n_samples": []})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([], type=pa.string()), pa.array([], type=pa.int64())],
+            names=["image_id", "n_samples"],
+        )
 
-    return audio.select("image_id", "bytes").mapInPandas(
+    return audio.select("image_id", "bytes").mapInArrow(
         run, schema="image_id string, n_samples long"
     )
