@@ -231,3 +231,181 @@ def test_spatial_join_all_box_matches_bruteforce(spark):
         for r in spatial_join.spatial_join_bruteforce(imgs, aois).collect()
     }
     assert got == exp
+
+
+# --- antimeridian + closed-boundary semantics (round 4) -----------------------
+
+
+def _box_ring(lon_w, lon_e, lat_s, lat_n):
+    return (
+        [lon_w, lon_e, lon_e, lon_w, lon_w],
+        [lat_s, lat_s, lat_n, lat_n, lat_s],
+    )
+
+
+def _aois_from_rings(spark, rows):
+    data = []
+    for aoi_id, (rlon, rlat) in rows:
+        data.append((aoi_id, rlon, rlat,
+                     float(np.mean(rlon[:-1])), float(np.mean(rlat[:-1])),
+                     min(rlon), min(rlat), max(rlon), max(rlat)))
+    return spark.createDataFrame(data, datagen.AOI_SCHEMA)
+
+
+def _imgs_from_rings(spark, rows):
+    return spark.createDataFrame(
+        [(i, rlon, rlat) for i, (rlon, rlat) in rows],
+        "image_id string, footprint_lon array<double>, footprint_lat array<double>",
+    )
+
+
+def test_spatial_join_antimeridian(spark):
+    """Scenes/AOIs straddling +-180: wrapped rings must join across the
+    seam, seam-touching pairs count (closed semantics), and a wrapped
+    ring must NOT swallow the whole planet (planar-naive behavior)."""
+    scenes = [
+        ("A", _box_ring(178.0, -178.0, 0.0, 2.0)),   # crosses the seam
+        ("C", _box_ring(176.0, 177.0, 0.0, 1.0)),    # mid-east, no wrap
+        ("D", _box_ring(170.0, 180.0, 0.0, 1.0)),    # east edge exactly +180
+    ]
+    aois = [
+        ("B1", _box_ring(179.0, 179.5, 0.5, 1.0)),
+        ("B2", _box_ring(-179.5, -179.0, 0.5, 1.0)),
+        ("B3", _box_ring(0.0, 1.0, 0.0, 1.0)),       # far side of the world
+        ("B4", _box_ring(179.0, -179.0, 0.5, 1.0)),  # crosses the seam
+        ("B5", _box_ring(-180.0, -170.0, 0.0, 1.0)), # west edge exactly -180
+    ]
+    imgs = _imgs_from_rings(spark, scenes)
+    adf = _aois_from_rings(spark, aois)
+    expected = {
+        ("A", "B1"), ("A", "B2"), ("A", "B4"), ("A", "B5"),
+        ("D", "B1"), ("D", "B4"), ("D", "B5"),
+    }
+    got = _pairs(spatial_join.spatial_join(imgs, adf, res=12))
+    assert got == expected, got
+    brute = _pairs(spatial_join.spatial_join_bruteforce(imgs, adf))
+    assert brute == expected, brute
+
+
+def test_points_in_aois_antimeridian(spark):
+    """Points near/at +-180 against wrapped box and wrapped NON-box
+    AOIs; a planar-naive ring would both lose seam points and gain the
+    whole mid-world."""
+    quad = (  # seam-crossing trapezoid -> NOT axis-aligned: real PIP path
+        [178.0, -178.0, -178.5, 178.5, 178.0],
+        [0.0, 0.0, 2.0, 2.0, 0.0],
+    )
+    aois = [
+        ("B4", _box_ring(179.0, -179.0, 0.5, 1.0)),
+        ("B5", _box_ring(-180.0, -170.0, 0.0, 1.0)),
+        ("Q", quad),
+    ]
+    pts = [
+        ("p1", 179.9, 0.7),    # eastern seam side
+        ("p2", -179.9, 0.7),   # western seam side
+        ("p3", 0.0, 0.7),      # mid-world: inside the PLANAR span only
+        ("p4", 180.0, 0.5),    # exactly on the seam
+        ("p5", 177.9, 1.0),    # inside planar quad bbox, outside real quad
+    ]
+    pts_df = spark.createDataFrame(pts, "point_id string, lon double, lat double")
+    adf = _aois_from_rings(spark, aois)
+    got = set(
+        (r.point_id, r.aoi_id)
+        for r in spatial_join.points_in_aois(pts_df, adf).collect()
+    )
+    expected = {
+        ("p1", "B4"), ("p2", "B4"), ("p4", "B4"),
+        ("p2", "B5"), ("p4", "B5"),
+        ("p1", "Q"), ("p2", "Q"), ("p4", "Q"),
+    }
+    assert got == expected, got
+
+
+def test_knn_indexed_antimeridian(spark):
+    """The ring neighborhood must WRAP at +-180: scenes on the far side
+    of the seam are genuine ring candidates (not fallback rescues), so
+    the RAW pruned path (exact_fallback=False) already equals the
+    periodic-haversine broadcast top-k."""
+    scenes = _scenes_df(
+        spark,
+        [
+            ("s_e1", 179.2, 0.0),
+            ("s_e2", 179.8, 0.0),
+            ("s_w1", -179.7, 0.0),
+            ("s_far", 170.0, 0.0),
+        ],
+    )
+    aoi = _aoi_df(spark, "a0", -179.9, 0.0)
+    exact = knn.knn_broadcast(scenes, aoi, k=3).toPandas().sort_values("rank")
+    assert list(exact["image_id"]) == ["s_w1", "s_e2", "s_e1"]
+    raw = (
+        knn.knn_indexed(scenes, aoi, k=3, res=6, ring=1, exact_fallback=False)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(raw["image_id"]) == list(exact["image_id"])
+    assert np.allclose(raw["dist_km"], exact["dist_km"])
+    cert = (
+        knn.knn_indexed(scenes, aoi, k=3, res=6, ring=1)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(cert["image_id"]) == list(exact["image_id"])
+
+
+def test_boundary_touch_consistent_across_paths(spark):
+    """ADVICE r3: closed boundary semantics must not depend on the
+    representation.  Abutting rectangles (shared edge / shared corner)
+    must join whether the rings classify as axis-aligned boxes (fast
+    path) or not (general PIP refine via a redundant midpoint vertex)."""
+    box = _box_ring(0.0, 2.0, 0.0, 2.0)
+    # same rectangle with a redundant vertex: NOT box-classified
+    hexa = ([0.0, 1.0, 2.0, 2.0, 0.0, 0.0], [0.0, 0.0, 0.0, 2.0, 2.0, 0.0])
+    edge_touch = _box_ring(2.0, 3.0, 0.0, 2.0)    # shares edge x=2
+    corner_touch = _box_ring(2.0, 3.0, 2.0, 3.0)  # shares corner (2,2)
+    gap = _box_ring(2.1, 3.0, 0.0, 2.0)
+    for scene_ring in (box, hexa):
+        imgs = _imgs_from_rings(spark, [("s", scene_ring)])
+        adf = _aois_from_rings(
+            spark, [("edge", edge_touch), ("corner", corner_touch), ("gap", gap)]
+        )
+        got = _pairs(spatial_join.spatial_join(imgs, adf, res=12))
+        assert got == {("s", "edge"), ("s", "corner")}, (scene_ring, got)
+
+
+def test_point_on_edge_consistent_across_paths(spark):
+    """A point exactly on the rectangle edge is inside (closed), via
+    both the box fast path and the general PIP refine."""
+    box = _box_ring(0.0, 2.0, 0.0, 2.0)
+    hexa = ([0.0, 1.0, 2.0, 2.0, 0.0, 0.0], [0.0, 0.0, 0.0, 2.0, 2.0, 0.0])
+    pts = spark.createDataFrame(
+        [("edge", 2.0, 1.0), ("corner", 2.0, 2.0), ("out", 2.0001, 1.0)],
+        "point_id string, lon double, lat double",
+    )
+    for name, ring in (("box", box), ("hexa", hexa)):
+        adf = _aois_from_rings(spark, [("a", ring)])
+        got = {r.point_id for r in spatial_join.points_in_aois(pts, adf).collect()}
+        assert got == {"edge", "corner"}, (name, got)
+
+
+def test_polygon_intersects_boundary_and_wrap_units():
+    sq = _box_ring(0.0, 2.0, 0.0, 2.0)
+    assert geometry.polygon_intersects(*sq, *_box_ring(2.0, 3.0, 0.0, 2.0))
+    assert geometry.polygon_intersects(*sq, *_box_ring(2.0, 3.0, 2.0, 3.0))
+    assert not geometry.polygon_intersects(*sq, *_box_ring(2.0001, 3.0, 0.0, 2.0))
+    wrap_a = _box_ring(178.0, -178.0, 0.0, 2.0)
+    assert geometry.polygon_intersects(*wrap_a, *_box_ring(179.0, 179.5, 0.5, 1.0))
+    assert geometry.polygon_intersects(*wrap_a, *_box_ring(-179.5, -179.0, 0.5, 1.0))
+    assert not geometry.polygon_intersects(*wrap_a, *_box_ring(0.0, 1.0, 0.0, 1.0))
+    # pairwise twin agrees
+    got = geometry.polygon_intersects_pairwise(
+        [np.array(wrap_a[0])] * 3,
+        [np.array(wrap_a[1])] * 3,
+        [np.array(_box_ring(179.0, 179.5, 0.5, 1.0)[0]),
+         np.array(_box_ring(-179.5, -179.0, 0.5, 1.0)[0]),
+         np.array(_box_ring(0.0, 1.0, 0.0, 1.0)[0])],
+        [np.array(_box_ring(179.0, 179.5, 0.5, 1.0)[1]),
+         np.array(_box_ring(-179.5, -179.0, 0.5, 1.0)[1]),
+         np.array(_box_ring(0.0, 1.0, 0.0, 1.0)[1])],
+    )
+    assert got.tolist() == [True, True, False]

@@ -40,23 +40,33 @@ def cell_id(res: int, ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
 
 
 def cell_of_points(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
-    """Cell id containing each (lon, lat) point. Vectorized."""
+    """Cell id containing each (lon, lat) point. Vectorized.  Longitude
+    folds modulo n (a point at exactly +180 lands in seam cell 0);
+    latitude clamps at the poles."""
     n = 1 << res
-    ix = np.clip(((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    ix = np.floor((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64) % n
     iy = np.clip(((np.asarray(lat) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
     return cell_id(res, ix, iy)
 
 
 def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int) -> np.ndarray:
-    """All cells at `res` intersecting the bbox (exact rectangle cover)."""
+    """All cells at `res` intersecting the bbox (exact rectangle cover).
+
+    Antimeridian convention: lon_min > lon_max denotes a bbox that
+    crosses +-180 and covers [lon_min, 180] U [-180, lon_max]; the ix
+    range wraps modulo n."""
     n = 1 << res
     ix0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
-    ix1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * n), 0, n - 1))
+    ix1_raw = int(np.floor((lon_max + 180.0) / 360.0 * n))
     iy0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * n), 0, n - 1))
     iy1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * n), 0, n - 1))
-    ix = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    if lon_min > lon_max:  # wrapped interval
+        ix1_raw += n
+    # east edge folds modulo n (exactly +180 gains seam cell 0),
+    # bounded to one revolution — mirrors spatial_join.with_cells
+    ix = np.arange(ix0, min(ix1_raw, ix0 + n - 1) + 1, dtype=np.int64) % n
     iy = np.arange(iy0, iy1 + 1, dtype=np.int64)
-    gx, gy = np.meshgrid(ix, iy, indexing="ij")
+    gx, gy = np.meshgrid(np.unique(ix), iy, indexing="ij")
     return cell_id(res, gx.ravel(), gy.ravel())
 
 
@@ -73,13 +83,14 @@ def cover_polygon(ring_lon: np.ndarray, ring_lat: np.ndarray, res: int) -> np.nd
 
 
 def neighbors(cell: int, k: int = 1) -> np.ndarray:
-    """Cells within a (2k+1)^2 square ring neighborhood (clamped at the
-    antimeridian/poles rather than wrapped — fixtures stay mid-lat)."""
+    """Cells within a (2k+1)^2 square ring neighborhood.  Longitude
+    WRAPS at the antimeridian (ix mod n); latitude clamps at the
+    poles (no cells beyond them)."""
     res = int(cell >> 58)
     n = 1 << res
     ix = int((cell >> 29) & ((1 << 29) - 1))
     iy = int(cell & ((1 << 29) - 1))
-    xs = np.clip(np.arange(ix - k, ix + k + 1), 0, n - 1)
+    xs = np.arange(ix - k, ix + k + 1) % n
     ys = np.clip(np.arange(iy - k, iy + k + 1), 0, n - 1)
     gx, gy = np.meshgrid(np.unique(xs), np.unique(ys), indexing="ij")
     return cell_id(res, gx.ravel(), gy.ravel())
@@ -88,19 +99,42 @@ def neighbors(cell: int, k: int = 1) -> np.ndarray:
 # --- point in polygon ----------------------------------------------------
 
 
-def points_in_polygon(
-    px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray
-) -> np.ndarray:
-    """Ray-casting point-in-polygon, vectorized over points.
+def unwrap_ring(ring_x: np.ndarray) -> np.ndarray:
+    """Normalize one ring's longitudes for the antimeridian: a ring
+    whose planar lon span exceeds 180 deg is taken to cross +-180
+    (engine-wide convention: physical extent < 180 deg), and its
+    negative lons are shifted +360 into a continuous [0, 360) frame."""
+    rx = np.asarray(ring_x, dtype=np.float64)
+    if rx.size and (rx.max() - rx.min()) > 180.0:
+        rx = np.where(rx < 0.0, rx + 360.0, rx)
+    return rx
 
-    Matches the even-odd rule (the semantics of shapely `contains` for
-    simple polygons up to boundary cases; test points avoid boundaries).
-    Ring may be open or closed; orientation irrelevant.
+
+def points_in_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_x: np.ndarray,
+    ring_y: np.ndarray,
+    include_boundary: bool = True,
+) -> np.ndarray:
+    """Point-in-polygon, vectorized over points.
+
+    CLOSED boundary semantics by default (engine-wide convention:
+    'inside' includes the boundary, matching the relational <=/>=
+    bbox fast path for axis-aligned boxes); include_boundary=False
+    gives the raw even-odd ray-cast (open-ish boundary).
+    Ring may be open or closed; orientation irrelevant.  Antimeridian:
+    rings spanning +-180 are unwrapped and each point is shifted into
+    the ring's frame (longitudes are periodic).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     rx = np.asarray(ring_x, dtype=np.float64)
     ry = np.asarray(ring_y, dtype=np.float64)
+    rx = unwrap_ring(rx)
+    if rx.size:
+        mid = (rx.min() + rx.max()) / 2.0
+        px = px + 360.0 * np.round((mid - px) / 360.0)
     if rx[0] == rx[-1] and ry[0] == ry[-1] and len(rx) > 1:
         rx, ry = rx[:-1], ry[:-1]
     x1, y1 = rx, ry
@@ -112,22 +146,42 @@ def points_in_polygon(
     with np.errstate(divide="ignore", invalid="ignore"):
         xin = (x2 - x1)[None, :] * (pyc - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
     crossings = cond & (pxc < xin)
-    return crossings.sum(axis=1) % 2 == 1
+    inside = crossings.sum(axis=1) % 2 == 1
+    if include_boundary:
+        crossv = (x2 - x1)[None, :] * (pyc - y1[None, :]) - (y2 - y1)[None, :] * (
+            pxc - x1[None, :]
+        )
+        within = (
+            (pxc >= np.minimum(x1, x2)[None, :])
+            & (pxc <= np.maximum(x1, x2)[None, :])
+            & (pyc >= np.minimum(y1, y2)[None, :])
+            & (pyc <= np.maximum(y1, y2)[None, :])
+        )
+        inside |= ((crossv == 0.0) & within).any(axis=1)
+    return inside
 
 
 def polygon_intersects(ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray) -> bool:
-    """True iff simple polygons A and B intersect (share any point).
+    """True iff simple polygons A and B intersect — CLOSED semantics
+    ('share any point', boundary included, matching the relational
+    <=/>= bbox fast path for axis-aligned boxes).
 
-    Sufficient & complete test for simple polygons:
-    any vertex of A in B, any vertex of B in A, or any edge pair crosses.
+    Sufficient & complete test for simple polygons: any vertex of A
+    inside-or-on B, any vertex of B inside-or-on A, or any edge pair
+    properly crosses (a crossing with no vertex on/inside the other
+    ring is always proper).  Antimeridian-crossing rings are unwrapped
+    and brought into a common frame first.
     """
-    ax = np.asarray(ax, dtype=np.float64)
+    ax = unwrap_ring(np.asarray(ax, dtype=np.float64))
     ay = np.asarray(ay, dtype=np.float64)
-    bx = np.asarray(bx, dtype=np.float64)
+    bx = unwrap_ring(np.asarray(bx, dtype=np.float64))
     by = np.asarray(by, dtype=np.float64)
-    if points_in_polygon(ax, ay, bx, by).any():
+    mid_a = (ax.min() + ax.max()) / 2.0
+    mid_b = (bx.min() + bx.max()) / 2.0
+    bx = bx + 360.0 * np.round((mid_a - mid_b) / 360.0)
+    if points_in_polygon(ax, ay, bx, by, include_boundary=True).any():
         return True
-    if points_in_polygon(bx, by, ax, ay).any():
+    if points_in_polygon(bx, by, ax, ay, include_boundary=True).any():
         return True
     return edges_cross(ax, ay, bx, by)
 
@@ -218,6 +272,46 @@ def pip_pairwise(PX: np.ndarray, PY: np.ndarray, RX: np.ndarray, RY: np.ndarray)
     return ((cond & (px < xin)).sum(axis=2) % 2) == 1
 
 
+def on_boundary_pairwise(
+    PX: np.ndarray, PY: np.ndarray, RX: np.ndarray, RY: np.ndarray
+) -> np.ndarray:
+    """Row-wise point-on-ring-boundary: is point (PX[i,j], PY[i,j]) on
+    any edge of closed padded ring i?  -> (n, ka) bool.  Exact (zero
+    cross product + segment bbox), matching the <=/>= closed-boundary
+    convention of the relational box fast path."""
+    x1 = RX[:, None, :-1]
+    x2 = RX[:, None, 1:]
+    y1 = RY[:, None, :-1]
+    y2 = RY[:, None, 1:]
+    px = PX[:, :, None]
+    py = PY[:, :, None]
+    crossv = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    within = (
+        (px >= np.minimum(x1, x2))
+        & (px <= np.maximum(x1, x2))
+        & (py >= np.minimum(y1, y2))
+        & (py <= np.maximum(y1, y2))
+    )
+    return ((crossv == 0.0) & within).any(axis=2)
+
+
+def unwrap_rings_padded(RX: np.ndarray) -> np.ndarray:
+    """Row-wise antimeridian unwrap of padded rings: rows whose lon
+    span exceeds 180 get their negative lons shifted +360 (see
+    unwrap_ring).  Returns a new array; non-wrapping rows unchanged."""
+    if not RX.size:
+        return RX
+    span = RX.max(axis=1) - RX.min(axis=1)
+    wraps = span > 180.0
+    if not wraps.any():
+        return RX
+    RX = RX.copy()
+    rows = np.where(wraps)[0]
+    sub = RX[rows]
+    RX[rows] = np.where(sub < 0.0, sub + 360.0, sub)
+    return RX
+
+
 def _edges_cross_pairwise(AX, AY, BX, BY) -> np.ndarray:
     """Any proper edge crossing between ring A[i] and ring B[i] -> (n,) bool."""
     a1x, a1y = AX[:, :-1, None], AY[:, :-1, None]
@@ -237,15 +331,35 @@ def _edges_cross_pairwise(AX, AY, BX, BY) -> np.ndarray:
 
 
 def polygon_intersects_pairwise(rings_ax, rings_ay, rings_bx, rings_by) -> np.ndarray:
-    """Vectorized polygon-intersects over n (A[i], B[i]) ring pairs.
-    Same semantics as polygon_intersects, evaluated for a whole Arrow
-    batch at once (the refine hot path of the spatial join)."""
+    """Vectorized polygon-intersects over n (A[i], B[i]) ring pairs —
+    CLOSED semantics ('share any point', boundary included), same as
+    polygon_intersects, evaluated for a whole Arrow batch at once (the
+    refine hot path of the spatial join).
+
+    Antimeridian: each ring is unwrapped row-wise, then B is shifted
+    by the unique multiple of 360 that brings it into A's frame (both
+    spans < 180 deg by convention, so the relative placement with any
+    physical overlap is unique)."""
     AX, AY = pad_rings(rings_ax, rings_ay)
     BX, BY = pad_rings(rings_bx, rings_by)
+    AX = unwrap_rings_padded(AX)
+    BX = unwrap_rings_padded(BX)
+    if AX.size and BX.size:
+        mid_a = (AX.min(axis=1) + AX.max(axis=1)) / 2.0
+        mid_b = (BX.min(axis=1) + BX.max(axis=1)) / 2.0
+        shift = 360.0 * np.round((mid_a - mid_b) / 360.0)
+        if shift.any():
+            BX = BX + shift[:, None]
     hit = pip_pairwise(AX, AY, BX, BY).any(axis=1)
     todo = ~hit
     if todo.any():
         hit[todo] |= pip_pairwise(BX[todo], BY[todo], AX[todo], AY[todo]).any(axis=1)
+        todo = ~hit
+    if todo.any():
+        hit[todo] |= on_boundary_pairwise(AX[todo], AY[todo], BX[todo], BY[todo]).any(axis=1)
+        todo = ~hit
+    if todo.any():
+        hit[todo] |= on_boundary_pairwise(BX[todo], BY[todo], AX[todo], AY[todo]).any(axis=1)
         todo = ~hit
     if todo.any():
         hit[todo] |= _edges_cross_pairwise(AX[todo], AY[todo], BX[todo], BY[todo])

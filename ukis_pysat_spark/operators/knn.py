@@ -21,8 +21,10 @@ mandated by the north rule.  Two physical strategies:
                    certify are re-answered EXACTLY by the broadcast
                    scan, so the operator is exact for any ring size
                    (exact_fallback=False restores the raw pruned
-                   behavior).  Longitudes are assumed not to wrap at
-                   +-180 (the cell index convention engine-wide).
+                   behavior).  The ring neighborhood WRAPS in longitude
+                   at +-180 (pmod) and the certificate's lon guard is
+                   periodic-safe, so exactness holds across the
+                   antimeridian too.
 
 Ties broken deterministically by image_id so results are retry-stable.
 """
@@ -134,7 +136,8 @@ def knn_indexed(
     propagation skips it entirely."""
     n = F.lit(1 << res)
     scenes = scene_centroids(images)
-    ix = F.least(F.greatest(F.floor((F.col("scene_lon") + 180.0) / 360.0 * n), F.lit(0)), n - 1)
+    # lon folds modulo n (antimeridian seam), lat clamps at the poles
+    ix = F.pmod(F.floor((F.col("scene_lon") + 180.0) / 360.0 * n), n)
     iy = F.least(F.greatest(F.floor((F.col("scene_lat") + 90.0) / 180.0 * n), F.lit(0)), n - 1)
     scene_cell = (
         F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
@@ -144,11 +147,10 @@ def knn_indexed(
     scenes = scenes.withColumn("cell", scene_cell)
 
     # ring neighborhood relationally: the AOI centroid cell's (ix, iy)
-    # crossed with two explode(sequence(-ring, ring)) offset generators,
-    # clamped at the grid edge (geometry.neighbors semantics) — no UDF
-    aix = F.least(
-        F.greatest(F.floor((F.col("centroid_lon") + 180.0) / 360.0 * n), F.lit(0)), n - 1
-    ).cast("long")
+    # crossed with two explode(sequence(-ring, ring)) offset generators
+    # (geometry.neighbors semantics): lon WRAPS at the antimeridian
+    # (pmod), lat clamps at the poles — no UDF
+    aix = F.pmod(F.floor((F.col("centroid_lon") + 180.0) / 360.0 * n), n).cast("long")
     aiy = F.least(
         F.greatest(F.floor((F.col("centroid_lat") + 90.0) / 180.0 * n), F.lit(0)), n - 1
     ).cast("long")
@@ -164,12 +166,12 @@ def knn_indexed(
             "centroid_lat",
             (
                 F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
-                + F.least(F.greatest(F.col("_ix") + F.col("_dx"), F.lit(0)), n.cast("long") - 1)
+                + F.pmod(F.col("_ix") + F.col("_dx"), n.cast("long"))
                 * F.lit(1 << 29).cast("long")
                 + F.least(F.greatest(F.col("_iy") + F.col("_dy"), F.lit(0)), n.cast("long") - 1)
             ).alias("cell"),
         )
-        .dropDuplicates(["aoi_id", "cell"])  # edge clamping can collide
+        .dropDuplicates(["aoi_id", "cell"])  # pole clamp / lon wrap can collide
     )
     cand = scenes.join(F.broadcast(aoi_ring), "cell").withColumn(
         "dist_km",
@@ -183,16 +185,23 @@ def knn_indexed(
 
     # ---- ring-sufficiency certificate ------------------------------------
     # A scene OUTSIDE the (2r+1)^2 neighborhood differs from the AOI
-    # centroid by >= ring whole cells in lon or in lat, so its distance
-    # is at least guard_km:
+    # centroid by >= ring whole cells in lat or in CIRCULAR lon (the
+    # neighborhood wraps at +-180, so the cell gap IS the periodic
+    # one), so its distance is at least guard_km:
     #   lat case:  dist >= R * dphi            >= ring*cell_lat * km/deg
     #   lon case:  dist  = 2R asin sqrt(a) >= 2R sqrt(cos p1 cos p2)
-    #              * |sin(dlam/2)|, and |scene lat| <= |centroid|+ring*
+    #              * |sin(dlam/2)| with dlam the CIRCULAR lon gap —
+    #              haversine is periodic in dlon, and dlam is in
+    #              [ring*cell_lon, 180], where sin(dlam/2) is monotone
+    #              (the span is capped at 180 so the half-angle never
+    #              passes 90 deg); |scene lat| <= |centroid|+ring*
     #              cell_lat there (else the lat case bounds it), so
     #              cos p1 cos p2 >= cos^2(lat_abs).
     # An AOI whose k-th ring distance is inside guard_km provably has
     # its true kNN inside the ring; anything else goes to the exact
-    # broadcast scan.
+    # broadcast scan.  (When the wrap ring covers the full lon circle
+    # the lon case is vacuous; keeping it in the least() is merely
+    # conservative — certification stays sound.)
     cell_lat = 180.0 / (1 << res)
     cell_lon = 360.0 / (1 << res)
     km_per_deg = math.pi * EARTH_RADIUS_KM / 180.0
@@ -203,7 +212,7 @@ def knn_indexed(
     guard_lon = (
         F.lit(2.0 * EARTH_RADIUS_KM)
         * F.cos(F.radians(lat_abs))
-        * F.sin(F.radians(F.lit(float(ring) * cell_lon)) / 2.0)
+        * F.sin(F.radians(F.lit(min(float(ring) * cell_lon, 180.0))) / 2.0)
     )
     guard_km = F.least(guard_lat, guard_lon) * F.lit(1.0 - 1e-9)  # float safety
 

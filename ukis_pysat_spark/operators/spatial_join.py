@@ -13,9 +13,16 @@ north rule's core operator:
    split skewed cells.
 2. PRE-REFINE: a relational bbox-overlap test (pure JVM expressions)
    eliminates most false candidates without touching Python.
-3. REFINE: exact polygon-polygon intersection (vertex-in-polygon +
+3. REFINE: exact polygon-polygon intersection (vertex-in-or-on +
    edge-crossing, pure numpy) inside an Arrow-batched UDF restores
    exact semantics — output rows match a brute-force O(n*m) oracle.
+
+Boundary semantics are CLOSED engine-wide: 'intersects' means 'share
+any point', boundary included — the relational <=/>= box-box fast path
+and the general polygon refine agree on touching geometries.
+Antimeridian: rings spanning +-180 (planar lon span > 180 deg, physical
+extent < 180 deg) get wrapped cell covers, circular-interval bbox
+pre-refines, and frame-normalized exact refinement.
 
 Skew: dense AOI clusters make some cells hot.  ``salt_cells`` spreads a
 hot cell across S shuffle keys by salting the big (scene) side with
@@ -45,6 +52,31 @@ def _cell_index(coord: Column, origin: float, span: float, res: int) -> Column:
     ).cast("long")
 
 
+def lon_interval(lon_col: Column) -> tuple[Column, Column]:
+    """(west, east) edges of a ring's longitude interval, UNWRAPPED:
+    east >= west always, and east may exceed 180.
+
+    Antimeridian convention (engine-wide): a ring whose planar lon span
+    exceeds 180 deg crosses +-180 (physical extent is < 180 deg); its
+    interval is [min non-negative lon, max negative lon + 360].  For
+    ordinary rings this is just [array_min, array_max]."""
+    mn, mx = F.array_min(lon_col), F.array_max(lon_col)
+    wraps = (mx - mn) > F.lit(180.0)
+    pos_min = F.array_min(F.filter(lon_col, lambda x: x >= F.lit(0.0)))
+    neg_max = F.array_max(F.filter(lon_col, lambda x: x < F.lit(0.0)))
+    lon0 = F.when(wraps, pos_min).otherwise(mn)
+    lon1 = F.when(wraps, neg_max + F.lit(360.0)).otherwise(mx)
+    return lon0, lon1
+
+
+def lon_intervals_overlap(a0: Column, a1: Column, b0: Column, b1: Column) -> Column:
+    """Closed overlap of two UNWRAPPED longitude intervals on the
+    circle: b starts within a (mod 360) or a starts within b."""
+    return (F.pmod(b0 - a0, F.lit(360.0)) <= (a1 - a0)) | (
+        F.pmod(a0 - b0, F.lit(360.0)) <= (b1 - b0)
+    )
+
+
 def with_cells(df: DataFrame, lon_col: str, lat_col: str, res: int = DEFAULT_RES) -> DataFrame:
     """Add an exploded `cell` column covering the ring's bbox.
 
@@ -53,9 +85,19 @@ def with_cells(df: DataFrame, lon_col: str, lat_col: str, res: int = DEFAULT_RES
     explode(sequence(...)) generators — whole-stage-codegen'd JVM
     expressions, zero Python in the spatial join's filter stage.
     Cell packing matches geometry.cell_id: (res<<58) | (ix<<29) | iy.
+    Rings crossing the antimeridian (lon_interval convention) cover a
+    wrapped ix range — the sequence runs past n-1 and is folded back
+    with pmod, so Pacific footprints land in the seam cells on both
+    sides instead of covering (or missing) the whole globe.
     """
-    ix0 = _cell_index(F.array_min(F.col(lon_col)), 180.0, 360.0, res)
-    ix1 = _cell_index(F.array_max(F.col(lon_col)), 180.0, 360.0, res)
+    n = 1 << res
+    lon0, lon1 = lon_interval(F.col(lon_col))
+    ix0 = _cell_index(lon0, 180.0, 360.0, res)
+    ix1_raw = F.floor((lon1 + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    # east edge unclamped (folded by pmod below), bounded to one full
+    # revolution: an east edge at exactly +180 gains the seam cell 0,
+    # so geometries touching across the antimeridian share a cell
+    ix1 = F.least(ix1_raw, ix0 + F.lit(n - 1))
     iy0 = _cell_index(F.array_min(F.col(lat_col)), 90.0, 180.0, res)
     iy1 = _cell_index(F.array_max(F.col(lat_col)), 90.0, 180.0, res)
     base = F.lit(int(res) << 58).cast("long")
@@ -64,7 +106,9 @@ def with_cells(df: DataFrame, lon_col: str, lat_col: str, res: int = DEFAULT_RES
         .withColumn("_iy", F.explode(F.sequence(iy0, iy1)))
         .withColumn(
             "cell",
-            base + F.col("_ix") * F.lit(1 << 29).cast("long") + F.col("_iy"),
+            base
+            + F.pmod(F.col("_ix"), F.lit(n).cast("long")) * F.lit(1 << 29).cast("long")
+            + F.col("_iy"),
         )
         .drop("_ix", "_iy")
     )
@@ -139,6 +183,7 @@ def spatial_join(
     # geometry arrays.  The bbox rides along so the overlap pre-refine
     # can kill false candidates IN the cell join, before the pair-dedup
     # shuffle; geometry re-attaches only for the exact refine.
+    i_lon0, i_lon1 = lon_interval(F.col("footprint_lon"))
     img_cells = with_cells(
         images.select("image_id", "footprint_lon", "footprint_lat"),
         "footprint_lon",
@@ -147,18 +192,25 @@ def spatial_join(
     ).select(
         "image_id",
         "cell",
-        F.array_min("footprint_lon").alias("i_lon_min"),
-        F.array_max("footprint_lon").alias("i_lon_max"),
+        i_lon0.alias("i_lon0"),
+        i_lon1.alias("i_lon1"),
         F.array_min("footprint_lat").alias("i_lat_min"),
         F.array_max("footprint_lat").alias("i_lat_max"),
     )
+    a_lon0, a_lon1 = lon_interval(F.col("ring_lon"))
     aoi_cells = with_cells(
-        aois.select("aoi_id", "ring_lon", "ring_lat", "lon_min", "lat_min",
-                    "lon_max", "lat_max"),
+        aois.select("aoi_id", "ring_lon", "ring_lat", "lat_min", "lat_max"),
         "ring_lon",
         "ring_lat",
         res,
-    ).select("aoi_id", "cell", "lon_min", "lat_min", "lon_max", "lat_max")
+    ).select(
+        "aoi_id",
+        "cell",
+        a_lon0.alias("a_lon0"),
+        a_lon1.alias("a_lon1"),
+        "lat_min",
+        "lat_max",
+    )
 
     if salt:
         img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
@@ -166,12 +218,15 @@ def spatial_join(
     else:
         join_keys = ["cell"]
 
-    # FILTER: cell equi-join + bbox overlap -> distinct candidate pairs
+    # FILTER: cell equi-join + bbox overlap -> distinct candidate pairs.
+    # The lon test is circular-interval overlap (antimeridian-correct);
+    # for ordinary footprints it reduces to the plain closed overlap.
     cand_ids = (
         img_cells.join(aoi_cells, join_keys)
         .filter(
-            (F.col("i_lon_min") <= F.col("lon_max"))
-            & (F.col("i_lon_max") >= F.col("lon_min"))
+            lon_intervals_overlap(
+                F.col("i_lon0"), F.col("i_lon1"), F.col("a_lon0"), F.col("a_lon1")
+            )
             & (F.col("i_lat_min") <= F.col("lat_max"))
             & (F.col("i_lat_max") >= F.col("lat_min"))
         )
@@ -280,10 +335,9 @@ def points_in_aois(
     relational arithmetic, no UDF); the AOI side gets a polygon cover.
     """
     n = F.lit(1 << res)
-    ix = F.least(
-        F.greatest(F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)),
-        n - 1,
-    )
+    # lon folds modulo n (a point at exactly +180 lands in seam cell 0,
+    # matching the cover's east-edge fold); lat clamps at the poles
+    ix = F.pmod(F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * n), n)
     iy = F.least(
         F.greatest(F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)),
         n - 1,
@@ -306,12 +360,14 @@ def points_in_aois(
     # relational point-in-bbox pre-refine kills most false candidates
     # (cell covers are bbox supersets) before any Python runs; for
     # axis-aligned box AOIs point-in-bbox IS the exact test, so their
-    # rings are nulled out and ride the refine as an id-copy fast path
+    # rings are nulled out and ride the refine as an id-copy fast path.
+    # The lon test is circular (antimeridian-correct; reduces to plain
+    # closed between for ordinary rings).
+    r_lon0, r_lon1 = lon_interval(F.col("ring_lon"))
     cand = (
         pts.join(aoi_cells, "cell")
         .filter(
-            (F.col(lon_col) >= F.array_min("ring_lon"))
-            & (F.col(lon_col) <= F.array_max("ring_lon"))
+            (F.pmod(F.col(lon_col) - r_lon0, F.lit(360.0)) <= (r_lon1 - r_lon0))
             & (F.col(lat_col) >= F.array_min("ring_lat"))
             & (F.col(lat_col) <= F.array_max("ring_lat"))
         )
