@@ -39,15 +39,13 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
-def _lzw_decode(raw: bytes) -> bytes:
-    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, code 256 =
-    ClearCode, 257 = EndOfInformation, table entries from 258, code width
-    9→12 bits with the TIFF 'early change' (width grows one code early,
-    when the next free index reaches 2^width - 1).
-
-    Pure-Python: the per-code loop is the slow path of ingest, but it
-    runs once per file inside an Arrow stage — per-executor and
-    horizontally scalable, never on the driver."""
+def _lzw_decode_py(raw: bytes) -> bytes:
+    """Reference TIFF-variant LZW decoder (TIFF 6.0 §13): the simple
+    per-code loop, kept as the differential-test twin of the
+    vectorized `_lzw_decode` below.  MSB-first bit packing, code 256 =
+    ClearCode, 257 = EndOfInformation, table entries from 258, code
+    width 9→12 bits with the TIFF 'early change' (width grows one code
+    early, when the next free index reaches 2^width - 1)."""
     out = bytearray()
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -68,18 +66,170 @@ def _lzw_decode(raw: bytes) -> bytes:
         if code == 257:  # EndOfInformation
             break
         if not prev:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: code beyond table")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
             table.append(prev + entry[:1])
-        else:  # the KwKwK case: code == next free index
+        elif code == len(table):  # the KwKwK case: code == next free index
             entry = prev + prev[:1]
             table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
         out += entry
         prev = entry
         if len(table) == (1 << nbits) - 1 and nbits < 12:
             nbits += 1  # early change
     return bytes(out)
+
+
+# Last data-code ordinal (1-based, counted per ClearCode segment) read
+# at 9/10/11 bits: the decode table holds 258 + (k-1) entries after
+# processing code k, and early change widens at 2^width - 1 entries.
+_LZW_RUN_ENDS = ((254, 9), (766, 10), (1790, 11))
+
+
+def _lzw_decode(raw: bytes) -> bytes:
+    """Vectorized TIFF-variant LZW decode (same semantics as
+    `_lzw_decode_py`), two passes:
+
+    1. Code extraction: the code-width schedule between ClearCodes is
+       deterministic (see _LZW_RUN_ENDS), so whole width-runs of codes
+       are gathered from an unpacked bit array with one reshape+matmul
+       each — no per-code bit fiddling.
+    2. String decode, with NO per-code loop: in TIFF LZW every table
+       entry is `prev emission + first byte of the current emission`,
+       i.e. exactly the output substring of length len(prev)+1 at
+       prev's emit position.  So emission lengths follow the
+       recurrence L_t = L_{g(t)} + 1 over the referenced-emission
+       graph g (resolved by pointer doubling), emit positions are one
+       cumsum, every output byte's source is `pos[g] + offset` (built
+       with np.repeat), and the byte values fall out of resolving the
+       parent chains to their literal roots — another pointer-doubling
+       pass.  O(total * log depth) fully-vectorized work.
+
+    Corrupt streams (a code beyond the next free table index) raise
+    ValueError instead of silently mis-decoding."""
+    if not raw:
+        return b""
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+    total_bits = bits.size
+    parts: list[np.ndarray] = []
+    bitpos = 0
+    k = 1  # ordinal of the next data code within the current segment
+    stop = False
+    while not stop:
+        nb, run_left = 12, 1 << 62
+        for end, width in _LZW_RUN_ENDS:
+            if k <= end:
+                nb, run_left = width, end - k + 1
+                break
+        m = (total_bits - bitpos) // nb
+        if m <= 0:
+            break
+        # cap each extraction: codes past a ClearCode are re-extracted
+        # at the new alignment, so an uncapped 12-bit run would rescan
+        # the whole remaining stream once per segment (quadratic);
+        # clears are at most ~3837 codes apart
+        m = min(m, run_left, 4096)
+        chunk = bits[bitpos : bitpos + m * nb].reshape(m, nb)
+        # shift-or accumulation: nb vectorized ufunc passes (matmul is
+        # a trap here — numpy integer matmul is a naive loop and the
+        # float BLAS path stalls on threaded-gemv overhead per run)
+        run = np.zeros(m, dtype=np.int64)
+        for b in range(nb):
+            run <<= 1
+            run |= chunk[:, b]
+        ctrl = np.nonzero((run == 256) | (run == 257))[0]
+        if ctrl.size:
+            j = int(ctrl[0])
+            parts.append(run[:j])
+            bitpos += (j + 1) * nb
+            k += j
+            if run[j] == 257:  # EndOfInformation
+                stop = True
+            else:  # ClearCode: keep as marker, restart the schedule
+                parts.append(np.array([256], dtype=np.int64))
+                k = 1
+        else:
+            parts.append(run)
+            bitpos += m * nb
+            k += m
+    if not parts:
+        return b""
+    codes = np.concatenate(parts)
+    if not codes.size:
+        return b""
+
+    # ---- pass 2: vectorized string decode -------------------------------
+    # Per segment (between ClearCode markers), emission t (1-based)
+    # with code c >= 258 references table entry c, which was created
+    # while processing emission te = c - 257 (entries are appended once
+    # per emission from t=2 on) and equals the output substring of
+    # length L_te + 1 at that emission's position.  Build the global
+    # referenced-emission graph g (literal emissions are roots).
+    marker = codes == 256
+    n_em = int(codes.size - marker.sum())
+    g = np.empty(n_em, dtype=np.int64)
+    c_all = np.empty(n_em, dtype=np.int64)
+    base = 0
+    for seg in np.split(codes, np.nonzero(marker)[0]):
+        seg = seg[seg != 256]
+        T = seg.size
+        if not T:
+            continue
+        local = np.arange(T, dtype=np.int64)  # 0-based: t = local + 1
+        lit = seg < 256
+        te = seg - 257  # 1-based creating emission of the entry
+        bad = ~lit & ((te < 1) | (te > local))
+        if bad.any():
+            raise ValueError("corrupt LZW stream: code beyond table")
+        g[base : base + T] = np.where(lit, -1, base + te - 1)
+        c_all[base : base + T] = seg
+        base += T
+
+    # emission lengths: L = (chain depth to a literal root) + 1,
+    # resolved by pointer doubling over g
+    idxs = np.arange(n_em, dtype=np.int64)
+    p = np.where(g < 0, idxs, g)
+    cnt = (p != idxs).astype(np.int64)
+    while True:
+        p2 = p[p]
+        if np.array_equal(p2, p):
+            break
+        cnt = cnt + cnt[p]
+        p = p2
+    L = cnt + 1
+    pos = np.empty(n_em + 1, dtype=np.int64)
+    pos[0] = 0
+    np.cumsum(L, out=pos[1:])
+    total = int(pos[-1])
+
+    # Highly-compressible streams (few long emissions) are memcpy-bound:
+    # the per-code bytes-concat loop beats byte-level pointer doubling
+    # there (doubling costs an extra log-depth factor per OUTPUT byte).
+    # The vectorized path wins when emissions are short and numerous —
+    # the realistic compressed-scene shape.
+    if total >= (n_em << 4) or total >= (1 << 31):
+        return _lzw_decode_py(raw)
+
+    # byte-level parent graph: output byte i of a copy emission points
+    # at the same offset inside the referenced emission; literal bytes
+    # are roots carrying their own value
+    pos32 = pos.astype(np.int32)
+    em_of = np.repeat(np.arange(n_em, dtype=np.int32), L)
+    j = np.arange(total, dtype=np.int32) - pos32[em_of]
+    src = np.where(g >= 0, pos32[np.maximum(g, 0).astype(np.int32)], 0).astype(np.int32)
+    is_copy = (g >= 0)[em_of]
+    par = np.where(is_copy, src[em_of] + j, np.arange(total, dtype=np.int32))
+    byte = c_all[em_of].astype(np.uint8)  # meaningful at literal roots only
+    while True:
+        p2 = par[par]
+        if np.array_equal(p2, par):
+            break
+        par = p2
+    return byte[par].tobytes()
 
 
 def _packbits_decode(raw: bytes) -> bytes:
