@@ -101,11 +101,15 @@ def write_tiff(
     pixel_scale: tuple[float, float] | None = None,
     tiepoint: tuple[float, float] | None = None,
     epsg: int | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """(bands, rows, cols) array -> little-endian chunky strip TIFF bytes.
 
     compression: 1 none, 5 LZW, 8 deflate, 32773 PackBits.
     predictor: 1 none, 2 horizontal differencing (integer dtypes).
+    bigtiff: write the BigTIFF (magic 43) layout — 8-byte IFD offset,
+    8-byte entry count, 20-byte entries with 8-byte inline values;
+    strip offsets/counts use LONG8 (type 16).
     """
     arr = np.ascontiguousarray(arr)
     if arr.ndim == 2:
@@ -135,7 +139,10 @@ def write_tiff(
             raise ValueError(compression)
 
     # layout: header | strip data | out-of-line tag values | IFD
-    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0)  # IFD off patched
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
     body = bytearray(header)
     strip_offs = []
     for s in strips:
@@ -145,18 +152,19 @@ def write_tiff(
     tags: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, value-bytes)
 
     def add(tag: int, typ: int, vals: list) -> None:
-        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
         tags.append((tag, typ, len(vals), struct.pack("<" + fmt * len(vals), *vals)))
 
+    off_typ = 16 if bigtiff else 4  # LONG8 in BigTIFF
     add(256, 4, [w])
     add(257, 4, [h])
     add(258, 3, [dt.itemsize * 8] * bands)
     add(259, 3, [compression])
     add(262, 3, [1])
-    add(273, 4, strip_offs)
+    add(273, off_typ, strip_offs)
     add(277, 3, [bands])
     add(278, 4, [rps])
-    add(279, 4, [len(s) for s in strips])
+    add(279, off_typ, [len(s) for s in strips])
     add(284, 3, [1])
     if predictor != 1:
         add(317, 3, [predictor])
@@ -170,14 +178,27 @@ def write_tiff(
 
     # out-of-line values
     entries = []
+    inline = 8 if bigtiff else 4
     for tag, typ, cnt, val in sorted(tags):
-        if len(val) <= 4:
+        if bigtiff:
+            head = struct.pack("<HHQ", tag, typ, cnt)
+            if len(val) <= inline:
+                entries.append(head + val.ljust(inline, b"\0"))
+            else:
+                off = len(body)
+                body += val
+                entries.append(head + struct.pack("<Q", off))
+        elif len(val) <= inline:
             entries.append(struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\0"))
         else:
             off = len(body)
             body += val
             entries.append(struct.pack("<HHII", tag, typ, cnt, off))
     ifd_off = len(body)
-    body += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    body[4:8] = struct.pack("<I", ifd_off)
+    if bigtiff:
+        body += struct.pack("<Q", len(entries)) + b"".join(entries) + struct.pack("<Q", 0)
+        body[8:16] = struct.pack("<Q", ifd_off)
+    else:
+        body += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+        body[4:8] = struct.pack("<I", ifd_off)
     return bytes(body)

@@ -153,8 +153,14 @@ def ngram_jaccard_pairs(
     therefore MEASURES the corpus first — one map-side-combinable
     aggregation over the shingle table (choose_prefix_filter) — and
     picks the prefix path when the naive join's expected output exceeds
-    20 candidate pairs per shingle row.  Explicit True/False skips the
-    measuring pass.  Tests prove the two paths emit IDENTICAL pairs and
+    20 candidate pairs per shingle row.  NOTE: this measuring pass is
+    an EAGER Spark job (a sampled shingle aggregation + one collected
+    scalar) executed at DataFrame-CONSTRUCTION time — a deliberate
+    laziness break, traded for never constructing the 10^10-pair naive
+    plan blind.  Pass prefix_filter=True/False explicitly to keep
+    construction fully lazy (and for streaming inputs, where the
+    measuring job cannot run — the default falls back to the prefix
+    path there).  Tests prove the two paths emit IDENTICAL pairs and
     jaccard values.
 
     With ``prefix_filter`` the candidate join uses the
@@ -173,7 +179,12 @@ def ngram_jaccard_pairs(
     pair dedup like minhash_lsh_pairs.
     """
     if prefix_filter is None:
-        prefix_filter = choose_prefix_filter(documents, n)
+        if documents.isStreaming:
+            # can't run the eager measuring job on a stream; the prefix
+            # path is the safe default (correct at any df distribution)
+            prefix_filter = True
+        else:
+            prefix_filter = choose_prefix_filter(documents, n)
     if prefix_filter:
         slack = threshold * (1.0 - 1e-9)  # guard the rounded-threshold boundary
         hashed = F.array_sort(

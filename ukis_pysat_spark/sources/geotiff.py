@@ -5,7 +5,8 @@ raster.py:33-53); neither ships in this environment, so the engine
 carries a small baseline-TIFF decoder good for the classic GeoTIFF
 profile the reference's fixtures (and most L1 scene quicklooks) use:
 
-- little/big endian classic TIFF (magic 42; BigTIFF not supported);
+- little/big endian classic TIFF (magic 42) AND BigTIFF (magic 43,
+  8-byte offsets/counts, LONG8/SLONG8/IFD8 tag types);
 - strip- AND tile-organized data;
 - compression: none (1), LZW (5), zlib/deflate (8 and legacy 32946),
   PackBits (32773);
@@ -35,8 +36,10 @@ from pyspark.sql import DataFrame
 
 from ukis_pysat_spark import codec
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 def _lzw_decode_py(raw: bytes) -> bytes:
@@ -250,12 +253,13 @@ def _packbits_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes,
+                     inline: int = 4, off_fmt: str = "I"):
     size = _TYPE_SIZES[typ] * cnt
-    if size <= 4:
+    if size <= inline:
         buf = raw[:size]
     else:
-        (off,) = struct.unpack(bo + "I", raw)
+        (off,) = struct.unpack(bo + off_fmt, raw[: struct.calcsize(off_fmt)])
         buf = data[off : off + size]
     if typ == 2:  # ascii
         return buf.split(b"\x00")[0].decode("ascii", "replace")
@@ -274,19 +278,37 @@ def parse_ifd(data: bytes) -> dict[int, list]:
     else:
         raise ValueError("not a TIFF")
     (magic,) = struct.unpack(bo + "H", data[2:4])
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported")
-    if magic != 42:
-        raise ValueError("bad TIFF magic")
-    (off,) = struct.unpack(bo + "I", data[4:8])
-    (n,) = struct.unpack(bo + "H", data[off : off + 2])
     tags: dict[int, list] = {}
-    for i in range(n):
-        base = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack(bo + "HHI", data[base : base + 8])
-        if typ not in _TYPE_SIZES:
-            continue
-        tags[tag] = _read_tag_values(data, bo, typ, cnt, data[base + 8 : base + 12])
+    if magic == 43:
+        # BigTIFF: 8-byte offsets/counts throughout (TIFF Technical
+        # Note / Adobe BigTIFF spec): header carries the offset size
+        # (always 8) + a zero pad, the IFD entry count is 8 bytes and
+        # each entry is 20 bytes with an 8-byte inline value field
+        offsize, pad = struct.unpack(bo + "HH", data[4:8])
+        if offsize != 8 or pad != 0:
+            raise ValueError("bad BigTIFF header")
+        (off,) = struct.unpack(bo + "Q", data[8:16])
+        (n,) = struct.unpack(bo + "Q", data[off : off + 8])
+        for i in range(n):
+            base = off + 8 + i * 20
+            tag, typ, cnt = struct.unpack(bo + "HHQ", data[base : base + 12])
+            if typ not in _TYPE_SIZES:
+                continue
+            tags[tag] = _read_tag_values(
+                data, bo, typ, int(cnt), data[base + 12 : base + 20],
+                inline=8, off_fmt="Q",
+            )
+    elif magic == 42:
+        (off,) = struct.unpack(bo + "I", data[4:8])
+        (n,) = struct.unpack(bo + "H", data[off : off + 2])
+        for i in range(n):
+            base = off + 2 + i * 12
+            tag, typ, cnt = struct.unpack(bo + "HHI", data[base : base + 8])
+            if typ not in _TYPE_SIZES:
+                continue
+            tags[tag] = _read_tag_values(data, bo, typ, cnt, data[base + 8 : base + 12])
+    else:
+        raise ValueError("bad TIFF magic")
     tags[-1] = [bo]  # stash byte order
     return tags
 
