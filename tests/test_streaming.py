@@ -130,7 +130,10 @@ def test_stream_first_seen_ttl_expiry(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # ProcessingTimeTimeout availableNow queries never self-
+        # terminate (endless cleanup batches) — drain and stop instead
+        # of eating awaitTermination's full timeout per run
+        ingest.await_available_now(q, timeout=120)
 
     # --- leg 1: duplicates within the TTL stay suppressed ---------------
     src1, ck1, out1 = (str(tmp_path / n) for n in ("s1", "c1", "o1"))

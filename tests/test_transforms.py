@@ -406,4 +406,47 @@ def test_warp_bilinear_golden_ramp(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported resampling"):
-        transforms.warp("EPSG:4326", resampling="cubic")
+        transforms.warp("EPSG:4326", resampling="lanczos")
+
+
+def test_warp_cubic_golden_quadratic_ramp():
+    """VERDICT r3 #6: Catmull-Rom cubic is third-order accurate — a 2x
+    same-CRS upsample of the quadratic field arr[r,c] = c^2 + r^2 must
+    reproduce fx^2 + fy^2 exactly at interior destination pixels
+    (cubic convolution with a=-0.5 reproduces quadratics), while
+    bilinear provably differs there (it is only exact for linear
+    fields)."""
+    n = 24
+    cc, rr = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64), indexing="xy")
+    arr = (cc**2 + rr**2)[None, :, :]
+    meta = {"transform": [0.01, 0.0, 10.0, 0.0, -0.01, 50.0], "nodata": 0.0, "crs": "EPSG:4326"}
+    tgt = dict(
+        target_transform=[0.005, 0.0, 10.0, 0.0, -0.005, 50.0],
+        target_size=(2 * n, 2 * n),
+    )
+    cu, meta_cu = transforms.warp("EPSG:4326", resampling="cubic", **tgt)(
+        arr.copy(), dict(meta)
+    )
+    bl, _ = transforms.warp("EPSG:4326", resampling="bilinear", **tgt)(
+        arr.copy(), dict(meta)
+    )
+    ii, jj = np.meshgrid(np.arange(2 * n), np.arange(2 * n), indexing="ij")
+    fy = ii / 2.0 - 0.25
+    fx = jj / 2.0 - 0.25
+    # interior: all 4x4 taps in-bounds (floor(f)-1 >= 0, floor(f)+2 <= n-1)
+    interior = (fx >= 1.5) & (fx <= n - 3) & (fy >= 1.5) & (fy <= n - 3)
+    expected = fx**2 + fy**2
+    assert np.allclose(cu[0][interior], expected[interior], atol=1e-9)
+    # bilinear of a strictly convex field steps at half-offsets
+    assert not np.allclose(bl[0][interior], expected[interior])
+    assert float(np.abs(bl[0][interior] - expected[interior]).max()) > 0.2
+    assert meta_cu["transform"][0] == 0.005
+    # integer dtype rounds and clips
+    cu_i, _ = transforms.warp("EPSG:4326", resampling="cubic", **tgt)(
+        arr.astype(np.uint16), dict(meta)
+    )
+    assert cu_i.dtype == np.uint16
+    assert np.array_equal(
+        cu_i[0][interior], np.rint(expected[interior]).astype(np.uint16)
+    )

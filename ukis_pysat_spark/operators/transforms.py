@@ -622,22 +622,26 @@ def warp(
     resampling: str = "nearest",
 ) -> TransformFn:
     """Analytic reprojection with nearest (the reference's default
-    resampling_method=0) or bilinear (=1) resampling — the two most-used
-    entries of the reference's GDAL resampling enum (raster.py:228).
+    resampling_method=0), bilinear (=1) or cubic (=2, Catmull-Rom
+    4x4 convolution, the Keys a=-0.5 kernel) resampling — the three
+    most-used entries of the reference's GDAL resampling enum
+    (raster.py:228).
 
     Default grid mirrors calculate_default_transform: the source bbox's
     corners are projected and the output keeps ~the source pixel count
     unless `resolution` overrides it; `target_transform`+`target_size`
     reproduce the reference's target_align (raster.py:235-238).
 
-    Bilinear samples in pixel-CENTER coordinates (4-neighbor weights,
-    edge-replicated), computes in float64 and rounds back for integer
-    dtypes; a destination pixel is valid when its source position lands
-    inside the source extent (same validity rule as nearest).
+    Bilinear/cubic sample in pixel-CENTER coordinates (edge-replicated
+    taps), compute in float64 and round back for integer dtypes; a
+    destination pixel is valid when its source position lands inside
+    the source extent (same validity rule as nearest).  Cubic is
+    third-order accurate: it reproduces quadratic fields exactly,
+    where bilinear provably steps (the golden test's criterion).
     """
-    if resampling not in ("nearest", "bilinear"):
+    if resampling not in ("nearest", "bilinear", "cubic"):
         raise ValueError(
-            f"unsupported resampling {resampling!r} (nearest | bilinear)"
+            f"unsupported resampling {resampling!r} (nearest | bilinear | cubic)"
         )
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
@@ -681,7 +685,7 @@ def warp(
             colc = np.clip(col, 0, w - 1)
             rowc = np.clip(row, 0, h - 1)
             out = arr[:, rowc, colc]
-        else:  # bilinear
+        elif resampling == "bilinear":
             fx = (sx - c) / a - 0.5  # pixel-center coordinates
             fy = (sy - f_) / e - 0.5
             x0 = np.floor(fx).astype(np.int64)
@@ -701,6 +705,39 @@ def warp(
             )
             if np.issubdtype(arr.dtype, np.integer):
                 interp = np.rint(interp)
+            out = interp.astype(arr.dtype)
+        else:  # cubic: separable Catmull-Rom (Keys a=-0.5), taps -1..2
+            fx = (sx - c) / a - 0.5
+            fy = (sy - f_) / e - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            tx = fx - x0
+            ty = fy - y0
+
+            def _cr_weights(t: np.ndarray) -> list[np.ndarray]:
+                t2 = t * t
+                t3 = t2 * t
+                return [
+                    -0.5 * t3 + t2 - 0.5 * t,
+                    1.5 * t3 - 2.5 * t2 + 1.0,
+                    -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+                    0.5 * t3 - 0.5 * t2,
+                ]
+
+            wxs = _cr_weights(tx)
+            wys = _cr_weights(ty)
+            xc = [np.clip(x0 + k - 1, 0, w - 1) for k in range(4)]
+            yc = [np.clip(y0 + k - 1, 0, h - 1) for k in range(4)]
+            fsrc = arr.astype(np.float64, copy=False)
+            interp = np.zeros((arr.shape[0],) + fx.shape, dtype=np.float64)
+            for i in range(4):  # rows
+                row_acc = np.zeros_like(interp)
+                for j in range(4):  # cols
+                    row_acc += fsrc[:, yc[i], xc[j]] * wxs[j][None, :, :]
+                interp += row_acc * wys[i][None, :, :]
+            if np.issubdtype(arr.dtype, np.integer):
+                info = np.iinfo(arr.dtype)
+                interp = np.clip(np.rint(interp), info.min, info.max)
             out = interp.astype(arr.dtype)
         out = np.where(valid[None, :, :], out, np.asarray(nodata, dtype=arr.dtype))
         meta = dict(meta, crs=dst_crs, transform=[na, 0.0, nc, 0.0, ne, nf], nodata=nodata)

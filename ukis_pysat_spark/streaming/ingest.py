@@ -84,3 +84,35 @@ def run_stream_to_checkpointed_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def await_available_now(q, timeout: float = 120.0, poll: float = 0.25) -> None:
+    """Drain-and-stop for ``trigger(availableNow=True)`` queries.
+
+    Stateless availableNow queries self-terminate, but stateful queries
+    with ProcessingTimeTimeout do NOT: Spark keeps scheduling zero-input
+    state-cleanup batches forever so pending timeouts can fire, and
+    ``awaitTermination(t)`` blocks for its whole timeout.  This helper
+    waits until the backlog is drained AND at least one zero-input
+    (cleanup) batch has completed — giving due timeouts their chance to
+    fire — then stops the query.  Returns as soon as the query is no
+    longer active; raises TimeoutError if the backlog never drains.
+    """
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        if not q.isActive:
+            return
+        lp = q.lastProgress
+        st = q.status
+        if (
+            lp is not None
+            and lp.get("numInputRows", 0) == 0
+            and not st["isDataAvailable"]
+        ):
+            q.stop()
+            q.awaitTermination(60)
+            return
+        _time.sleep(poll)
+    raise TimeoutError("availableNow query did not drain within timeout")
