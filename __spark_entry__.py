@@ -74,6 +74,98 @@ def _boxes(spark, sf_dir):
     )
 
 
+def _quad_scenes(spark, sf_dir):
+    """Closed-form convex parallelogram scene footprints (part keys).
+    All coordinates are multiples of 0.25 — exact in binary floating
+    point, so the DuckDB SAT oracle reproduces every touch/overlap
+    decision bit-exactly."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    k = F.col("p_partkey")
+    cx = (F.lit(-20) + (k * 23) % 55).cast("double")
+    cy = (F.lit(25) + (k * 19) % 30).cast("double")
+    w2 = F.lit(1.0) + (k % 4).cast("double") * 0.5
+    h2 = F.lit(1.0) + (k % 3).cast("double") * 0.5
+    sk = ((k * 7 % 9).cast("double") - 4.0) * 0.25
+    return p.select(
+        F.concat(F.lit("img"), k.cast("string")).alias("image_id"),
+        F.array(cx - w2 + sk, cx + w2 + sk, cx + w2 - sk, cx - w2 - sk,
+                cx - w2 + sk).alias("footprint_lon"),
+        F.array(cy - h2, cy - h2, cy + h2, cy + h2, cy - h2).alias("footprint_lat"),
+    )
+
+
+def _quad_aois(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    cx = (F.lit(-18) + (key * 31) % 50).cast("double")
+    cy = (F.lit(27) + (key * 13) % 26).cast("double")
+    w2 = F.lit(1.5) + (key % 3).cast("double") * 0.5
+    h2 = F.lit(1.25) + (key % 2).cast("double") * 0.5
+    sk = ((key * 5 % 7).cast("double") - 3.0) * 0.25
+    return n.select(
+        F.concat(F.lit("aoi"), key.cast("string")).alias("aoi_id"),
+        F.array(cx - w2 + sk, cx + w2 + sk, cx + w2 - sk, cx - w2 - sk,
+                cx - w2 + sk).alias("ring_lon"),
+        F.array(cy - h2, cy - h2, cy + h2, cy + h2, cy - h2).alias("ring_lat"),
+        (cy - h2).alias("lat_min"),
+        (cy + h2).alias("lat_max"),
+    )
+
+
+def _quad_vertices_sql(src: str, idc: str, out_id: str, cx: str, cy: str,
+                       w2: str, h2: str, sk: str) -> str:
+    """CTE body: one row per quad with CCW vertex columns x1..y4."""
+    return f"""
+        SELECT {out_id} AS qid,
+               ({cx} - {w2} + {sk}) AS x1, ({cy} - {h2}) AS y1,
+               ({cx} + {w2} + {sk}) AS x2, ({cy} - {h2}) AS y2,
+               ({cx} + {w2} - {sk}) AS x3, ({cy} + {h2}) AS y3,
+               ({cx} - {w2} - {sk}) AS x4, ({cy} + {h2}) AS y4
+        FROM {src}{idc}
+    """
+
+
+_QUAD_SCENES_SQL = _quad_vertices_sql(
+    "part", " WHERE p_partkey <= 60",
+    "'img' || CAST(p_partkey AS VARCHAR)",
+    "CAST(-20 + (p_partkey * 23) % 55 AS DOUBLE)",
+    "CAST(25 + (p_partkey * 19) % 30 AS DOUBLE)",
+    "(1.0 + CAST(p_partkey % 4 AS DOUBLE) * 0.5)",
+    "(1.0 + CAST(p_partkey % 3 AS DOUBLE) * 0.5)",
+    "((CAST((p_partkey * 7) % 9 AS DOUBLE) - 4.0) * 0.25)",
+)
+
+_QUAD_AOIS_SQL = _quad_vertices_sql(
+    "nation", "",
+    "'aoi' || CAST(n_nationkey AS VARCHAR)",
+    "CAST(-18 + (n_nationkey * 31) % 50 AS DOUBLE)",
+    "CAST(27 + (n_nationkey * 13) % 26 AS DOUBLE)",
+    "(1.5 + CAST(n_nationkey % 3 AS DOUBLE) * 0.5)",
+    "(1.25 + CAST(n_nationkey % 2 AS DOUBLE) * 0.5)",
+    "((CAST((n_nationkey * 5) % 7 AS DOUBLE) - 3.0) * 0.25)",
+)
+
+
+def _sat_intersects_sql() -> str:
+    """Closed-semantics convex-quad intersection as pure SQL: the
+    separating-axis theorem over the 8 edge normals — two convex CCW
+    polygons are disjoint iff some edge of either STRICTLY separates
+    all vertices of the other (cross < 0 outside; touching gives
+    cross = 0, which does NOT separate — matching the engine's closed
+    boundary semantics)."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    seps = []
+    for p, q in (("s", "a"), ("a", "s")):
+        for i, j in edges:
+            crosses = [
+                f"(({p}.x{j}-{p}.x{i})*({q}.y{v}-{p}.y{i})"
+                f" - ({p}.y{j}-{p}.y{i})*({q}.x{v}-{p}.x{i}))"
+                for v in (1, 2, 3, 4)
+            ]
+            seps.append("(GREATEST(" + ", ".join(crosses) + ") < 0)")
+    return "NOT (" + " OR ".join(seps) + ")"
+
+
 _BOXES_SQL = """
     SELECT 'aoi' || CAST(n_nationkey AS VARCHAR) AS aoi_id,
            CAST(-30 + (n_nationkey * 13) % 60 AS DOUBLE) AS lon_min,
@@ -440,6 +532,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spatial_box_join"] = spatial_box_join
 
+    # the non-box refine path, hash-gated (round 4): convex PARALLELO-
+    # GRAM footprints/AOIs (skewed quads defeat the axis_aligned_box
+    # fast path; sk=0 rows still exercise it) through the REAL
+    # cover->equi-join->bbox->PIP-refine pipeline, against a DuckDB
+    # separating-axis-theorem oracle.  Exact closed-boundary parity:
+    # every coordinate is a multiple of 0.25 (binary-exact).
+    def spatial_quad_join(spark, sf_dir):
+        return spatial_join.spatial_join(
+            _quad_scenes(spark, sf_dir), _quad_aois(spark, sf_dir), res=8
+        )
+
+    q["spatial_quad_join"] = spatial_quad_join
+
     # P9 value-level oracle: the 'oracle' datagen profile makes pixels
     # AND rescale factors closed-form functions of (idx, band, row, col)
     # — the DuckDB twin recomputes the per-band TOA means from scratch
@@ -765,6 +870,13 @@ def oracle_sql() -> dict[str, str]:
                               CAST(least(greatest(floor((lat + 80) / 8), 0), 19) AS INTEGER) + 1, 1)
                  || ', +ellps=WGS84 +datum=WGS84 +units=m +no_defs' AS proj
         FROM d
+    """
+
+    o["spatial_quad_join"] = f"""
+        WITH scenes AS ({_QUAD_SCENES_SQL}), aois AS ({_QUAD_AOIS_SQL})
+        SELECT s.qid AS image_id, a.qid AS aoi_id
+        FROM scenes s CROSS JOIN aois a
+        WHERE {_sat_intersects_sql()}
     """
 
     o["spatial_box_join"] = f"""
