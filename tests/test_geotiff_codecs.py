@@ -69,7 +69,9 @@ def test_geo_tags_survive_compression():
     assert meta["transform"] == [0.25, 0.0, 11.5, 0.0, -0.5, 48.25]
 
 
-def test_float_predictor_raises():
+def test_float_predictor_roundtrip():
+    """Round 4: the floating-point predictor (3) decodes; the integer
+    horizontal predictor (2) on float data still raises."""
     arr = np.linspace(0, 1, 96 * 131, dtype=np.float32).reshape(1, 96, 131)
     data = tiffgen.write_tiff(arr, compression=8, predictor=2)
     with pytest.raises(NotImplementedError, match="predictor"):
@@ -77,6 +79,36 @@ def test_float_predictor_raises():
     # deflate float WITHOUT predictor stays supported
     out, _ = geotiff.read_geotiff(tiffgen.write_tiff(arr, compression=8))
     assert np.array_equal(out, arr)
+    # predictor 3 round-trips bit-exactly, single- and multi-band,
+    # float32 and float64, across compressions and strip sizes
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(31)))
+    for dtype, bands, comp in (("float32", 1, 8), ("float32", 3, 5),
+                               ("float64", 2, 8), ("float32", 1, 1)):
+        a = rng.normal(0, 100, size=(bands, 53, 71)).astype(dtype)
+        enc = tiffgen.write_tiff(a, compression=comp, predictor=3, rows_per_strip=17)
+        out3, _ = geotiff.read_geotiff(enc)
+        assert out3.dtype == np.dtype(dtype)
+        assert np.array_equal(out3, a), (dtype, bands, comp)
+    # predictor 3 on integer data must raise clearly
+    ienc = bytearray(tiffgen.write_tiff(_fixture("uint8"), compression=1))
+    import struct
+    (ifd_off,) = struct.unpack("<I", ienc[4:8])
+    (nn,) = struct.unpack("<H", ienc[ifd_off : ifd_off + 2])
+    # no predictor tag present on this file; patch one in is awkward —
+    # assert via the uint8 + pred-3 writer output instead
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        bad = tiffgen.write_tiff(
+            np.linspace(0, 1, 12, dtype=np.float32).reshape(1, 3, 4), predictor=3
+        )
+        patched = bytearray(bad)
+        (ifd_off,) = struct.unpack("<I", patched[4:8])
+        (nn,) = struct.unpack("<H", patched[ifd_off : ifd_off + 2])
+        for i in range(nn):
+            base = ifd_off + 2 + i * 12
+            (tag,) = struct.unpack("<H", patched[base : base + 2])
+            if tag == 339:  # SampleFormat float -> int: pred 3 now invalid
+                patched[base + 8 : base + 10] = struct.pack("<H", 1)
+        geotiff.read_geotiff(bytes(patched))
 
 
 def test_unsupported_predictor_and_compression_raise_clearly():
@@ -138,6 +170,8 @@ def test_libtiff_ground_truth(tmp_path):
         S(vp, ctypes.c_int(277), ctypes.c_int(1))
         S(vp, ctypes.c_int(278), ctypes.c_uint32(64))
         S(vp, ctypes.c_int(284), ctypes.c_int(1))
+        if a2d.dtype.kind == "f":
+            S(vp, ctypes.c_int(339), ctypes.c_int(3))  # SampleFormat IEEEFP
         if pred != 1:
             S(vp, ctypes.c_int(317), ctypes.c_int(pred))
         # TIFFWriteScanline APPLIES differencing in the caller buffer —
@@ -151,9 +185,11 @@ def test_libtiff_ground_truth(tmp_path):
     arr8 = rng.integers(0, 256, size=(300, 400)).astype(np.uint8)
     arr8[:80] = 7  # compressible block + noise pushes LZW through all widths
     arr16 = rng.integers(0, 4000, size=(200, 333)).astype(np.uint16)
+    arrf = rng.normal(0, 50, size=(150, 222)).astype(np.float32)
     for a, comp, pred in [
         (arr8, 5, 1), (arr8, 5, 2), (arr8, 8, 1), (arr8, 8, 2),
         (arr8, 32773, 1), (arr16, 5, 2),
+        (arrf, 8, 3), (arrf, 5, 3),  # floating-point predictor vs libtiff
     ]:
         p = tmp_path / f"gt_{a.dtype}_{comp}_{pred}.tif"
         write(p, a, comp, pred)

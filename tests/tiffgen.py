@@ -126,7 +126,19 @@ def write_tiff(
         if predictor == 2:
             seg = seg.astype(dt.newbyteorder("="))
             seg = np.concatenate([seg[:, :1], np.diff(seg, axis=1)], axis=1).astype(dt)
-        raw = seg.tobytes()
+            raw = seg.tobytes()
+        elif predictor == 3:
+            # floating-point predictor: per scanline, split values into
+            # itemsize byte planes MSB-first, then stride-wise byte diff
+            k = dt.itemsize
+            nr, n = seg.shape[0], seg.shape[1] * bands
+            vb = np.ascontiguousarray(seg.astype(f">f{k}")).view(np.uint8)
+            planes = vb.reshape(nr, n, k).transpose(0, 2, 1).reshape(nr, k * n)
+            d = planes.reshape(nr, (k * n) // bands, bands).copy()
+            d[:, 1:, :] -= d[:, :-1, :].copy()  # uint8 wraparound diff
+            raw = np.ascontiguousarray(d.reshape(nr, k * n)).tobytes()
+        else:
+            raw = seg.tobytes()
         if compression == 1:
             strips.append(raw)
         elif compression == 5:

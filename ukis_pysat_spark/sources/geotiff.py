@@ -10,8 +10,8 @@ profile the reference's fixtures (and most L1 scene quicklooks) use:
 - strip- AND tile-organized data;
 - compression: none (1), LZW (5), zlib/deflate (8 and legacy 32946),
   PackBits (32773);
-- Predictor (tag 317): none (1) and horizontal differencing (2);
-  the floating-point predictor (3) raises NotImplementedError;
+- Predictor (tag 317): none (1), horizontal differencing (2), and the
+  floating-point byte-split predictor (3);
 - PlanarConfiguration chunky (1) and separate (2);
 - integer/float SampleFormat with 8/16/32/64 bits per sample;
 - geo tags: ModelPixelScale + ModelTiepoint -> GDAL-style affine,
@@ -313,6 +313,25 @@ def parse_ifd(data: bytes) -> dict[int, list]:
     return tags
 
 
+def _fp_unpredict(body: bytes, n_rows: int, row_values: int,
+                  itemsize: int, stride: int) -> np.ndarray:
+    """Undo the TIFF floating-point predictor (tag 317 = 3, per the
+    TIFF Technical Note 3 / libtiff fpAcc semantics) on one
+    decompressed strip/tile: each scanline holds the values' bytes
+    split into `itemsize` planes MSB-first (regardless of file
+    endianness) with stride-wise byte differencing applied on top.
+    Reverse both, vectorized over all rows -> (n_rows, row_values)
+    big-endian floats."""
+    k = itemsize
+    n = row_values
+    b = np.frombuffer(body, dtype=np.uint8, count=n_rows * n * k)
+    acc = b.reshape(n_rows, (k * n) // stride, stride)
+    acc = np.cumsum(acc, axis=1, dtype=np.uint8)  # uint8 wraparound
+    planes = acc.reshape(n_rows, k, n)
+    vals = np.ascontiguousarray(planes.transpose(0, 2, 1))  # (rows, n, k)
+    return vals.view(f">f{k}").reshape(n_rows, n)
+
+
 def _dtype_for(bits: int, sfmt: int, bo: str) -> np.dtype:
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
     if kind is None:
@@ -338,10 +357,12 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     dt = _dtype_for(bits, sfmt, bo)
     dt_native = dt.newbyteorder("=")
     pred = int(tags.get(317, [1])[0])
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
     if pred == 2 and dt.kind not in ("u", "i"):
         raise NotImplementedError("horizontal-differencing predictor on non-integer data")
+    if pred == 3 and dt.kind != "f":
+        raise NotImplementedError("TIFF predictor 3 (floating point) on non-float data")
 
     def decomp(o: int, c: int) -> bytes:
         raw = bytes(data[o : o + c])
@@ -368,8 +389,13 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
             for ty in range(tiles_down):
                 for tx in range(tiles_across):
                     body = decomp(int(tags[324][idx]), int(tags[325][idx]))
-                    tile = np.frombuffer(body, dtype=dt, count=tw * th * plane_spp)
-                    tile = tile.reshape(th, tw, plane_spp)
+                    if pred == 3:
+                        tile = _fp_unpredict(
+                            body, th, tw * plane_spp, dt.itemsize, plane_spp
+                        ).astype(dt_native).reshape(th, tw, plane_spp)
+                    else:
+                        tile = np.frombuffer(body, dtype=dt, count=tw * th * plane_spp)
+                        tile = tile.reshape(th, tw, plane_spp)
                     if pred == 2:
                         # horizontal differencing resets per tile row and
                         # runs per sample channel -> cumsum along width,
@@ -385,6 +411,23 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
                         out[y0 : y0 + ys, x0 : x0 + xs, :] = tile[:ys, :xs, :]
                     idx += 1
         arr = out.transpose(2, 0, 1)
+    elif pred == 3:  # strip-organized, floating-point predictor
+        rps = int(tags.get(278, [h])[0])
+        strips_per_plane = -(-h // rps)
+        stride = spp if planar == 1 else 1
+        row_vals = w * spp if planar == 1 else w
+        parts = []
+        for si, (o, c) in enumerate(zip(tags[273], tags[279])):
+            r0 = (si % strips_per_plane) * rps
+            nr = min(rps, h - r0)
+            parts.append(
+                _fp_unpredict(decomp(int(o), int(c)), nr, row_vals, dt.itemsize, stride)
+            )
+        allrows = np.concatenate(parts).astype(dt_native)
+        if planar == 2:
+            arr = allrows.reshape(spp, h, w)
+        else:
+            arr = allrows.reshape(h, w, spp).transpose(2, 0, 1)
     else:  # strip-organized
         body = b"".join(
             decomp(int(o), int(c)) for o, c in zip(tags[273], tags[279])
