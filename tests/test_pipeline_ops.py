@@ -229,6 +229,32 @@ def test_resize_images(spark):
         assert r.caption.startswith("scene ")
 
 
+def test_resize_images_area(spark):
+    """Area resize block-averages exactly: against a per-block numpy
+    oracle on the same decoded source, bit-for-bit after rounding."""
+    imgs = datagen.gen_images(spark, 2, profile="bench")
+    out = {r.image_id: r for r in multimodal.resize_images(imgs, 32, 32, method="area").collect()}
+    src_rows = {r.image_id: codec.decode(r.bytes) for r in imgs.collect()}
+    for image_id, r in out.items():
+        got = codec.decode(r.bytes)
+        src = src_rows[image_id]
+        assert got.shape[1:] == (32, 32)
+        h, w = src.shape[1], src.shape[2]
+        exp = np.empty_like(got, dtype=np.float64)
+        for i in range(32):
+            for j in range(32):
+                r0, r1 = i * h // 32, (i + 1) * h // 32
+                c0, c1 = j * w // 32, (j + 1) * w // 32
+                exp[:, i, j] = src[:, r0:r1, c0:c1].astype(np.float64).mean(axis=(1, 2))
+        if np.issubdtype(src.dtype, np.integer):
+            exp = np.rint(exp)
+        assert np.array_equal(got, exp.astype(src.dtype))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported resize method"):
+        multimodal.resize_images(imgs, 8, 8, method="lanczos")
+
+
 def test_frame_sample(spark):
     imgs = datagen.gen_images(spark, 6, profile="mixed").filter("bands >= 8")
     out = multimodal.frame_sample(imgs, every_n=3)

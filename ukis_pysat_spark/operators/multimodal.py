@@ -92,15 +92,42 @@ def decode_stats(images: DataFrame, nodata: float | None = 0.0) -> DataFrame:
     return images.select("image_id", "bytes").mapInArrow(run, schema=STATS_SCHEMA)
 
 
-def resize_images(images: DataFrame, out_h: int, out_w: int, out_fmt: str = "raw") -> DataFrame:
-    """Nearest-neighbor resize; emits (image_id, bytes, w, h, caption)
-    through the Arrow-native payload buffer (1 -> 1 rows_fn)."""
+def resize_images(
+    images: DataFrame,
+    out_h: int,
+    out_w: int,
+    out_fmt: str = "raw",
+    method: str = "nearest",
+) -> DataFrame:
+    """Resize; emits (image_id, bytes, w, h, caption) through the
+    Arrow-native payload buffer (1 -> 1 rows_fn).
+
+    method='nearest' index-samples; method='area' block-averages
+    (integer-bucket mean via two reduceat passes — the right filter
+    for DOWNscaling training thumbnails; falls back to nearest on any
+    axis that is upscaled, where area buckets would be empty).
+    Integer dtypes round on the way back."""
+    if method not in ("nearest", "area"):
+        raise ValueError(f"unsupported resize method {method!r} (nearest | area)")
 
     def rows_fn(row: dict):
         arr = codec.decode(row["bytes"])
-        ri = (np.arange(out_h) * arr.shape[1] // out_h).astype(np.int64)
-        ci = (np.arange(out_w) * arr.shape[2] // out_w).astype(np.int64)
-        small = np.ascontiguousarray(arr[:, ri[:, None], ci[None, :]])
+        if method == "area" and out_h <= arr.shape[1] and out_w <= arr.shape[2]:
+            re = np.arange(out_h + 1) * arr.shape[1] // out_h
+            ce = np.arange(out_w + 1) * arr.shape[2] // out_w
+            sums = np.add.reduceat(
+                np.add.reduceat(arr.astype(np.float64), re[:-1], axis=1),
+                ce[:-1], axis=2,
+            )
+            counts = np.outer(np.diff(re), np.diff(ce)).astype(np.float64)
+            mean = sums / counts[None, :, :]
+            if np.issubdtype(arr.dtype, np.integer):
+                mean = np.rint(mean)
+            small = np.ascontiguousarray(mean.astype(arr.dtype))
+        else:
+            ri = (np.arange(out_h) * arr.shape[1] // out_h).astype(np.int64)
+            ci = (np.arange(out_w) * arr.shape[2] // out_w).astype(np.int64)
+            small = np.ascontiguousarray(arr[:, ri[:, None], ci[None, :]])
         meta = {
             "image_id": row["image_id"],
             "w": out_w,
