@@ -67,6 +67,14 @@ def main() -> None:
         "ngram_jaccard prefix path (per-row hash-order prefixes; no extra shuffle before the candidate join)":
             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, prefix_filter=True),
     }
+    from ukis_pysat_spark.operators import multimodal
+
+    plans.update({
+        "multimodal resize_images (round 4: single MapInArrow through the generic PayloadBuf)":
+            multimodal.resize_images(images, 32, 32, method="area"),
+        "multimodal frame_sample (round 4: 1->N flat emission, single MapInArrow)":
+            multimodal.frame_sample(images, every_n=2),
+    })
     out = ["# Physical plans of the headline operators",
            "",
            "Regenerate with `python tools/explain_audit.py`.  `*` marks",
