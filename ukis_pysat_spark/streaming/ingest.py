@@ -101,18 +101,24 @@ def await_available_now(q, timeout: float = 120.0, poll: float = 0.25) -> None:
     import time as _time
 
     deadline = _time.time() + timeout
+    zero_batches: set = set()
     while _time.time() < deadline:
         if not q.isActive:
             return
         lp = q.lastProgress
         st = q.status
-        if (
-            lp is not None
-            and lp.get("numInputRows", 0) == 0
-            and not st["isDataAvailable"]
-        ):
-            q.stop()
-            q.awaitTermination(60)
-            return
+        if lp is not None:
+            if lp.get("numInputRows", 0) > 0:
+                # data still flowing — any earlier empties were startup
+                zero_batches.clear()
+            else:
+                zero_batches.add(lp.get("batchId"))
+            # require TWO distinct drained batches: right after start a
+            # no-op trigger can report zero input before the backlog is
+            # even planned (observed race: stopping there loses data)
+            if len(zero_batches) >= 2 and not st["isDataAvailable"]:
+                q.stop()
+                q.awaitTermination(60)
+                return
         _time.sleep(poll)
     raise TimeoutError("availableNow query did not drain within timeout")
