@@ -199,24 +199,31 @@ def flat_map_payload_rows(
     fields: list,
     payload_name: str = "bytes",
     flush_bytes: int = 64 << 20,
+    in_payload: str | None = None,
 ) -> DataFrame:
     """Generalized Arrow-native emitter: run `rows_fn` over every input
     row (1 -> N output rows) and emit rows of the caller-declared
     (meta..., payload binary) schema through a PayloadBuf — same
     zero-per-row-bytes discipline as map_image_rows, with flushes
-    bounded by payload size, not input batch size."""
+    bounded by payload size, not input batch size.
+
+    `in_payload` names the INPUT payload column handed to `rows_fn` as a
+    zero-copy buffer view; it defaults to `payload_name` so a caller that
+    renames the payload column keeps the no-bytes-objects path on input
+    too (pass explicitly when input and output payload names differ)."""
     fields = [(n, t) for n, t in fields]
+    src = payload_name if in_payload is None else in_payload
 
     def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         buf = PayloadBuf(fields, payload_name)
         for batch in batches:
-            names = [n for n in batch.schema.names if n != "bytes"]
+            names = [n for n in batch.schema.names if n != src]
             lists = [batch.column(n).to_pylist() for n in names]
-            payload = batch.column("bytes") if "bytes" in batch.schema.names else None
+            payload = batch.column(src) if src in batch.schema.names else None
             for ri in range(batch.num_rows):
                 row = {n: ls[ri] for n, ls in zip(names, lists)}
                 if payload is not None:
-                    row["bytes"] = payload[ri].as_buffer()
+                    row[src] = payload[ri].as_buffer()
                 for d, arr, fmt in rows_fn(row):
                     header, body = codec.encode_chunks(arr, fmt)
                     buf.add(d, header, body)
