@@ -628,14 +628,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dn2toa_synth"] = dn2toa_synth
 
+    # skewed spatial join, hash-gated (round 5): 30% of scenes AND 30%
+    # of AOIs collapse onto one hotspot box (the dense-AOI skew case of
+    # the north rule) — but the geometry is closed-form modular
+    # arithmetic on multiples of 0.25 instead of datagen's rng centers,
+    # so a DuckDB box-overlap join is a TRUE oracle (axis-aligned
+    # footprints: bbox overlap == exact intersection).  Replaces the
+    # round-4 rows-only rng variant (VERDICT r4 next-round #7).
     def spatial_join_synth(spark, sf_dir):
-        imgs = datagen.gen_images(spark, 150, profile="bench", skew_frac=0.3)
-        aois = datagen.gen_aois(spark, 60, skew_frac=0.3)
-        return spatial_join.spatial_join(imgs, aois, res=12)
+        sid = F.col("id")
+        s_hot = (sid % 10) < 3
+        s_lon0 = F.when(s_hot, 11.0 + (sid % 7).cast("double") * 0.25).otherwise(
+            -30.0 + ((sid * 29) % 240).cast("double") * 0.25
+        )
+        s_lat0 = F.when(s_hot, 51.0 + (sid % 5).cast("double") * 0.25).otherwise(
+            20.0 + ((sid * 31) % 150).cast("double") * 0.25
+        )
+        s_lon1 = s_lon0 + F.when(s_hot, F.lit(1.0)).otherwise(
+            1.0 + (sid % 4).cast("double") * 0.25
+        )
+        s_lat1 = s_lat0 + F.when(s_hot, F.lit(0.75)).otherwise(
+            1.0 + (sid % 3).cast("double") * 0.25
+        )
+        scenes = spark.range(150).select(
+            F.concat(F.lit("img"), sid.cast("string")).alias("image_id"),
+            F.array(s_lon0, s_lon1, s_lon1, s_lon0, s_lon0).alias("footprint_lon"),
+            F.array(s_lat0, s_lat0, s_lat1, s_lat1, s_lat0).alias("footprint_lat"),
+        )
+        a_hot = (sid % 10) < 3
+        a_lon0 = F.when(a_hot, 11.25 + (sid % 5).cast("double") * 0.25).otherwise(
+            -30.0 + ((sid * 53) % 240).cast("double") * 0.25
+        )
+        a_lat0 = F.when(a_hot, 51.25 + (sid % 4).cast("double") * 0.25).otherwise(
+            20.0 + ((sid * 59) % 150).cast("double") * 0.25
+        )
+        a_lon1 = a_lon0 + F.when(a_hot, F.lit(0.5)).otherwise(F.lit(1.5))
+        a_lat1 = a_lat0 + F.when(a_hot, F.lit(0.5)).otherwise(F.lit(1.5))
+        aois = spark.range(60).select(
+            F.concat(F.lit("aoi"), sid.cast("string")).alias("aoi_id"),
+            F.array(a_lon0, a_lon1, a_lon1, a_lon0, a_lon0).alias("ring_lon"),
+            F.array(a_lat0, a_lat0, a_lat1, a_lat1, a_lat0).alias("ring_lat"),
+            a_lon0.alias("lon_min"),
+            a_lat0.alias("lat_min"),
+            a_lon1.alias("lon_max"),
+            a_lat1.alias("lat_max"),
+        )
+        return spatial_join.spatial_join(scenes, aois, res=8)
 
     q["spatial_join_synth"] = spatial_join_synth
 
+    # P4 valid-data bbox, value-gated (round 5): the 'oracle' profile
+    # zeroes exactly idx%7+1 top rows (every other pixel >= 1), and a
+    # closed-form transform on multiples of 0.25 replaces the rng scene
+    # centers — the geo bbox becomes exact double arithmetic a DuckDB
+    # twin reproduces bit-for-bit (VERDICT r4 next-round #4).
+    def valid_bbox_synth(spark, sf_dir):
+        return transforms.valid_data_bbox(_oracle_grid_imgs(spark)).select(
+            "image_id", "left", "bottom", "right", "top"
+        )
+
+    q["valid_bbox_synth"] = valid_bbox_synth
+
+    # P5 mask/crop to bbox, value-gated (round 5): crop every oracle-
+    # profile image to one global fractional-pixel bbox, then per-band
+    # pixel stats over the cropped window.  floor/ceil window math,
+    # the shifted transform origin, AND the sliced pixel values are all
+    # closed-form; integer pixel sums make avg() division bit-exact.
+    def mask_bbox_synth(spark, sf_dir):
+        masked = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [transforms.mask_bbox(_MASK_BBOX, crop=True)],
+        )
+        stats = multimodal.decode_stats(masked, nodata=None)
+        meta = masked.select(
+            "image_id",
+            "w",
+            "h",
+            F.element_at("transform", 3).alias("left"),
+            F.element_at("transform", 6).alias("top"),
+        )
+        return stats.join(meta, "image_id").select(
+            "image_id", "band", "w", "h", "left", "top",
+            "mean", "min", "max", "n_valid",
+        )
+
+    q["mask_bbox_synth"] = mask_bbox_synth
+
     return q
+
+
+# global fractional-pixel crop bbox for mask_bbox_synth: overlaps every
+# oracle-grid image (lon extents walk -10..-0.5, lat extents 51.25..60)
+# and is deliberately NOT aligned to the 0.25-deg pixel grid so the
+# floor/ceil window snap is exercised on both axes
+_MASK_BBOX = (-9.93, 51.3, -0.61, 59.9)
+
+
+def _oracle_grid_imgs(spark):
+    """'oracle' profile images with the rng transform replaced by a
+    closed-form pixel grid: a=0.25, e=-0.25, origin walks the diagonal
+    (idx*0.5-10, 60-idx*0.5).  Every coordinate is a multiple of 0.25
+    (binary-exact), so window/geo arithmetic is SQL-reproducible."""
+    imgs = datagen.gen_images(spark, 16, profile="oracle")
+    idx = F.substring("image_id", 4, 8).cast("int").cast("double")
+    return imgs.withColumn(
+        "transform",
+        F.array(
+            F.lit(0.25), F.lit(0.0), idx * 0.5 - 10.0,
+            F.lit(0.0), F.lit(-0.25), F.lit(60.0) - idx * 0.5,
+        ),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -970,6 +1072,98 @@ def oracle_sql() -> dict[str, str]:
     SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
            count(*) AS n_bands, round(avg(mean_b), 4) AS avg_band_mean
     FROM bm GROUP BY idx
+    """
+
+    # round-5 skewed spatial join: axis-aligned closed-form boxes, so
+    # bbox overlap (closed boundaries) IS exact intersection
+    o["spatial_join_synth"] = """
+        WITH scenes AS (
+          SELECT idx,
+                 CASE WHEN idx % 10 < 3 THEN 11.0 + (idx % 7) * 0.25
+                      ELSE -30.0 + ((idx * 29) % 240) * 0.25 END AS lon0,
+                 CASE WHEN idx % 10 < 3 THEN 51.0 + (idx % 5) * 0.25
+                      ELSE 20.0 + ((idx * 31) % 150) * 0.25 END AS lat0,
+                 CASE WHEN idx % 10 < 3 THEN 1.0
+                      ELSE 1.0 + (idx % 4) * 0.25 END AS dw,
+                 CASE WHEN idx % 10 < 3 THEN 0.75
+                      ELSE 1.0 + (idx % 3) * 0.25 END AS dh
+          FROM range(150) t(idx)
+        ), aois AS (
+          SELECT idx,
+                 CASE WHEN idx % 10 < 3 THEN 11.25 + (idx % 5) * 0.25
+                      ELSE -30.0 + ((idx * 53) % 240) * 0.25 END AS lon0,
+                 CASE WHEN idx % 10 < 3 THEN 51.25 + (idx % 4) * 0.25
+                      ELSE 20.0 + ((idx * 59) % 150) * 0.25 END AS lat0,
+                 CASE WHEN idx % 10 < 3 THEN 0.5 ELSE 1.5 END AS dw,
+                 CASE WHEN idx % 10 < 3 THEN 0.5 ELSE 1.5 END AS dh
+          FROM range(60) t(idx)
+        )
+        SELECT 'img' || CAST(s.idx AS VARCHAR) AS image_id,
+               'aoi' || CAST(a.idx AS VARCHAR) AS aoi_id
+        FROM scenes s JOIN aois a
+          ON s.lon0 <= a.lon0 + a.dw AND s.lon0 + s.dw >= a.lon0
+         AND s.lat0 <= a.lat0 + a.dh AND s.lat0 + s.dh >= a.lat0
+    """
+
+    # P4 valid-data bbox over the closed-form oracle grid: valid rows
+    # are nod..nrows (all non-nodata pixels >= 1), all columns valid
+    o["valid_bbox_synth"] = """
+        WITH imgs AS (
+          SELECT idx,
+                 [6,7,6,5][idx % 4 + 1] AS nrows,
+                 [9,8,7,8][idx % 4 + 1] AS ncols,
+                 idx % 7 + 1 AS nod,
+                 idx * 0.5 - 10.0 AS cx, 60.0 - idx * 0.5 AS fy
+          FROM range(16) t(idx)
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               cx AS "left",
+               CASE WHEN nod >= nrows THEN fy ELSE fy + nrows * -0.25 END AS bottom,
+               CASE WHEN nod >= nrows THEN cx ELSE cx + ncols * 0.25 END AS "right",
+               CASE WHEN nod >= nrows THEN fy ELSE fy + nod * -0.25 END AS top
+        FROM imgs
+    """
+
+    # P5 crop-to-bbox: floor/ceil window snap + shifted origin + per-
+    # band stats over the sliced closed-form pixel grid.  Pixel values
+    # are integers, so sums (and avg's one division) are bit-exact.
+    o["mask_bbox_synth"] = """
+        WITH imgs AS (
+          SELECT idx,
+                 [7,9,11,13][idx % 4 + 1] AS nb,
+                 [6,7,6,5][idx % 4 + 1] AS nrows,
+                 [9,8,7,8][idx % 4 + 1] AS ncols,
+                 idx % 7 + 1 AS nod,
+                 idx * 0.5 - 10.0 AS cx, 60.0 - idx * 0.5 AS fy
+          FROM range(16) t(idx)
+        ),
+        win AS (
+          SELECT *,
+                 GREATEST(CAST(floor((-9.93 - cx) / 0.25) AS BIGINT), 0) AS c0,
+                 LEAST(CAST(ceil((-0.61 - cx) / 0.25) AS BIGINT), ncols) AS c1,
+                 GREATEST(CAST(floor((59.9 - fy) / -0.25) AS BIGINT), 0) AS r0,
+                 LEAST(CAST(ceil((51.3 - fy) / -0.25) AS BIGINT), nrows) AS r1
+          FROM imgs
+        ),
+        px AS (
+          SELECT w.idx, w.c0, w.c1, w.r0, w.r1, w.cx, w.fy, b.b, r.r, c.c,
+                 CASE WHEN r.r < w.nod THEN 0.0
+                      ELSE fmod(r.r * 3.0 + c.c * 5.0 + b.b * 17.0
+                                + ((r.r // 8 + c.c // 8) % 2) * 50.0, 2000.0) + 1.0
+                 END AS dn
+          FROM win w,
+               LATERAL (SELECT unnest(range(w.nb)) AS b) b,
+               LATERAL (SELECT unnest(range(w.r0, w.r1)) AS r) r,
+               LATERAL (SELECT unnest(range(w.c0, w.c1)) AS c) c
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               CAST(c1 - c0 AS INTEGER) AS w, CAST(r1 - r0 AS INTEGER) AS h,
+               cx + c0 * 0.25 AS "left", fy + r0 * -0.25 AS top,
+               avg(dn) AS mean, min(dn) AS "min", max(dn) AS "max",
+               CAST(count(*) AS BIGINT) AS n_valid
+        FROM px
+        GROUP BY idx, b, c0, c1, r0, r1, cx, fy
     """
 
     o["ann_topk"] = """
