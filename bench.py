@@ -101,7 +101,9 @@ def main() -> None:
         "spatial_join",
         lambda: spatial_join.spatial_join(images, aois, res=12).count(),
     )
-    timed("knn", lambda: knn.knn_broadcast(images, aois, k=5).count())
+    # auto-chosen physical path (broadcast at this scale; the chooser's
+    # counts are part of the measured cost)
+    timed("knn", lambda: knn.knn(images, aois, k=5).count())
     # cell-ring pruned kNN with the certified exact fallback (the scale
     # path for huge scene tables; result provably equals broadcast)
     timed(

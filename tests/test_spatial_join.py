@@ -178,6 +178,36 @@ def test_knn_indexed_exact_fallback_kth_outside_ring(spark):
     assert np.allclose(f["dist_km"], e["dist_km"])
 
 
+def test_knn_auto_chooser_paths():
+    """choose_knn_path: small pair counts take the broadcast scan; big
+    ones take the indexed path with a res sized for ~8k candidates per
+    ring under a uniform spread."""
+    assert knn.choose_knn_path(20_000, 500, k=5) == ("broadcast", 0)
+    path, res = knn.choose_knn_path(10**9, 10_000, k=5)
+    assert path == "indexed"
+    # expected candidates per ring at that res land near the target
+    expect = 10**9 * 25 / 4**res
+    assert 40 <= expect <= 8 * 40, expect
+    assert 4 <= res <= 14
+    # res clamps at both ends
+    assert knn.choose_knn_path(100, 10**7, k=5, crossover=10)[1] == 4
+    assert knn.choose_knn_path(10**15, 10**6, k=1, crossover=10)[1] == 14
+
+
+def test_knn_auto_matches_broadcast_on_both_paths(spark):
+    """knn() returns identical rows whichever physical path the chooser
+    takes (crossover forced to send the same input down each)."""
+    imgs = datagen.gen_images(spark, 200, profile="bench")
+    aois = datagen.gen_aois(spark, 8)
+    exact = knn.knn_broadcast(imgs, aois, k=3).toPandas()
+    for crossover in (10**9, 1):  # broadcast path, then indexed path
+        got = knn.knn(imgs, aois, k=3, crossover=crossover).toPandas()
+        g = got.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
+        e = exact.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
+        assert (g["image_id"] == e["image_id"]).all(), crossover
+        assert np.allclose(g["dist_km"], e["dist_km"])
+
+
 def test_knn_indexed_certified_skips_fallback(spark):
     """When the ring is sufficient the certified path must keep the ring
     answer (equal to broadcast) — covering the guard-radius math."""
@@ -409,3 +439,27 @@ def test_polygon_intersects_boundary_and_wrap_units():
          np.array(_box_ring(0.0, 1.0, 0.0, 1.0)[1])],
     )
     assert got.tolist() == [True, True, False]
+
+
+def test_global_ring_raises(spark):
+    """VERDICT r4 #6: a ring whose vertices fill most of the lon circle
+    (wrapped reading ALSO spans >= 180 deg) is outside the antimeridian
+    convention; the cell cover must fail loudly, not silently mis-cover.
+    Ordinary and seam-crossing rings keep working."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    glob = ([0.0, 100.0, 179.0, -179.0, -100.0, 0.0],
+            [0.0, 0.0, 1.0, 2.0, 1.0, 0.0])
+    imgs = _imgs_from_rings(spark, [("G", glob)])
+    with pytest.raises(SparkRuntimeException, match="global ring"):
+        spatial_join.with_cells(
+            imgs, "footprint_lon", "footprint_lat", 8
+        ).collect()
+    # the convention cases still pass through the same expression
+    ok = _imgs_from_rings(spark, [
+        ("N", _box_ring(10.0, 12.0, 0.0, 2.0)),
+        ("W", _box_ring(178.0, -178.0, 0.0, 2.0)),
+    ])
+    cells = spatial_join.with_cells(ok, "footprint_lon", "footprint_lat", 8)
+    assert cells.select("image_id").distinct().count() == 2

@@ -59,12 +59,29 @@ def lon_interval(lon_col: Column) -> tuple[Column, Column]:
     Antimeridian convention (engine-wide): a ring whose planar lon span
     exceeds 180 deg crosses +-180 (physical extent is < 180 deg); its
     interval is [min non-negative lon, max negative lon + 360].  For
-    ordinary rings this is just [array_min, array_max]."""
+    ordinary rings this is just [array_min, array_max].
+
+    GLOBAL rings are outside the convention: when the wrapped reading
+    ALSO spans >= 180 deg (vertices fill most of the circle), neither
+    interpretation is faithful and the cover would silently miss cells
+    — such rows now raise at the cell-cover boundary instead (VERDICT
+    r4 next-round #6); split the geometry upstream."""
     mn, mx = F.array_min(lon_col), F.array_max(lon_col)
     wraps = (mx - mn) > F.lit(180.0)
     pos_min = F.array_min(F.filter(lon_col, lambda x: x >= F.lit(0.0)))
     neg_max = F.array_max(F.filter(lon_col, lambda x: x < F.lit(0.0)))
-    lon0 = F.when(wraps, pos_min).otherwise(mn)
+    too_wide = wraps & ((neg_max + F.lit(360.0) - pos_min) >= F.lit(180.0))
+    guarded = F.when(
+        ~too_wide, F.lit(0.0)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "global ring: physical lon extent >= 180 deg is outside the "
+                "antimeridian convention — split the ring before the cell cover"
+            )
+        ).cast("double")
+    )
+    lon0 = F.when(wraps, pos_min + guarded).otherwise(mn + guarded)
     lon1 = F.when(wraps, neg_max + F.lit(360.0)).otherwise(mx)
     return lon0, lon1
 
