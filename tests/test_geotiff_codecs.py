@@ -304,3 +304,41 @@ def test_bigtiff_bad_header_raises():
     broken[4:6] = b"\x04\x00"  # offset size 4: invalid
     with pytest.raises(ValueError, match="BigTIFF"):
         geotiff.parse_ifd(bytes(broken))
+
+
+def test_lzw_smooth_run_copy_correctness():
+    """VERDICT r4 #8: highly-compressible streams take the run-copy
+    materialization (one slice copy per emission) — same bytes as the
+    per-code loop, including the KwKwK self-overlap tail."""
+    smooth = np.repeat(np.arange(256, dtype="uint8"), 4096).tobytes()
+    enc = tiffgen.lzw_encode(smooth)
+    assert geotiff._lzw_decode(enc) == smooth
+    assert geotiff._lzw_decode_py(enc) == smooth
+    # pure KwKwK chain: aaaa... maximizes the overlap case
+    runs = b"a" * 65536
+    enc2 = tiffgen.lzw_encode(runs)
+    assert geotiff._lzw_decode(enc2) == runs
+
+
+@pytest.mark.perf
+def test_lzw_smooth_run_copy_speedup():
+    """The run-copy path must beat the per-code Python loop on the
+    smooth fixture it was built for (quiet-host ratio ~2x; bar 1.2x
+    min-of-5 for co-tenant noise headroom)."""
+    import time
+
+    smooth = np.repeat(np.arange(256, dtype="uint8"), 4096).tobytes()
+    enc = tiffgen.lzw_encode(smooth)
+
+    def best_of(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(enc)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    best_of(geotiff._lzw_decode, reps=1)
+    fast = best_of(geotiff._lzw_decode)
+    slow = best_of(geotiff._lzw_decode_py)
+    assert slow / max(fast, 1e-9) >= 1.2

@@ -210,12 +210,15 @@ def _lzw_decode(raw: bytes) -> bytes:
     total = int(pos[-1])
 
     # Highly-compressible streams (few long emissions) are memcpy-bound:
-    # the per-code bytes-concat loop beats byte-level pointer doubling
-    # there (doubling costs an extra log-depth factor per OUTPUT byte).
-    # The vectorized path wins when emissions are short and numerous —
-    # the realistic compressed-scene shape.
+    # byte-level pointer doubling pays an extra log-depth factor per
+    # OUTPUT byte there, so those go through the run-copy path below —
+    # one numpy slice copy per emission (VERDICT r4 next-round #8;
+    # replaces the round-4 fallback to the per-code Python loop, which
+    # re-did bit extraction and table upkeep this pass already has).
+    # The byte-doubling path wins when emissions are short and numerous
+    # — the realistic compressed-scene shape.
     if total >= (n_em << 4) or total >= (1 << 31):
-        return _lzw_decode_py(raw)
+        return _lzw_decode_runs(g, c_all, pos, L, total)
 
     # byte-level parent graph: output byte i of a copy emission points
     # at the same offset inside the referenced emission; literal bytes
@@ -233,6 +236,42 @@ def _lzw_decode(raw: bytes) -> bytes:
             break
         par = p2
     return byte[par].tobytes()
+
+
+def _lzw_decode_runs(
+    g: np.ndarray, c_all: np.ndarray, pos: np.ndarray, L: np.ndarray, total: int
+) -> bytes:
+    """Run-copy LZW materialization for highly-compressible streams:
+    emission t is the output substring out[pos[g[t]] : pos[g[t]]+L[t]]
+    (entry = referenced emission + 1 byte, contiguous in the output),
+    and every source range is fully written before its copy runs
+    (src + L <= pos[t] + 1, front-to-back order) — so the output
+    resolves with ONE numpy slice copy per emission, LZ77-style.  The
+    single possible overlap is the KwKwK case (src + L == pos[t] + 1),
+    whose trailing byte equals the copy's own first byte.
+
+    Literal emissions are pre-filled vectorized; the per-emission loop
+    touches copies only, so its iteration count is total/avg_len —
+    tiny exactly when this path is chosen (avg emission >= 16)."""
+    out = bytearray(total)
+    lit = g < 0
+    ov = np.frombuffer(out, dtype=np.uint8)
+    ov[pos[:-1][lit]] = c_all[lit]
+    copies = np.nonzero(~lit)[0]
+    # bulk-convert the loop operands once: python-int indexing + byte-
+    # array slice copies run at memcpy speed (numpy scalar indexing in
+    # the loop was 10x slower)
+    ds = pos[copies].tolist()
+    ss = pos[g[copies]].tolist()
+    ls = L[copies].tolist()
+    for d, s, lt in zip(ds, ss, ls):
+        e = d + lt
+        if s + lt <= d:
+            out[d:e] = out[s : s + lt]
+        else:  # KwKwK: 1-byte self-overlap; tail byte == first byte
+            out[d : e - 1] = out[s : s + lt - 1]
+            out[e - 1] = out[d]
+    return bytes(out)
 
 
 def _packbits_decode(raw: bytes) -> bytes:
