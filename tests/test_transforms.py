@@ -406,7 +406,53 @@ def test_warp_bilinear_golden_ramp(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported resampling"):
-        transforms.warp("EPSG:4326", resampling="lanczos")
+        transforms.warp("EPSG:4326", resampling="average")
+
+
+def test_warp_lanczos_golden_bandlimited():
+    """VERDICT r4 stretch #9: lanczos (windowed sinc a=3) on a
+    bandlimited field.  Gates: (1) constant fields survive EXACTLY
+    (renormalized discrete weights give DC gain 1 between taps);
+    (2) on a low-frequency sinusoid a 2x upsample reconstructs the
+    closed-form field at interior pixels tighter than bilinear by a
+    wide margin (windowed sinc approaches ideal reconstruction where
+    linear interpolation has O(h^2) error)."""
+    n = 32
+    const = np.full((1, n, n), 7.25)
+    meta = {"transform": [0.01, 0.0, 10.0, 0.0, -0.01, 50.0], "nodata": -1.0, "crs": "EPSG:4326"}
+    tgt = dict(
+        target_transform=[0.005, 0.0, 10.0, 0.0, -0.005, 50.0],
+        target_size=(2 * n, 2 * n),
+    )
+    lz, meta_lz = transforms.warp("EPSG:4326", resampling="lanczos", **tgt)(
+        const.copy(), dict(meta)
+    )
+    ii, jj = np.meshgrid(np.arange(2 * n), np.arange(2 * n), indexing="ij")
+    fy = ii / 2.0 - 0.25
+    fx = jj / 2.0 - 0.25
+    interior = (fx >= 2.5) & (fx <= n - 4) & (fy >= 2.5) & (fy <= n - 4)
+    assert np.allclose(lz[0][interior], 7.25, atol=1e-12)
+    assert meta_lz["transform"][0] == 0.005
+
+    # bandlimited sinusoid at period 4 px (half Nyquist) — the regime
+    # the windowed sinc exists for: its sharper frequency cutoff must
+    # reconstruct the closed-form field several times tighter than the
+    # 4-tap cubic, and an order of magnitude tighter than bilinear
+    # (measured here: lanczos 0.020, cubic 0.087, bilinear 0.192)
+    cc, rr = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64), indexing="xy")
+    field = np.sin(2 * np.pi * cc / 4.0) + np.cos(2 * np.pi * rr / 14.0)
+    arr = field[None, :, :]
+    expected = np.sin(2 * np.pi * fx / 4.0) + np.cos(2 * np.pi * fy / 14.0)
+    errs = {}
+    for rs in ("lanczos", "cubic", "bilinear"):
+        out, _ = transforms.warp("EPSG:4326", resampling=rs, **tgt)(
+            arr.copy(), dict(meta)
+        )
+        errs[rs] = float(np.abs(out[0][interior] - expected[interior]).max())
+    assert errs["lanczos"] < 0.03, errs
+    assert errs["lanczos"] < errs["cubic"] / 3.0, errs
+    assert errs["lanczos"] < errs["bilinear"] / 5.0, errs
 
 
 def test_warp_cubic_golden_quadratic_ramp():

@@ -622,10 +622,11 @@ def warp(
     resampling: str = "nearest",
 ) -> TransformFn:
     """Analytic reprojection with nearest (the reference's default
-    resampling_method=0), bilinear (=1) or cubic (=2, Catmull-Rom
-    4x4 convolution, the Keys a=-0.5 kernel) resampling — the three
-    most-used entries of the reference's GDAL resampling enum
-    (raster.py:228).
+    resampling_method=0), bilinear (=1), cubic (=2, Catmull-Rom
+    4x4 convolution, the Keys a=-0.5 kernel) or lanczos (=4, separable
+    windowed sinc with a=3, 6x6 taps, discrete weights renormalized)
+    resampling — the most-used entries of the reference's GDAL
+    resampling enum (raster.py:228).
 
     Default grid mirrors calculate_default_transform: the source bbox's
     corners are projected and the output keeps ~the source pixel count
@@ -639,9 +640,10 @@ def warp(
     third-order accurate: it reproduces quadratic fields exactly,
     where bilinear provably steps (the golden test's criterion).
     """
-    if resampling not in ("nearest", "bilinear", "cubic"):
+    if resampling not in ("nearest", "bilinear", "cubic", "lanczos"):
         raise ValueError(
-            f"unsupported resampling {resampling!r} (nearest | bilinear | cubic)"
+            f"unsupported resampling {resampling!r} "
+            "(nearest | bilinear | cubic | lanczos)"
         )
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
@@ -706,7 +708,7 @@ def warp(
             if np.issubdtype(arr.dtype, np.integer):
                 interp = np.rint(interp)
             out = interp.astype(arr.dtype)
-        else:  # cubic: separable Catmull-Rom (Keys a=-0.5), taps -1..2
+        elif resampling == "cubic":  # separable Catmull-Rom (Keys a=-0.5), taps -1..2
             fx = (sx - c) / a - 0.5
             fy = (sy - f_) / e - 0.5
             x0 = np.floor(fx).astype(np.int64)
@@ -733,6 +735,41 @@ def warp(
             for i in range(4):  # rows
                 row_acc = np.zeros_like(interp)
                 for j in range(4):  # cols
+                    row_acc += fsrc[:, yc[i], xc[j]] * wxs[j][None, :, :]
+                interp += row_acc * wys[i][None, :, :]
+            if np.issubdtype(arr.dtype, np.integer):
+                info = np.iinfo(arr.dtype)
+                interp = np.clip(np.rint(interp), info.min, info.max)
+            out = interp.astype(arr.dtype)
+        else:  # lanczos: separable windowed sinc, a=3, taps -2..3
+            # (the reference's Resampling.lanczos, raster.py:228); the
+            # discrete 6-tap weights are renormalized to sum 1 per
+            # sample position, GDAL-style, so constant fields survive
+            # exactly and DC gain is 1 everywhere between taps
+            fx = (sx - c) / a - 0.5
+            fy = (sy - f_) / e - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            tx = fx - x0
+            ty = fy - y0
+
+            def _lanczos_weights(t: np.ndarray) -> list[np.ndarray]:
+                ws = []
+                for k in range(6):
+                    x = t - (k - 2)  # in (-3, 3)
+                    ws.append(np.sinc(x) * np.sinc(x / 3.0))
+                s = sum(ws)
+                return [wk / s for wk in ws]
+
+            wxs = _lanczos_weights(tx)
+            wys = _lanczos_weights(ty)
+            xc = [np.clip(x0 + k - 2, 0, w - 1) for k in range(6)]
+            yc = [np.clip(y0 + k - 2, 0, h - 1) for k in range(6)]
+            fsrc = arr.astype(np.float64, copy=False)
+            interp = np.zeros((arr.shape[0],) + fx.shape, dtype=np.float64)
+            for i in range(6):
+                row_acc = np.zeros_like(interp)
+                for j in range(6):
                     row_acc += fsrc[:, yc[i], xc[j]] * wxs[j][None, :, :]
                 interp += row_acc * wys[i][None, :, :]
             if np.issubdtype(arr.dtype, np.integer):
