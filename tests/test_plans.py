@@ -40,15 +40,17 @@ def test_tile_windows_prunes_bytes(spark, images_parquet):
 def test_spatial_join_filter_stage_is_jvm(spark, images_parquet):
     """The candidate-generation (cell cover + equi-join + dedup) stage
     must contain no Python nodes; the ONLY Python in the whole join is
-    the final exact-refine mapInPandas."""
+    the final exact-refine — a mapInArrow stage since round 5 (raw
+    RecordBatch accumulation, no pandas block assembly)."""
     images = spark.read.parquet(images_parquet)
     aois = datagen.gen_aois(spark, 10)
     plan = _plan(spatial_join.spatial_join(images, aois, res=12))
     # aois come from a datagen MapInPandas source; discount source nodes
     # by checking that no Python node sits between the joins and the
-    # top-level refine: exactly ONE MapInPandas above the join tree.
+    # top-level refine: exactly ONE MapInArrow above the join tree.
     join_part = plan.split("SortMergeJoin")[0].split("BroadcastHashJoin")[0]
-    assert join_part.count("MapInPandas") == 1  # the refine only
+    assert join_part.count("MapInArrow") == 1  # the refine only
+    assert join_part.count("MapInPandas") == 0
     assert "ArrowEvalPython" not in plan  # no pandas-UDF cell cover
 
 

@@ -268,8 +268,16 @@ def knn(
     cheap relative to either join), then dispatches to knn_broadcast or
     certified-exact knn_indexed; both return identical rows, so the
     choice is invisible in results."""
-    n_scenes = images.select("image_id").count()
-    n_aois = aois.select("aoi_id").count()
+    # both counts in ONE Spark action (a union of two 1-row aggregates
+    # costs one job instead of two driver round-trips)
+    counts = dict(
+        images.select(F.lit("s").alias("side"))
+        .groupBy("side").count()
+        .unionByName(aois.select(F.lit("a").alias("side")).groupBy("side").count())
+        .collect()
+    )
+    n_scenes = int(counts.get("s", 0))
+    n_aois = int(counts.get("a", 0))
     path, res = choose_knn_path(n_scenes, n_aois, k, ring=ring, crossover=crossover)
     if path == "broadcast":
         return knn_broadcast(images, aois, k=k)

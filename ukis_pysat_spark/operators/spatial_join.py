@@ -282,49 +282,72 @@ def spatial_join(
         )
     )
 
-    return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
+    return cand.mapInArrow(_refine_batches, schema="image_id string, aoi_id string")
 
 
 _REFINE_CHUNK = 1 << 16  # rows per vectorized refine call
 
 
-def _refine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Exact polygon-polygon refinement (geometry.polygon_intersects_
-    pairwise).  Arrow feeds small batches (sized for wide image rows);
-    refine rows are tiny, so batches are accumulated into large chunks
-    before the vectorized predicate runs — per-batch overhead otherwise
-    dominates at millions of candidate pairs."""
+def _ring_views(col) -> list:
+    """ListArray -> per-row numpy views (values buffer + offsets, zero
+    per-row copies).  Handles sliced arrays: `values` is the full child
+    array, so the window [offsets[0], offsets[-1]) is cut first."""
+    import pyarrow as pa
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = arr.offsets.to_numpy()
+    values = arr.values.to_numpy(zero_copy_only=False)[offsets[0] : offsets[-1]]
+    return np.split(values, offsets[1:-1] - offsets[0])
+
+
+def _refine_batches(batches):
+    """Exact polygon-polygon refinement (geometry.polygon_intersects_
+    pairwise) as an Arrow-native stage.
+
+    The session caps Arrow batches at 128 rows to protect payload
+    operators, but refine rows are tiny — at millions of candidate
+    pairs the per-batch cost is the whole game.  So this runs under
+    ``mapInArrow`` (round 5; the pandas version paid ~1.5 s/160k-scene
+    join just materializing per-row list objects into object columns),
+    appends raw RecordBatches, and processes accumulated chunks with
+    Arrow-level filters + numpy views over the list buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def process(tbl: pa.Table):
         # null geometry marks a pair pre-proven by the relational
         # box-box bbox test — id-copy fast path, no PIP
-        pre = pdf["footprint_lon"].isna()
-        if pre.all():
-            return pdf[["image_id", "aoi_id"]]
-        hard = pdf.loc[~pre]
+        pre = pc.is_null(tbl.column("footprint_lon"))
+        ids = tbl.select(["image_id", "aoi_id"])
+        if pc.all(pre).as_py():
+            for b in ids.combine_chunks().to_batches():
+                yield b
+            return
+        for b in ids.filter(pre).combine_chunks().to_batches():
+            yield b
+        hard = tbl.filter(pc.invert(pre)).combine_chunks()
         keep = geometry.polygon_intersects_pairwise(
-            hard["footprint_lon"].tolist(),
-            hard["footprint_lat"].tolist(),
-            hard["ring_lon"].tolist(),
-            hard["ring_lat"].tolist(),
+            _ring_views(hard.column("footprint_lon")),
+            _ring_views(hard.column("footprint_lat")),
+            _ring_views(hard.column("ring_lon")),
+            _ring_views(hard.column("ring_lat")),
         )
-        return pd.concat(
-            [pdf.loc[pre, ["image_id", "aoi_id"]], hard.loc[keep, ["image_id", "aoi_id"]]],
-            ignore_index=True,
-        )
+        kept = hard.select(["image_id", "aoi_id"]).filter(pa.array(keep))
+        for b in kept.combine_chunks().to_batches():
+            yield b
 
-    buf: list[pd.DataFrame] = []
+    buf: list[pa.RecordBatch] = []
     n = 0
-    for pdf in batches:
-        if not len(pdf):
+    for batch in batches:
+        if not batch.num_rows:
             continue
-        buf.append(pdf)
-        n += len(pdf)
+        buf.append(batch)
+        n += batch.num_rows
         if n >= _REFINE_CHUNK:
-            yield process(pd.concat(buf, ignore_index=True))
+            yield from process(pa.Table.from_batches(buf))
             buf, n = [], 0
     if buf:
-        yield process(pd.concat(buf, ignore_index=True))
+        yield from process(pa.Table.from_batches(buf))
 
 
 def spatial_join_bruteforce(images: DataFrame, aois: DataFrame) -> DataFrame:
@@ -334,7 +357,7 @@ def spatial_join_bruteforce(images: DataFrame, aois: DataFrame) -> DataFrame:
     cand = images.select("image_id", "footprint_lon", "footprint_lat").crossJoin(
         F.broadcast(aois.select("aoi_id", "ring_lon", "ring_lat"))
     )
-    return cand.mapInPandas(_refine_batches, schema="image_id string, aoi_id string")
+    return cand.mapInArrow(_refine_batches, schema="image_id string, aoi_id string")
 
 
 def points_in_aois(
