@@ -463,3 +463,30 @@ def test_global_ring_raises(spark):
     ])
     cells = spatial_join.with_cells(ok, "footprint_lon", "footprint_lat", 8)
     assert cells.select("image_id").distinct().count() == 2
+
+
+def test_points_in_rings_pairwise_matches_scalar():
+    """The pairwise PIP twin must agree with points_in_polygon row by
+    row, including boundary points and an antimeridian ring."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(41)))
+    rings = []
+    for i in range(50):
+        lon0 = -170.0 + 8.0 * i
+        if i % 7 == 0:  # seam-crossing ring
+            rlon = np.array([176.0, -176.0, -176.0, 176.0, 176.0])
+        else:
+            rlon = np.array([lon0, lon0 + 3, lon0 + 3, lon0, lon0]) % 360.0 - 180.0
+        rlat = np.array([0.0, 0.0, 4.0, 4.0, 0.0]) + (i % 5)
+        rings.append((rlon, rlat))
+    px = np.array([(r[0].min() + r[0].max()) / 2.0 if i % 3 else r[0][0]
+                   for i, r in enumerate(rings)])
+    py = np.array([r[1][0] if i % 4 == 0 else r[1].mean() for i, r in enumerate(rings)])
+    px += rng.normal(0, 0.5, size=px.shape)
+    got = geometry.points_in_rings_pairwise(
+        px, py, [r[0] for r in rings], [r[1] for r in rings]
+    )
+    exp = np.array([
+        bool(geometry.points_in_polygon(px[i:i+1], py[i:i+1], rings[i][0], rings[i][1])[0])
+        for i in range(len(rings))
+    ])
+    assert got.tolist() == exp.tolist()

@@ -371,6 +371,33 @@ def polygon_intersects_pairwise(rings_ax, rings_ay, rings_bx, rings_by) -> np.nd
 EARTH_RADIUS_KM = 6371.0
 
 
+def points_in_rings_pairwise(px, py, rings_x, rings_y) -> np.ndarray:
+    """Row-wise point-in-ring: is point i inside ring i (CLOSED
+    boundary semantics, engine-wide convention)?  The pairwise twin of
+    points_in_polygon for heterogeneous (point, ring) candidate rows —
+    the spatial join's PIP refine hot path (round 5 Arrow-native stage).
+
+    Antimeridian: rings are unwrapped row-wise and each point is
+    shifted into its ring's frame by the unique 360-multiple, exactly
+    as points_in_polygon does per ring."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    RX, RY = pad_rings(rings_x, rings_y)
+    if not RX.size:
+        return np.zeros(0, dtype=bool)
+    RX = unwrap_rings_padded(RX)
+    mid = (RX.min(axis=1) + RX.max(axis=1)) / 2.0
+    px = px + 360.0 * np.round((mid - px) / 360.0)
+    P = px[:, None]
+    Q = py[:, None]
+    inside = pip_pairwise(P, Q, RX, RY)[:, 0]
+    todo = ~inside
+    if todo.any():
+        inside = inside.copy()
+        inside[todo] |= on_boundary_pairwise(P[todo], Q[todo], RX[todo], RY[todo])[:, 0]
+    return inside
+
+
 def haversine_km(lon1, lat1, lon2, lat2):
     """Great-circle distance in km, vectorized."""
     lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, float)) for v in (lon1, lat1, lon2, lat2))

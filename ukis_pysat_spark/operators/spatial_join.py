@@ -32,10 +32,7 @@ ways; AQE's skew-join splitting handles residual imbalance.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
@@ -423,23 +420,42 @@ def points_in_aois(
     if not exact:
         return cand.select(id_col, "aoi_id")
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            parts = []
-            pre = pdf["ring_lon"].isna()
-            if pre.any():  # box AOIs: bbox test already exact
-                parts.append(pdf.loc[pre, [id_col, "aoi_id"]])
-            # group by AOI so PIP vectorizes across all points of a ring
-            for aoi_id, g in pdf.loc[~pre].groupby("aoi_id", sort=False):
-                ring_lon = np.asarray(g.iloc[0].ring_lon)
-                ring_lat = np.asarray(g.iloc[0].ring_lat)
-                inside = geometry.points_in_polygon(
-                    g[lon_col].values, g[lat_col].values, ring_lon, ring_lat
-                )
-                parts.append(g.loc[inside, [id_col, "aoi_id"]])
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+    def refine(batches):
+        """Arrow-native PIP refine (round 5, same shape as the
+        polygon-polygon _refine_batches): RecordBatch accumulation into
+        large chunks, Arrow filters for the box fast path, pairwise PIP
+        over list-buffer views — no pandas, no per-row list objects."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return cand.mapInPandas(refine, schema=f"{id_col} string, aoi_id string")
+        def process(tbl: pa.Table):
+            pre = pc.is_null(tbl.column("ring_lon"))
+            ids = tbl.select([id_col, "aoi_id"])
+            if pc.all(pre).as_py():  # box AOIs: bbox test already exact
+                yield from ids.combine_chunks().to_batches()
+                return
+            yield from ids.filter(pre).combine_chunks().to_batches()
+            hard = tbl.filter(pc.invert(pre)).combine_chunks()
+            keep = geometry.points_in_rings_pairwise(
+                hard.column(lon_col).to_numpy(),
+                hard.column(lat_col).to_numpy(),
+                _ring_views(hard.column("ring_lon")),
+                _ring_views(hard.column("ring_lat")),
+            )
+            kept = hard.select([id_col, "aoi_id"]).filter(pa.array(keep))
+            yield from kept.combine_chunks().to_batches()
+
+        buf: list[pa.RecordBatch] = []
+        n = 0
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            buf.append(batch)
+            n += batch.num_rows
+            if n >= _REFINE_CHUNK:
+                yield from process(pa.Table.from_batches(buf))
+                buf, n = [], 0
+        if buf:
+            yield from process(pa.Table.from_batches(buf))
+
+    return cand.mapInArrow(refine, schema=f"{id_col} string, aoi_id string")
