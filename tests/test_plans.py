@@ -58,6 +58,9 @@ def test_dn2toa_broadcasts_metadata(spark, images_parquet):
     images = spark.read.parquet(images_parquet)
     meta = datagen.gen_metadata(spark, 24, profile="bench")
     plan = _plan(transforms.dn2toa_stats(images, meta))
+    # round 5: the fused stats stage is Arrow-native like its siblings
+    assert plan.count("MapInArrow") == 1, plan
+    assert "MapInPandas" not in plan.split("BroadcastHashJoin")[0], plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 

@@ -37,6 +37,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
@@ -428,37 +429,55 @@ def dn2toa_stats(
         "processing_baseline", "thermal_band_idx",
     ]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                toa = dn2toa_arrays(
-                    codec.decode(row.bytes), row.platform, row.sun_elevation,
-                    row.mult_reflectance, row.add_reflectance, row.mult_radiance,
-                    row.add_radiance, row.k1, row.k2, row.thermal_band_idx,
-                    row.quantification_value, row.radio_add_offset,
-                    row.processing_baseline, wavelengths=wavelengths,
-                ).astype(np.float64)
-                means = toa.mean(axis=(1, 2))
-                stds = toa.std(axis=(1, 2))
-                mins = toa.min(axis=(1, 2))
-                maxs = toa.max(axis=(1, 2))
-                for b in range(toa.shape[0]):
-                    rows.append(
-                        {
-                            "image_id": row.image_id,
-                            "band": b,
-                            "mean": float(means[b]),
-                            "std": float(stds[b]),
-                            "min": float(mins[b]),
-                            "max": float(maxs[b]),
-                            "n_valid": int(toa.shape[1] * toa.shape[2]),
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
+    _stats_schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("band", pa.int32()),
+            ("mean", pa.float64()),
+            ("std", pa.float64()),
+            ("min", pa.float64()),
+            ("max", pa.float64()),
+            ("n_valid", pa.int64()),
+        ]
+    )
 
-    return joined.select("image_id", "bytes", "platform", *meta_cols).mapInPandas(
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # single mapInArrow stage (round 5; matches decode_stats): the
+        # payload enters as zero-copy buffer views and the tiny stats
+        # rows assemble as columnar lists -> one RecordBatch per input
+        # batch — no pandas block assembly of 128-row payload batches
+        for batch in batches:
+            names = [n for n in batch.schema.names if n != "bytes"]
+            lists = [batch.column(n).to_pylist() for n in names]
+            payload = batch.column("bytes")
+            cols: dict[str, list] = {f.name: [] for f in _stats_schema}
+            for ri in range(batch.num_rows):
+                row = {n: ls[ri] for n, ls in zip(names, lists)}
+                toa = dn2toa_arrays(
+                    codec.decode(payload[ri].as_buffer()), row["platform"],
+                    row["sun_elevation"], row["mult_reflectance"],
+                    row["add_reflectance"], row["mult_radiance"],
+                    row["add_radiance"], row["k1"], row["k2"],
+                    row["thermal_band_idx"], row["quantification_value"],
+                    row["radio_add_offset"], row["processing_baseline"],
+                    wavelengths=wavelengths,
+                ).astype(np.float64)
+                nb = toa.shape[0]
+                npx = int(toa.shape[1] * toa.shape[2])
+                cols["image_id"].extend([row["image_id"]] * nb)
+                cols["band"].extend(range(nb))
+                cols["mean"].extend(toa.mean(axis=(1, 2)).tolist())
+                cols["std"].extend(toa.std(axis=(1, 2)).tolist())
+                cols["min"].extend(toa.min(axis=(1, 2)).tolist())
+                cols["max"].extend(toa.max(axis=(1, 2)).tolist())
+                cols["n_valid"].extend([npx] * nb)
+            if cols["image_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], type=f.type) for f in _stats_schema],
+                    schema=_stats_schema,
+                )
+
+    return joined.select("image_id", "bytes", "platform", *meta_cols).mapInArrow(
         run,
         schema=(
             "image_id string, band int, mean double, std double, "
