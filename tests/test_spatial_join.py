@@ -490,3 +490,24 @@ def test_points_in_rings_pairwise_matches_scalar():
         for i in range(len(rings))
     ])
     assert got.tolist() == exp.tolist()
+
+
+def test_knn_points_auto_matches_broadcast_on_both_paths(spark):
+    """The generic point-table kNN (round 5) must return identical rows
+    on the broadcast and certified-indexed paths."""
+    from tests.conftest import SF_DIR  # noqa: F401
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(9)))
+    n = 300
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [f"p{i:04d}" for i in range(n)],
+        "lon": -20.0 + 50.0 * rng.random(n),
+        "lat": 25.0 + 30.0 * rng.random(n),
+    }))
+    aois = datagen.gen_aois(spark, 7)
+    exact = knn.knn_points(pts, aois, k=4).toPandas()
+    for crossover in (10**9, 1):
+        got = knn.knn_points_auto(pts, aois, k=4, crossover=crossover).toPandas()
+        g = got.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
+        e = exact.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
+        assert list(g["point_id"]) == list(e["point_id"]), crossover
+        assert np.allclose(g["dist_km"], e["dist_km"])

@@ -123,8 +123,36 @@ def knn_indexed(
     ring: int = 2,
     exact_fallback: bool = True,
 ) -> DataFrame:
-    """Candidate-pruned kNN: scene centroid cell equi-joined against a
-    (2*ring+1)^2 neighborhood of each AOI centroid cell.
+    """Candidate-pruned kNN over a scene table: the generic indexed
+    point-kNN below on relational scene centroids."""
+    return knn_points_indexed(
+        scene_centroids(images),
+        aois,
+        k=k,
+        res=res,
+        ring=ring,
+        exact_fallback=exact_fallback,
+        id_col="image_id",
+        lon_col="scene_lon",
+        lat_col="scene_lat",
+    )
+
+
+def knn_points_indexed(
+    points: DataFrame,
+    aois: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    ring: int = 2,
+    exact_fallback: bool = True,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Candidate-pruned kNN: point cell equi-joined against a
+    (2*ring+1)^2 neighborhood of each AOI centroid cell (round 5:
+    generalized from the scene-table variant so ANY (id, lon, lat)
+    table gets the scale path — the last broadcast-only entry point).
 
     exact_fallback=True (default) makes the result EXACT regardless of
     ring size: an AOI's ring answer is kept only when it is provably
@@ -135,16 +163,15 @@ def knn_indexed(
     broadcast side — and when NO AOI escalates, AQE's empty-relation
     propagation skips it entirely."""
     n = F.lit(1 << res)
-    scenes = scene_centroids(images)
     # lon folds modulo n (antimeridian seam), lat clamps at the poles
-    ix = F.pmod(F.floor((F.col("scene_lon") + 180.0) / 360.0 * n), n)
-    iy = F.least(F.greatest(F.floor((F.col("scene_lat") + 90.0) / 180.0 * n), F.lit(0)), n - 1)
-    scene_cell = (
+    ix = F.pmod(F.floor((F.col(lon_col) + 180.0) / 360.0 * n), n)
+    iy = F.least(F.greatest(F.floor((F.col(lat_col) + 90.0) / 180.0 * n), F.lit(0)), n - 1)
+    point_cell = (
         F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
         + ix.cast("long") * F.lit(1 << 29).cast("long")
         + iy.cast("long")
     )
-    scenes = scenes.withColumn("cell", scene_cell)
+    scenes = points.select(id_col, lon_col, lat_col).withColumn("cell", point_cell)
 
     # ring neighborhood relationally: the AOI centroid cell's (ix, iy)
     # crossed with two explode(sequence(-ring, ring)) offset generators
@@ -176,10 +203,15 @@ def knn_indexed(
     cand = scenes.join(F.broadcast(aoi_ring), "cell").withColumn(
         "dist_km",
         haversine_col(
-            F.col("scene_lon"), F.col("scene_lat"), F.col("centroid_lon"), F.col("centroid_lat")
+            F.col(lon_col), F.col(lat_col), F.col("centroid_lon"), F.col("centroid_lat")
         ),
     )
-    ranked = _topk(cand, k)
+    w = Window.partitionBy("aoi_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("aoi_id", F.col(id_col), "dist_km", "rank")
+    )
     if not exact_fallback:
         return ranked
 
@@ -225,7 +257,9 @@ def knn_indexed(
     certified = (F.coalesce(F.col("_n"), F.lit(0)) >= k) & (F.col("_kth") <= guard_km)
     unsat = checked.filter(~certified).select("aoi_id", "centroid_lon", "centroid_lat")
     sat_ids = checked.filter(certified).select("aoi_id")
-    exact = knn_broadcast(images, unsat, k=k)
+    exact = knn_points(
+        points, unsat, k=k, id_col=id_col, lon_col=lon_col, lat_col=lat_col
+    )
     return ranked.join(F.broadcast(sat_ids), "aoi_id").unionByName(exact)
 
 
@@ -282,6 +316,37 @@ def knn(
     if path == "broadcast":
         return knn_broadcast(images, aois, k=k)
     return knn_indexed(images, aois, k=k, res=res, ring=ring)
+
+
+def knn_points_auto(
+    points: DataFrame,
+    aois: DataFrame,
+    k: int = 5,
+    ring: int = 2,
+    crossover: int = 40_000_000,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """knn() for generic point tables: one counting action, then the
+    broadcast scan or the certified-exact indexed path — identical rows
+    either way."""
+    counts = dict(
+        points.select(F.lit("s").alias("side"))
+        .groupBy("side").count()
+        .unionByName(aois.select(F.lit("a").alias("side")).groupBy("side").count())
+        .collect()
+    )
+    path, res = choose_knn_path(
+        int(counts.get("s", 0)), int(counts.get("a", 0)), k,
+        ring=ring, crossover=crossover,
+    )
+    if path == "broadcast":
+        return knn_points(points, aois, k=k, id_col=id_col, lon_col=lon_col, lat_col=lat_col)
+    return knn_points_indexed(
+        points, aois, k=k, res=res, ring=ring,
+        id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+    )
 
 
 def knn_bruteforce_oracle(
