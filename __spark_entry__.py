@@ -714,6 +714,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mask_bbox_synth"] = mask_bbox_synth
 
+    # P6/P7 pad + transform shift, value-gated (round 5): pad every
+    # oracle-grid image by 3 px of constant 7.0; gates the shifted
+    # origin, the grown window, and the per-band stats of the padded
+    # array (pad cells enter the closed-form sums exactly).
+    def pad_synth(spark, sf_dir):
+        padded = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [transforms.pad(3, 7.0)], out_fmt="raw"
+        )
+        stats = multimodal.decode_stats(padded, nodata=None)
+        meta = padded.select(
+            "image_id", "w", "h",
+            F.element_at("transform", 3).alias("left"),
+            F.element_at("transform", 6).alias("top"),
+        )
+        return stats.join(meta, "image_id").select(
+            "image_id", "band", "w", "h", "left", "top",
+            "mean", "min", "max", "n_valid",
+        )
+
+    q["pad_synth"] = pad_synth
+
+    # P2/P3 arbitrary pixel math, value-gated (round 5): a float chain
+    # (x*0.5 + 2.0 — exact in binary) through the fused transform
+    # harness; the DuckDB twin recomputes the per-band stats from the
+    # closed-form grid.
+    def pixel_math_synth(spark, sf_dir):
+        out = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [transforms.pixel_math(lambda a: a.astype("float64") * 0.5 + 2.0)],
+            out_fmt="raw",
+        )
+        return multimodal.decode_stats(out, nodata=None).select(
+            "image_id", "band", "mean", "min", "max", "n_valid"
+        )
+
+    q["pixel_math_synth"] = pixel_math_synth
+
     return q
 
 
@@ -1164,6 +1201,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_valid
         FROM px
         GROUP BY idx, b, c0, c1, r0, r1, cx, fy
+    """
+
+    # shared full-image closed-form pixel grid for the P2/P6 oracles
+    _grid16 = """
+        WITH imgs AS (
+          SELECT idx,
+                 [7,9,11,13][idx % 4 + 1] AS nb,
+                 [6,7,6,5][idx % 4 + 1] AS nrows,
+                 [9,8,7,8][idx % 4 + 1] AS ncols,
+                 idx % 7 + 1 AS nod,
+                 idx * 0.5 - 10.0 AS cx, 60.0 - idx * 0.5 AS fy
+          FROM range(16) t(idx)
+        ),
+        px AS (
+          SELECT i.idx, b.b, r.r, c.c,
+                 CASE WHEN r.r < i.nod THEN 0.0
+                      ELSE fmod(r.r * 3.0 + c.c * 5.0 + b.b * 17.0
+                                + ((r.r // 8 + c.c // 8) % 2) * 50.0, 2000.0) + 1.0
+                 END AS dn
+          FROM imgs i,
+               LATERAL (SELECT unnest(range(i.nb)) AS b) b,
+               LATERAL (SELECT unnest(range(i.nrows)) AS r) r,
+               LATERAL (SELECT unnest(range(i.ncols)) AS c) c
+        )
+    """
+
+    # P6/P7 pad: grown window, shifted origin, constant-7 pad cells in
+    # the closed-form sums
+    o["pad_synth"] = _grid16 + """
+        , agg AS (
+          SELECT idx, b, sum(dn) AS s, min(dn) AS mn, max(dn) AS mx
+          FROM px GROUP BY idx, b
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               CAST(ncols + 6 AS INTEGER) AS w, CAST(nrows + 6 AS INTEGER) AS h,
+               cx - 0.75 AS "left", fy + 0.75 AS top,
+               (s + 7.0 * ((nrows + 6) * (ncols + 6) - nrows * ncols))
+                 / ((nrows + 6) * (ncols + 6)) AS mean,
+               LEAST(mn, 7.0) AS "min", GREATEST(mx, 7.0) AS "max",
+               CAST((nrows + 6) * (ncols + 6) AS BIGINT) AS n_valid
+        FROM agg JOIN imgs USING (idx)
+    """
+
+    # P2/P3 pixel math: x*0.5 + 2.0 (exact halves, order-independent
+    # sums) over the full grid
+    o["pixel_math_synth"] = _grid16 + """
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               avg(dn * 0.5 + 2.0) AS mean,
+               min(dn * 0.5 + 2.0) AS "min", max(dn * 0.5 + 2.0) AS "max",
+               CAST(count(*) AS BIGINT) AS n_valid
+        FROM px GROUP BY idx, b
     """
 
     o["ann_topk"] = """
