@@ -187,19 +187,85 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-# WAVE format tags the PCM parser accepts (anything else is compressed
+# WAVE format tags the parser accepts (anything else is compressed
 # audio and needs a real codec library)
 _WAVE_PCM = 0x0001
 _WAVE_IEEE_FLOAT = 0x0003
+_WAVE_IMA_ADPCM = 0x0011
 _WAVE_EXTENSIBLE = 0xFFFE
+
+# IMA/DVI ADPCM tables (IMA Digital Audio Focus and Technology Working
+# Group recommendation; same tables as stdlib audioop's Intel/DVI codec)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def decode_ima_adpcm(
+    data: bytes, n_ch: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """IMA ADPCM WAV payload -> (channels, samples) int16.
+
+    Blocks are independent, so the decode vectorizes ACROSS blocks:
+    the only Python loop is the samples_per_block chain (predictor
+    state is inherently sequential), each step a handful of numpy ops
+    over (n_blocks, n_ch).  Block layout per the IMA WAV mapping:
+    per-channel 4-byte headers (int16 predictor, uint8 step index),
+    then channel-interleaved 4-byte nibble words, low nibble first."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    nblocks = raw.size // block_align
+    if nblocks == 0:
+        return np.zeros((n_ch, 0), dtype=np.int16)
+    raw = raw[: nblocks * block_align].reshape(nblocks, block_align)
+    hdr = raw[:, : 4 * n_ch].reshape(nblocks, n_ch, 4)
+    predictor = (
+        (hdr[:, :, 0].astype(np.uint16) | (hdr[:, :, 1].astype(np.uint16) << 8))
+        .astype(np.int16)
+        .astype(np.int32)
+    )
+    step_index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = raw[:, 4 * n_ch :]
+    nwords = body.shape[1] // (4 * n_ch)
+    b4 = body[:, : nwords * 4 * n_ch].reshape(nblocks, nwords, n_ch, 4)
+    chbytes = b4.transpose(0, 2, 1, 3).reshape(nblocks, n_ch, nwords * 4)
+    nib = np.empty((nblocks, n_ch, nwords * 8), dtype=np.int32)
+    nib[..., 0::2] = chbytes & 0x0F
+    nib[..., 1::2] = chbytes >> 4
+    out = np.empty((nblocks, n_ch, samples_per_block), dtype=np.int16)
+    out[..., 0] = predictor
+    for t in range(samples_per_block - 1):
+        n = nib[..., t]
+        step = _IMA_STEPS[step_index]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        predictor = np.clip(
+            predictor + np.where(n & 8, -diff, diff), -32768, 32767
+        )
+        step_index = np.clip(step_index + _IMA_INDEX[n & 7], 0, 88)
+        out[..., t + 1] = predictor
+    return np.ascontiguousarray(
+        out.transpose(1, 0, 2).reshape(n_ch, nblocks * samples_per_block)
+    )
 
 
 def parse_wav(buf) -> tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE byte payload to ((channels, samples) array,
-    sample_rate).  Pure stdlib-struct + numpy — PCM needs no external
-    codec (VERDICT r4 next-round #5): integer PCM 8 (unsigned) / 16 /
-    24 / 32-bit and IEEE float 32/64 decode for real; any compressed
-    format tag raises NotImplementedError with the tag named.
+    sample_rate).  Pure stdlib-struct + numpy — no external codec
+    (VERDICT r4 next-round #5): integer PCM 8 (unsigned) / 16 / 24 /
+    32-bit, IEEE float 32/64, and IMA ADPCM (tag 0x0011, block-
+    vectorized, 'fact'-trimmed) decode for real; any other format tag
+    raises NotImplementedError with the tag named.
 
     24-bit samples widen to int32 (left-aligned /256 convention is NOT
     applied: values are the raw two's-complement sample values)."""
@@ -210,6 +276,7 @@ def parse_wav(buf) -> tuple[np.ndarray, int]:
 
     pos = 12
     fmt_tag = n_ch = rate = bits = None
+    block_align = samples_per_block = fact_frames = None
     data = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
@@ -217,21 +284,39 @@ def parse_wav(buf) -> tuple[np.ndarray, int]:
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt_tag == _WAVE_EXTENSIBLE and size >= 26:
                 # first 2 bytes of the SubFormat GUID carry the real tag
                 (fmt_tag,) = struct.unpack_from("<H", body, 24)
+            elif size >= 20:  # extended fmt: cbSize + codec extra words
+                (cb,) = struct.unpack_from("<H", body, 16)
+                if cb >= 2:
+                    (samples_per_block,) = struct.unpack_from("<H", body, 18)
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_tag is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    if fmt_tag not in (_WAVE_PCM, _WAVE_IEEE_FLOAT):
+    if fmt_tag not in (_WAVE_PCM, _WAVE_IEEE_FLOAT, _WAVE_IMA_ADPCM):
         raise NotImplementedError(
             f"compressed audio (WAVE format tag 0x{fmt_tag:04x}) requires an "
-            "audio codec library not present in this environment; only PCM "
-            "and IEEE-float WAV decode here"
+            "audio codec library not present in this environment; PCM, "
+            "IEEE-float, and IMA-ADPCM WAV decode here"
         )
+    if fmt_tag == _WAVE_IMA_ADPCM:
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV with {bits} bits")
+        if samples_per_block is None:
+            # canonical mapping: 1 header sample + 2 samples/byte of
+            # the per-channel nibble words
+            samples_per_block = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        arr = decode_ima_adpcm(data, n_ch, block_align, samples_per_block)
+        if fact_frames is not None:
+            arr = arr[:, :fact_frames]
+        return np.ascontiguousarray(arr), int(rate)
     if fmt_tag == _WAVE_IEEE_FLOAT:
         if bits not in (32, 64):
             raise ValueError(f"IEEE-float WAV with {bits} bits")
