@@ -406,7 +406,7 @@ def test_warp_bilinear_golden_ramp(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported resampling"):
-        transforms.warp("EPSG:4326", resampling="average")
+        transforms.warp("EPSG:4326", resampling="mode")
 
 
 def test_warp_lanczos_golden_bandlimited():
@@ -496,3 +496,47 @@ def test_warp_cubic_golden_quadratic_ramp():
     assert np.array_equal(
         cu_i[0][interior], np.rint(expected[interior]).astype(np.uint16)
     )
+
+
+def test_warp_average_golden_block_mean():
+    """'average' warp: on an exact 2x same-CRS downscale every dest
+    cell receives exactly the 2x2 source block, so the result IS the
+    block mean (reduceat oracle); upscale regions fall back to nearest;
+    integer dtypes round."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(33)))
+    arr = rng.integers(0, 4000, size=(2, 32, 40)).astype(np.float64)
+    meta = {"transform": [0.01, 0.0, 10.0, 0.0, -0.01, 50.0], "nodata": 0.0, "crs": "EPSG:4326"}
+    tgt = dict(
+        target_transform=[0.02, 0.0, 10.0, 0.0, -0.02, 50.0],
+        target_size=(20, 16),
+    )
+    av, meta_av = transforms.warp("EPSG:4326", resampling="average", **tgt)(
+        arr.copy(), dict(meta)
+    )
+    re = np.arange(17) * 2
+    ce = np.arange(21) * 2
+    oracle = (
+        np.add.reduceat(np.add.reduceat(arr, re[:-1], axis=1), ce[:-1], axis=2) / 4.0
+    )
+    assert np.allclose(av, oracle, atol=1e-12)
+    assert meta_av["transform"][0] == 0.02
+    # integer dtype rounds the bucket mean
+    av_i, _ = transforms.warp("EPSG:4326", resampling="average", **tgt)(
+        arr.astype(np.uint16), dict(meta)
+    )
+    assert av_i.dtype == np.uint16
+    assert np.array_equal(av_i, np.rint(oracle).astype(np.uint16))
+    # upscale: every dest cell has at most one source center -> the
+    # populated cells equal that source pixel, empty ones fall back to
+    # nearest; net effect == nearest everywhere
+    up = dict(
+        target_transform=[0.005, 0.0, 10.0, 0.0, -0.005, 50.0],
+        target_size=(80, 64),
+    )
+    av_u, _ = transforms.warp("EPSG:4326", resampling="average", **up)(
+        arr.copy(), dict(meta)
+    )
+    nn_u, _ = transforms.warp("EPSG:4326", resampling="nearest", **up)(
+        arr.copy(), dict(meta)
+    )
+    assert np.array_equal(av_u, nn_u)

@@ -642,10 +642,11 @@ def warp(
 ) -> TransformFn:
     """Analytic reprojection with nearest (the reference's default
     resampling_method=0), bilinear (=1), cubic (=2, Catmull-Rom
-    4x4 convolution, the Keys a=-0.5 kernel) or lanczos (=4, separable
+    4x4 convolution, the Keys a=-0.5 kernel), lanczos (=4, separable
     windowed sinc with a=3, 6x6 taps, discrete weights renormalized)
-    resampling — the most-used entries of the reference's GDAL
-    resampling enum (raster.py:228).
+    or average (=5, center-binned downsampling mean with nearest
+    fallback where no source center lands) resampling — the most-used
+    entries of the reference's GDAL resampling enum (raster.py:228).
 
     Default grid mirrors calculate_default_transform: the source bbox's
     corners are projected and the output keeps ~the source pixel count
@@ -659,10 +660,10 @@ def warp(
     third-order accurate: it reproduces quadratic fields exactly,
     where bilinear provably steps (the golden test's criterion).
     """
-    if resampling not in ("nearest", "bilinear", "cubic", "lanczos"):
+    if resampling not in ("nearest", "bilinear", "cubic", "lanczos", "average"):
         raise ValueError(
             f"unsupported resampling {resampling!r} "
-            "(nearest | bilinear | cubic | lanczos)"
+            "(nearest | bilinear | cubic | lanczos | average)"
         )
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
@@ -706,6 +707,45 @@ def warp(
             colc = np.clip(col, 0, w - 1)
             rowc = np.clip(row, 0, h - 1)
             out = arr[:, rowc, colc]
+        elif resampling == "average":
+            # center-binned downsampling mean (the reference's
+            # Resampling.average, raster.py:228, modulo GDAL's
+            # area-weighting at cell boundaries): every SOURCE pixel
+            # center forward-maps to one destination cell; per-cell
+            # sums/counts accumulate via bincount (one C pass per
+            # band).  Destination cells no source center lands in
+            # (upscale regions) fall back to nearest — the bucket has
+            # nothing to average.
+            src_x = c + (np.arange(w) + 0.5) * a
+            src_y = f_ + (np.arange(h) + 0.5) * e
+            gsx, gsy = np.meshgrid(src_x, src_y)
+            s_lon, s_lat = _inv(src_crs, gsx, gsy)
+            if dst_crs != "EPSG:4326":
+                dx_, dy_ = _fwd(dst_crs, s_lon, s_lat)
+            else:
+                dx_, dy_ = s_lon, s_lat
+            dcol = np.floor((dx_ - nc) / na).astype(np.int64)
+            drow = np.floor((dy_ - nf) / ne).astype(np.int64)
+            inb = (dcol >= 0) & (dcol < W) & (drow >= 0) & (drow < H)
+            flat = (drow * W + dcol)[inb]
+            counts = np.bincount(flat, minlength=W * H).astype(np.float64)
+            filled = counts > 0
+            safe = np.maximum(counts, 1.0)
+            colc = np.clip(col, 0, w - 1)
+            rowc = np.clip(row, 0, h - 1)
+            fsrc = arr.astype(np.float64, copy=False)
+            interp = np.empty((arr.shape[0], H, W), dtype=np.float64)
+            for bi in range(arr.shape[0]):
+                sums = np.bincount(
+                    flat, weights=fsrc[bi][inb], minlength=W * H
+                )
+                mean = (sums / safe).reshape(H, W)
+                near = fsrc[bi, rowc, colc]
+                interp[bi] = np.where(filled.reshape(H, W), mean, near)
+            if np.issubdtype(arr.dtype, np.integer):
+                info = np.iinfo(arr.dtype)
+                interp = np.clip(np.rint(interp), info.min, info.max)
+            out = interp.astype(arr.dtype)
         elif resampling == "bilinear":
             fx = (sx - c) / a - 0.5  # pixel-center coordinates
             fy = (sy - f_) / e - 0.5
