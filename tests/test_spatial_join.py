@@ -511,3 +511,16 @@ def test_knn_points_auto_matches_broadcast_on_both_paths(spark):
         e = exact.sort_values(["aoi_id", "rank"]).reset_index(drop=True)
         assert list(g["point_id"]) == list(e["point_id"]), crossover
         assert np.allclose(g["dist_km"], e["dist_km"])
+
+
+def test_spatial_join_auto_res(spark):
+    """res=None measures mean geometry extents and picks a sane cell
+    resolution; output rows are identical to any fixed res (exactness
+    is res-independent)."""
+    imgs = datagen.gen_images(spark, 100, profile="bench", skew_frac=0.3)
+    aois = datagen.gen_aois(spark, 40, skew_frac=0.3)
+    r = spatial_join.choose_res(imgs, aois)
+    assert 3 <= r <= 16
+    auto = _pairs(spatial_join.spatial_join(imgs, aois, res=None))
+    fixed = _pairs(spatial_join.spatial_join(imgs, aois, res=12))
+    assert auto == fixed

@@ -32,6 +32,8 @@ ways; AQE's skew-join splitting handles residual imbalance.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
@@ -183,16 +185,51 @@ def salt_cells(big: DataFrame, small: DataFrame, salt: int) -> tuple[DataFrame, 
     return big_s, small_s
 
 
+def choose_res(images: DataFrame, aois: DataFrame, sample: int = 1024) -> int:
+    """Pick a cell resolution from MEASURED geometry extents (the
+    dedup/knn chooser discipline: no caller folklore).  Output rows are
+    res-INDEPENDENT (any res yields the same exact join — res only
+    moves the cover-size vs candidate-selectivity tradeoff), so this
+    is purely a performance choice: aim the cell size at the mean
+    geometry extent, giving ~1-2 cells per geometry side, bounded
+    sample, one tiny Spark action."""
+    ext = (
+        images.select(
+            (F.array_max("footprint_lon") - F.array_min("footprint_lon")).alias("dx"),
+            (F.array_max("footprint_lat") - F.array_min("footprint_lat")).alias("dy"),
+        )
+        .limit(int(sample))
+        .unionByName(
+            aois.select(
+                (F.array_max("ring_lon") - F.array_min("ring_lon")).alias("dx"),
+                (F.array_max("ring_lat") - F.array_min("ring_lat")).alias("dy"),
+            ).limit(int(sample))
+        )
+        .agg(F.avg((F.col("dx") + F.col("dy")) / 2.0).alias("m"))
+        .collect()[0]["m"]
+    )
+    if ext is None or ext <= 0:
+        return DEFAULT_RES
+    # wrap-convention extents (planar span > 180) would skew the mean;
+    # they are rare and only make res coarser, which stays correct
+    res = int(round(math.log2(360.0 / min(float(ext), 360.0))))
+    return max(3, min(res, 16))
+
+
 def spatial_join(
     images: DataFrame,
     aois: DataFrame,
-    res: int = DEFAULT_RES,
+    res: int | None = DEFAULT_RES,
     salt: int | None = None,
 ) -> DataFrame:
     """Exact scene-footprint x AOI-polygon intersection join.
 
-    Returns distinct (image_id, aoi_id) pairs whose geometries intersect.
+    Returns distinct (image_id, aoi_id) pairs whose geometries
+    intersect.  res=None measures the inputs and picks the cell
+    resolution itself (choose_res).
     """
+    if res is None:
+        res = choose_res(images, aois)
     # cell tables carry ids + the 4-double bbox (32 B/row) — NOT the
     # geometry arrays.  The bbox rides along so the overlap pre-refine
     # can kill false candidates IN the cell join, before the pair-dedup
