@@ -406,7 +406,7 @@ def test_warp_bilinear_golden_ramp(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported resampling"):
-        transforms.warp("EPSG:4326", resampling="mode")
+        transforms.warp("EPSG:4326", resampling="cubic_spline")
 
 
 def test_warp_lanczos_golden_bandlimited():
@@ -540,3 +540,33 @@ def test_warp_average_golden_block_mean():
         arr.copy(), dict(meta)
     )
     assert np.array_equal(av_u, nn_u)
+
+
+def test_warp_mode_golden_majority():
+    """'mode' warp: on an exact 3x same-CRS downscale each dest cell is
+    the 3x3 block's majority class (ties -> smallest value), checked
+    against a dict-count oracle; float rasters raise."""
+    import pytest as _pytest
+    from collections import Counter
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(37)))
+    arr = rng.integers(0, 6, size=(1, 30, 36)).astype(np.int16)
+    meta = {"transform": [0.01, 0.0, 10.0, 0.0, -0.01, 50.0], "nodata": 0.0, "crs": "EPSG:4326"}
+    tgt = dict(
+        target_transform=[0.03, 0.0, 10.0, 0.0, -0.03, 50.0],
+        target_size=(12, 10),
+    )
+    md, meta_md = transforms.warp("EPSG:4326", resampling="mode", **tgt)(
+        arr.copy(), dict(meta)
+    )
+    assert md.dtype == np.int16 and md.shape == (1, 10, 12)
+    for i in range(10):
+        for j in range(12):
+            block = arr[0, 3 * i : 3 * i + 3, 3 * j : 3 * j + 3].ravel()
+            counts = Counter(block.tolist())
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert md[0, i, j] == best, (i, j, counts, md[0, i, j])
+    with _pytest.raises(ValueError, match="integer raster"):
+        transforms.warp("EPSG:4326", resampling="mode", **tgt)(
+            arr.astype(np.float32), dict(meta)
+        )

@@ -644,9 +644,11 @@ def warp(
     resampling_method=0), bilinear (=1), cubic (=2, Catmull-Rom
     4x4 convolution, the Keys a=-0.5 kernel), lanczos (=4, separable
     windowed sinc with a=3, 6x6 taps, discrete weights renormalized)
-    or average (=5, center-binned downsampling mean with nearest
-    fallback where no source center lands) resampling — the most-used
-    entries of the reference's GDAL resampling enum (raster.py:228).
+    average (=5, center-binned downsampling mean with nearest fallback
+    where no source center lands) or mode (=6, categorical majority
+    vote, ties to the smallest value, integer rasters only) resampling
+    — the most-used entries of the reference's GDAL resampling enum
+    (raster.py:228).
 
     Default grid mirrors calculate_default_transform: the source bbox's
     corners are projected and the output keeps ~the source pixel count
@@ -660,10 +662,10 @@ def warp(
     third-order accurate: it reproduces quadratic fields exactly,
     where bilinear provably steps (the golden test's criterion).
     """
-    if resampling not in ("nearest", "bilinear", "cubic", "lanczos", "average"):
+    if resampling not in ("nearest", "bilinear", "cubic", "lanczos", "average", "mode"):
         raise ValueError(
             f"unsupported resampling {resampling!r} "
-            "(nearest | bilinear | cubic | lanczos | average)"
+            "(nearest | bilinear | cubic | lanczos | average | mode)"
         )
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
@@ -707,6 +709,50 @@ def warp(
             colc = np.clip(col, 0, w - 1)
             rowc = np.clip(row, 0, h - 1)
             out = arr[:, rowc, colc]
+        elif resampling == "mode":
+            # categorical majority vote (the reference's Resampling.mode
+            # for class rasters): forward-map source centers like
+            # 'average', then per-cell modal value via one np.unique
+            # over packed (cell, value) keys; ties break to the
+            # smallest value, empty cells fall back to nearest.
+            # Integer dtypes only — a float 'class' raster is a bug.
+            if not np.issubdtype(arr.dtype, np.integer):
+                raise ValueError("mode resampling requires an integer raster")
+            src_x = c + (np.arange(w) + 0.5) * a
+            src_y = f_ + (np.arange(h) + 0.5) * e
+            gsx, gsy = np.meshgrid(src_x, src_y)
+            s_lon, s_lat = _inv(src_crs, gsx, gsy)
+            if dst_crs != "EPSG:4326":
+                dx_, dy_ = _fwd(dst_crs, s_lon, s_lat)
+            else:
+                dx_, dy_ = s_lon, s_lat
+            dcol = np.floor((dx_ - nc) / na).astype(np.int64)
+            drow = np.floor((dy_ - nf) / ne).astype(np.int64)
+            inb = (dcol >= 0) & (dcol < W) & (drow >= 0) & (drow < H)
+            flat = (drow * W + dcol)[inb]
+            colc = np.clip(col, 0, w - 1)
+            rowc = np.clip(row, 0, h - 1)
+            out = np.empty((arr.shape[0], H, W), dtype=arr.dtype)
+            info = np.iinfo(arr.dtype)
+            for bi in range(arr.shape[0]):
+                vals = arr[bi][inb].astype(np.int64) - int(info.min)  # >= 0
+                span = int(vals.max()) + 1 if vals.size else 1
+                keys, counts = np.unique(flat * span + vals, return_counts=True)
+                cells = keys // span
+                vs = keys % span
+                # per cell: max count, ties -> smallest value.  Sort by
+                # (cell, -count, value): unique output is already
+                # value-ascending per cell, so a stable sort on -count
+                # then taking each cell's first entry does it.
+                order = np.lexsort((vs, -counts, cells))
+                cells_o = cells[order]
+                first = np.ones(cells_o.shape, dtype=bool)
+                first[1:] = cells_o[1:] != cells_o[:-1]
+                win_cells = cells_o[first]
+                win_vals = (vs[order][first] + int(info.min)).astype(arr.dtype)
+                plane = arr[bi, rowc, colc].copy()  # nearest fallback
+                plane.ravel()[win_cells] = win_vals
+                out[bi] = plane
         elif resampling == "average":
             # center-binned downsampling mean (the reference's
             # Resampling.average, raster.py:228, modulo GDAL's
