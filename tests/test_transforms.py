@@ -570,3 +570,102 @@ def test_warp_mode_golden_majority():
         transforms.warp("EPSG:4326", resampling="mode", **tgt)(
             arr.astype(np.float32), dict(meta)
         )
+
+
+# --- round 5: polar stereographic + LAEA analytic CRS -------------------------
+
+
+def test_polar_stereographic_invariants():
+    """EPSG:3413/3976/3031 (ellipsoidal polar stereographic, variant
+    B): fwd/inv round-trip < 1e-9 deg across the hemisphere, the pole
+    maps to the grid origin, and the scale factor is 1 at the standard
+    parallel (projected parallel arc == ellipsoidal parallel arc)."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(51)))
+    cases = {
+        "EPSG:3413": (70.0, -45.0, 1),
+        "EPSG:3976": (-70.0, 0.0, -1),
+        "EPSG:3031": (-71.0, 0.0, -1),
+    }
+    for crs, (lat_ts, lon0, hemi) in cases.items():
+        lon = -180.0 + 360.0 * rng.random(500)
+        lat = hemi * (30.0 + 59.9 * rng.random(500))
+        x, y = transforms._fwd(crs, lon, lat)
+        lon2, lat2 = transforms._inv(crs, x, y)
+        dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon * np.cos(np.radians(lat))).max() < 1e-9, crs
+        assert np.abs(lat2 - lat).max() < 1e-9, crs
+        # pole -> origin
+        px, py = transforms._fwd(crs, np.array([12.0]), np.array([90.0 * hemi]))
+        assert abs(px[0]) < 1e-6 and abs(py[0]) < 1e-6, crs
+        # k == 1 at the standard parallel: compare a short projected
+        # arc along lat_ts with the ellipsoidal parallel arc
+        d = 1e-4
+        x1, y1 = transforms._fwd(crs, np.array([lon0 - d]), np.array([lat_ts]))
+        x2, y2 = transforms._fwd(crs, np.array([lon0 + d]), np.array([lat_ts]))
+        proj = float(np.hypot(x2 - x1, y2 - y1)[0])
+        phi = np.radians(lat_ts)
+        nu = transforms._WGS_A / np.sqrt(1 - transforms._E2 * np.sin(phi) ** 2)
+        true = float(nu * np.cos(phi) * np.radians(2 * d))
+        assert abs(proj / true - 1.0) < 1e-9, crs
+
+
+def test_laea_europe_invariants():
+    """EPSG:3035: the natural origin (10E, 52N) maps to (FE, FN) by
+    definition; round-trip < 1e-9 deg over Europe; the projection is
+    EQUAL-AREA — a projected 1x1 deg quad's planar area matches the
+    authalic-sphere cell area to 1e-6 relative."""
+    x0, y0 = transforms._fwd("EPSG:3035", np.array([10.0]), np.array([52.0]))
+    assert abs(x0[0] - 4_321_000.0) < 1e-6 and abs(y0[0] - 3_210_000.0) < 1e-6
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(53)))
+    lon = -10.0 + 40.0 * rng.random(500)
+    lat = 35.0 + 35.0 * rng.random(500)
+    x, y = transforms._fwd("EPSG:3035", lon, lat)
+    lon2, lat2 = transforms._inv("EPSG:3035", x, y)
+    assert np.abs(lon2 - lon).max() < 5e-8
+    assert np.abs(lat2 - lat).max() < 5e-8  # 3-term authalic series ~ 1e-8 deg
+    # equal-area check on a 1x1 deg cell at (15E, 48N): shoelace area
+    # of the projected ring vs authalic-sphere area R_q^2*dlam*dsinbeta
+    ring_lon = np.array([15.0, 16.0, 16.0, 15.0])
+    ring_lat = np.array([48.0, 48.0, 49.0, 49.0])
+    # densify edges so the planar polygon tracks the projected edges
+    pts_lon, pts_lat = [], []
+    for i in range(4):
+        a_lon, a_lat = ring_lon[i], ring_lat[i]
+        b_lon, b_lat = ring_lon[(i + 1) % 4], ring_lat[(i + 1) % 4]
+        t = np.linspace(0, 1, 200, endpoint=False)
+        pts_lon.append(a_lon + (b_lon - a_lon) * t)
+        pts_lat.append(a_lat + (b_lat - a_lat) * t)
+    rl, rb = np.concatenate(pts_lon), np.concatenate(pts_lat)
+    X, Y = transforms._fwd("EPSG:3035", rl, rb)
+    area = 0.5 * abs(np.dot(X, np.roll(Y, -1)) - np.dot(Y, np.roll(X, -1)))
+    beta = lambda la: np.arcsin(
+        transforms._laea_q(np.radians(np.asarray(la))) / transforms._LAEA_QP
+    )
+    exp = (
+        transforms._LAEA_RQ**2
+        * np.radians(1.0)
+        * (np.sin(beta(49.0)) - np.sin(beta(48.0)))
+    )
+    assert abs(area / float(exp) - 1.0) < 1e-6
+
+
+def test_warp_polar_and_laea_roundtrip(spark):
+    """End-to-end warp into EPSG:3035 and back preserves interior
+    pixels.  LAEA's grid is curved relative to lon/lat, so the
+    back-warp pins target_transform/target_size to the SOURCE grid
+    (the reference's target_align pattern) — then the nearest
+    round-trip must reproduce interior pixels at identical indices."""
+    src = datagen.pixels_for(0, 1, 764, 679, "int16", 42)
+    src_t = [datagen.REF_PIXEL_X, 0.0, datagen.REF_ORIGIN[0],
+             0.0, datagen.REF_PIXEL_Y, datagen.REF_ORIGIN[1]]
+    out = transforms.apply_transforms(
+        _img0(spark),
+        [transforms.warp("EPSG:3035"),
+         transforms.warp("EPSG:4326", target_transform=src_t,
+                         target_size=(679, 764))],
+    )
+    row = out.collect()[0]
+    arr = codec.decode(row.bytes)
+    assert arr.shape == (1, 764, 679)
+    interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
+    assert interior_match > 0.93

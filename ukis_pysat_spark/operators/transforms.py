@@ -19,11 +19,14 @@ Operators:
 - pad              pad all directions + transform shift (raster.py:160-187)
 - dn2toa           DN -> TOA reflectance / brightness temperature
                    (raster.py:276-422) via broadcast metadata join
-- warp             analytic EPSG:4326 <-> EPSG:3857 <-> UTM reprojection
-                   with nearest resampling (raster.py:215-274; UTM is the
-                   Snyder Transverse Mercator series — accepts EPSG:326xx/
-                   327xx and get_proj_string output; full PROJ-grade CRS
-                   support is out of scope without GDAL)
+- warp             analytic reprojection between EPSG:4326, 3857
+                   (web mercator), UTM 326xx/327xx (Snyder Transverse
+                   Mercator series; accepts get_proj_string output),
+                   polar stereographic 3413/3976/3031 (Snyder 15-9/
+                   21-34..40) and LAEA Europe 3035 (Snyder 24-x,
+                   authalic latitude) — six resampling kernels
+                   (raster.py:215-274; full PROJ-grade CRS coverage is
+                   out of scope without GDAL)
 
 Every transform is a pure function of the row — task-retry-safe and
 partitioning-independent.
@@ -604,9 +607,140 @@ def _utm_inv(x, y, lon0_deg: float, south: bool):
     return lon0_deg + np.degrees(lam), np.degrees(phi)
 
 
+# --- polar stereographic (EPSG variant B) + LAEA (round 5) -----------------
+# Closed-form ellipsoidal formulas (Snyder 1987, Map Projections — A
+# Working Manual, eqs 15-9/21-34..21-40 and 24-x/3-16..3-18; EPSG
+# Guidance Note 7-2 parameterization).  Anchors used by the tests:
+# the pole maps to the grid origin, EPSG:3035's natural origin (10E,
+# 52N) maps to (FE, FN) BY DEFINITION, round-trips close to <1e-9 deg,
+# and the e->0 limit matches independent spherical formulas.
+
+_E = math.sqrt(_E2)
+
+# crs -> (lat_ts, lon_0) with hemisphere implied by lat_ts's sign;
+# false easting/northing are 0 for all three
+_PS_PARAMS = {
+    "EPSG:3413": (70.0, -45.0),  # NSIDC Sea Ice Polar Stereographic North
+    "EPSG:3976": (-70.0, 0.0),  # NSIDC Sea Ice Polar Stereographic South
+    "EPSG:3031": (-71.0, 0.0),  # Antarctic Polar Stereographic
+}
+
+# EPSG:3035 (ETRS89-extended / LAEA Europe): lat_0, lon_0, FE, FN
+_LAEA_EUROPE = (52.0, 10.0, 4_321_000.0, 3_210_000.0)
+
+
+def _ps_t(phi: np.ndarray) -> np.ndarray:
+    # Snyder 15-9 (north aspect): conformal-latitude half-angle tangent
+    es = _E * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - es) / (1.0 + es)) ** (_E / 2.0)
+
+
+def _ps_consts(lat_ts_abs: float) -> tuple[float, float]:
+    phi_f = math.radians(lat_ts_abs)
+    t_f = float(_ps_t(np.array(phi_f)))
+    m_f = math.cos(phi_f) / math.sqrt(1.0 - _E2 * math.sin(phi_f) ** 2)
+    return t_f, m_f
+
+
+def _ps_fwd(lon, lat, lat_ts: float, lon0: float):
+    north = lat_ts >= 0.0
+    t_f, m_f = _ps_consts(abs(lat_ts))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    if not north:
+        phi = -phi
+    rho = _WGS_A * m_f * _ps_t(phi) / t_f
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    return (x, y) if north else (x, -y)
+
+
+def _ps_inv(x, y, lat_ts: float, lon0: float):
+    north = lat_ts >= 0.0
+    t_f, m_f = _ps_consts(abs(lat_ts))
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if not north:
+        y = -y
+    rho = np.hypot(x, y)
+    t = rho * t_f / (_WGS_A * m_f)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    e2 = _E2
+    phi = (
+        chi
+        + (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0)
+        * np.sin(2.0 * chi)
+        + (7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0)
+        * np.sin(4.0 * chi)
+        + (7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0) * np.sin(6.0 * chi)
+        + (4279.0 * e2**4 / 161280.0) * np.sin(8.0 * chi)
+    )
+    lam = np.arctan2(x, -y)
+    # the pole itself (rho == 0) has undefined lon; pick lon0
+    lam = np.where(rho == 0.0, 0.0, lam)
+    lon = lon0 + np.degrees(lam)
+    lat = np.degrees(phi)
+    return (lon, lat) if north else (lon, -lat)
+
+
+def _laea_q(phi: np.ndarray) -> np.ndarray:
+    # Snyder 3-12: authalic-latitude auxiliary
+    s = np.sin(phi)
+    es = _E * s
+    return (1.0 - _E2) * (
+        s / (1.0 - _E2 * s * s) - np.log((1.0 - es) / (1.0 + es)) / (2.0 * _E)
+    )
+
+
+_LAEA_QP = float(_laea_q(np.array(math.pi / 2.0)))
+_LAEA_RQ = _WGS_A * math.sqrt(_LAEA_QP / 2.0)
+
+
+def _laea_fwd(lon, lat, lat0: float, lon0: float, fe: float, fn: float):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    beta = np.arcsin(np.clip(_laea_q(phi) / _LAEA_QP, -1.0, 1.0))
+    beta1 = math.asin(min(max(float(_laea_q(np.array(math.radians(lat0)))) / _LAEA_QP, -1.0), 1.0))
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    sb, cb = np.sin(beta), np.cos(beta)
+    denom = 1.0 + sb1 * sb + cb1 * cb * np.cos(lam)
+    b = _LAEA_RQ * np.sqrt(2.0 / denom)
+    x = b * cb * np.sin(lam)
+    y = b * (cb1 * sb - sb1 * cb * np.cos(lam))
+    return x + fe, y + fn
+
+
+def _laea_inv(x, y, lat0: float, lon0: float, fe: float, fn: float):
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    beta1 = math.asin(min(max(float(_laea_q(np.array(math.radians(lat0)))) / _LAEA_QP, -1.0), 1.0))
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    rho = np.hypot(xp, yp)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _LAEA_RQ), -1.0, 1.0))
+    sce, cce = np.sin(ce), np.cos(ce)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta = np.arcsin(np.clip(cce * sb1 + yp * sce * cb1 / rho, -1.0, 1.0))
+        lam = np.arctan2(xp * sce, rho * cb1 * cce - yp * sb1 * sce)
+    center = rho == 0.0
+    beta = np.where(center, beta1, beta)
+    lam = np.where(center, 0.0, lam)
+    e2 = _E2
+    phi = (
+        beta
+        + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0) * np.sin(2.0 * beta)
+        + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e2**3 / 45360.0) * np.sin(6.0 * beta)
+    )
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
 def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if crs == "EPSG:4326":
         return lon, lat
+    if crs in _PS_PARAMS:
+        return _ps_fwd(lon, lat, *_PS_PARAMS[crs])
+    if crs == "EPSG:3035":
+        return _laea_fwd(lon, lat, *_LAEA_EUROPE)
     if crs == "EPSG:3857":
         x = _R_MERC * np.radians(lon)
         y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
@@ -615,13 +749,17 @@ def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.nda
     if utm is not None:
         return _utm_fwd(lon, lat, *utm)
     raise ValueError(
-        f"unsupported CRS {crs} (analytic warp supports EPSG:4326/3857/UTM)"
+        f"unsupported CRS {crs} (analytic warp supports EPSG:4326/3857/UTM, polar stereographic 3413/3976/3031, LAEA 3035)"
     )
 
 
 def _inv(crs: str, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if crs == "EPSG:4326":
         return x, y
+    if crs in _PS_PARAMS:
+        return _ps_inv(x, y, *_PS_PARAMS[crs])
+    if crs == "EPSG:3035":
+        return _laea_inv(x, y, *_LAEA_EUROPE)
     if crs == "EPSG:3857":
         lon = np.degrees(x / _R_MERC)
         lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2.0)
