@@ -28,7 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ukis_pysat_spark import datagen
 from ukis_pysat_spark.functions import bands, scene_meta
-from ukis_pysat_spark.operators import dedup, knn, multimodal, similarity, spatial_join, text, tiling, transforms
+from ukis_pysat_spark.operators import (
+    dedup,
+    events as events_ops,
+    graph,
+    knn,
+    multimodal,
+    similarity,
+    spatial_join,
+    text,
+    tiling,
+    transforms,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -751,6 +762,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pixel_math_synth"] = pixel_math_synth
 
+    # gap-based sessionization (round 5): one user-key shuffle, exact
+    # integer-microsecond gap boundaries
+    def events_sessions(spark, sf_dir):
+        return events_ops.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+    q["events_sessions"] = events_sessions
+
+    # near-dup clustering (round 5): connected components (min-label
+    # propagation) over the hash-green embedding_neardup pair set; the
+    # DuckDB twin closes the same edges with a recursive CTE
+    def dedup_clusters(spark, sf_dir):
+        pairs = dedup.embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+        return graph.connected_components(pairs, src="id_a", dst="id_b")
+
+    q["dedup_clusters"] = dedup_clusters
+
     return q
 
 
@@ -923,6 +950,42 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """
+
+    o["events_sessions"] = """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM m)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+               MAX(us) - MIN(us) AS duration_us,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, session_idx
+    """
+
+    # connected components over the embedding_neardup edge set: the
+    # recursive CTE propagates each component through the bidirected edges
+    o["dedup_clusters"] = """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        ),
+        bi AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS node FROM bi),
+        walk(node, comp) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT b.v, w.comp FROM walk w JOIN bi b ON b.u = w.node
+        )
+        SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
     """
 
     o["ngram_jaccard"] = r"""

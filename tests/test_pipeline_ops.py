@@ -547,3 +547,64 @@ def test_ima_adpcm_matches_audioop():
     pcm, _ = audioop.adpcm2lin(swapped, 2, (int(samples[0]), 0))
     ref = np.frombuffer(pcm, dtype="<i2")
     assert np.array_equal(arr[0][1:], ref)
+
+
+# --- events + graph (round 5) -------------------------------------------------
+
+
+def test_sessionize_matches_duckdb(spark):
+    from ukis_pysat_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = ev.sessionize(e, gap_minutes=30).orderBy("user_id", "session_idx").toPandas()
+    exp = duckdb.sql(
+        f"""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+                   FROM '{SF_DIR}/events.parquet'),
+        m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM m)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+               MAX(us) - MIN(us) AS duration_us,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+        """
+    ).df()
+    assert len(got) == len(exp)
+    for c in ("user_id", "session_idx", "n_events", "start_us", "end_us", "duration_us"):
+        assert (got[c].values == exp[c].values).all(), c
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from ukis_pysat_spark.operators import graph
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(61)))
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(400, 2)) if a != b]
+    edges += [(1000 + i, 1001 + i) for i in range(12)]  # diameter-12 path
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.comp for r in graph.connected_components(df).collect()}
+    exp = _uf_oracle(edges)
+    assert got == exp
