@@ -169,3 +169,92 @@ def test_stream_first_seen_ttl_expiry(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert 4 in got, "expired fingerprint must re-emit after the TTL"
     assert got == {1, 6, 4}
+
+
+def test_stream_sessionize_closed_sessions(spark, tmp_path):
+    """Round 5: streaming sessionization (event-time timeout).  Run 1:
+    one batch closes sessions at in-batch gaps and the watermark's
+    cleanup pass times out an idle user.  Run 2 (restart, more data):
+    state survives — an event inside the open session's gap merges into
+    it, a later event closes it with the surviving session ordinal.
+    Closed sessions match the batch operator exactly."""
+    import pandas as pd
+
+    from ukis_pysat_spark.operators import events as bev
+    from ukis_pysat_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out_dir = str(tmp_path / "sess_out")
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+
+    def ev(user, minutes, value):
+        nonlocal eid
+        rows.append((eid, t0 + pd.Timedelta(minutes=minutes), user, value))
+        eid += 1
+
+    # user 1: session A (0..5 min), B (120..125), C (360, stays open);
+    # user 2: one idle session at t0 (closed by the event-time timeout)
+    for m in (0.0, 2.0, 5.0):
+        ev(1, m, 1.0)
+    for m in (120.0, 125.0):
+        ev(1, m, 2.0)
+    ev(1, 360.0, 3.0)
+    ev(2, 0.0, 5.0)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, value double"
+            ).parquet(src)
+        )
+        q = (
+            sev.stream_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        ingest.await_available_now(q)
+
+    run_once()
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in bev.sessionize(spark.createDataFrame(pdf), gap_minutes=30).collect()
+    }
+    # A and B closed by in-batch gaps; user2 closed by the timeout
+    # (watermark 360-10=350 > 0+30); C (open at 360) not emitted
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}, got
+    for k, v in got.items():
+        assert batch[k][:3] == v[:3], (k, v, batch[k])
+        assert abs(batch[k][3] - v[3]) < 1e-9
+
+    # restart with more data: 365 merges into open C, 500 closes C
+    rows2 = [(100, t0 + pd.Timedelta(minutes=365.0), 1, 4.0),
+             (101, t0 + pd.Timedelta(minutes=500.0), 1, 1.5)]
+    pdf2 = pd.DataFrame(rows2, columns=["event_id", "ts", "user_id", "value"])
+    spark.createDataFrame(pdf2).write.mode("append").parquet(src)
+    run_once()
+    after = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    allb = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in bev.sessionize(
+            spark.createDataFrame(pd.concat([pdf, pdf2])), gap_minutes=30
+        ).collect()
+    }
+    assert (1, 3) in after, after  # C closed with 2 events (360+365)
+    assert after[(1, 3)] == allb[(1, 3)]
