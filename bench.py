@@ -138,6 +138,8 @@ def main() -> None:
         "ivf_ann_topk",
         "pip_points_in_boxes",
         "knn_points",
+        "events_sessions",
+        "dedup_clusters",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
