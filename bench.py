@@ -139,7 +139,6 @@ def main() -> None:
         "pip_points_in_boxes",
         "knn_points",
         "events_sessions",
-        "dedup_clusters",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
@@ -151,6 +150,20 @@ def main() -> None:
         "embedding_neardup_blocked",
         lambda: _dedup.embedding_neardup_blocked(
             spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.35
+        ).count(),
+    )
+
+    # near-dup clustering at scale: CC over the blocked-GEMM pair set
+    # (the driver's dedup_clusters correctness query instead clusters
+    # the O(n^2) relational twin — exact at sf0.01, not a benchmark)
+    from ukis_pysat_spark.operators import graph as _graph
+
+    timed(
+        "dedup_clusters_blocked",
+        lambda: _graph.connected_components(
+            _dedup.embedding_neardup_blocked(
+                spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.35
+            )
         ).count(),
     )
 
