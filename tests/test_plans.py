@@ -11,6 +11,7 @@ import pytest
 
 from ukis_pysat_spark import datagen
 from ukis_pysat_spark.operators import dedup, spatial_join, tiling, transforms
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -144,3 +145,19 @@ def test_multimodal_stages_are_map_in_arrow(spark, images_parquet):
         assert plan.count("MapInArrow") == 1, plan
         assert "MapInPandas" not in plan, plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    """sessionize: ONE hash exchange on the user key serves both the
+    lag/running-sum window and the session aggregate (HashPartitioning
+    on user_id satisfies the grouping's ClusteredDistribution on
+    (user_id, session_idx)) — no second shuffle."""
+    from ukis_pysat_spark.operators import events as ev
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(ev.sessionize(e, gap_minutes=30))
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1, plan
+    assert "user_id" in hashes[0] and "session_idx" not in hashes[0], hashes

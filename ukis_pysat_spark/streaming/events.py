@@ -108,8 +108,13 @@ def _make_sessionize_fn(gap_us: int):
                 n_ev, sval = int(counts[klast]), float(sums[klast])
         state.update((start, last, n_ev, sval, n_closed))
         if start >= 0:
-            # close when the watermark passes the gap after the last event
-            state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+            # close when the watermark passes the gap after the last
+            # event; a late batch may find that moment already behind
+            # the watermark — Spark rejects past timestamps, so clamp
+            # to just past the current watermark (fires next batch)
+            due = last // 1000 + gap_us // 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(due, wm + 1))
         return iter([pd.DataFrame(out)] if out else [])
 
     return fn
