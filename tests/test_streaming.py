@@ -149,26 +149,38 @@ def test_stream_first_seen_ttl_expiry(spark, tmp_path):
     assert spark.read.parquet(out1).count() == 2, "doc 3 must be suppressed"
 
     # --- leg 2: idle past the TTL -> expire -> re-emit -------------------
+    # Timing-sensitive by nature (processing-time timeouts vs batch
+    # scheduling under co-tenant load), so the expiry probe retries:
+    # each round sleeps past the TTL, runs a flush batch of UNRELATED
+    # data (the idle key has no rows -> its timeout may fire), then
+    # replays the old text with a fresh id.  Any probe getting EMITTED
+    # proves the state was dropped.
     src2, ck2, out2 = (str(tmp_path / n) for n in ("s2", "c2", "o2"))
     spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"]).write.mode(
         "overwrite"
     ).parquet(src2)
     run_once(src2, ck2, out2, ttl=1.0)
-    time.sleep(2.0)
-    # flush batch with UNRELATED data: the expired key has no new rows in
-    # this batch, so its timeout fires and the state is removed
-    spark.createDataFrame([(6, "other text")], ["doc_id", "text"]).write.mode(
-        "append"
-    ).parquet(src2)
-    run_once(src2, ck2, out2, ttl=1.0)
-    # the old text replays -> must RE-emit (state was dropped)
-    spark.createDataFrame([(4, "alpha beta")], ["doc_id", "text"]).write.mode(
-        "append"
-    ).parquet(src2)
-    run_once(src2, ck2, out2, ttl=1.0)
-    got = {r.doc_id for r in spark.read.parquet(out2).collect()}
-    assert 4 in got, "expired fingerprint must re-emit after the TTL"
-    assert got == {1, 6, 4}
+    probes: list[int] = []
+    got: set = set()
+    for attempt in range(3):
+        time.sleep(2.0 + attempt)
+        spark.createDataFrame(
+            [(60 + attempt, f"flush text {attempt}")], ["doc_id", "text"]
+        ).write.mode("append").parquet(src2)
+        run_once(src2, ck2, out2, ttl=1.0)
+        probe = 4 + attempt
+        probes.append(probe)
+        spark.createDataFrame([(probe, "alpha beta")], ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(src2)
+        run_once(src2, ck2, out2, ttl=1.0)
+        got = {r.doc_id for r in spark.read.parquet(out2).collect()}
+        if any(pb in got for pb in probes):
+            break
+    assert any(pb in got for pb in probes), (
+        "expired fingerprint must re-emit after the TTL", got)
+    # every flush doc emitted (all distinct); doc 1 emitted once
+    assert 1 in got and all(60 + a in got for a in range(len(probes)))
 
 
 def test_stream_sessionize_closed_sessions(spark, tmp_path):
