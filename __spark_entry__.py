@@ -609,6 +609,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    # IVF with n_probe == n_lists probes every inverted list, so the
+    # approximate plan becomes EXACT — same answer as brute force, but
+    # the whole candidate path (quantizer assignment, inverted-list
+    # equi-join, candidate dedup, re-rank) is the one ivf_ann_topk runs.
+    # This value-gates the IVF plumbing against the brute-force SQL
+    # oracle (ann_topk's oracle verbatim).
+    def ivf_probe_all(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qs = (
+            e.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+        out = similarity.ivf_ann(e, qs, k=5, n_lists=16, n_probe=16)
+        return out.select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+
+    q["ivf_probe_all"] = ivf_probe_all
+
+    # SimHash oracle twin: the SAME blocked pigeonhole plan as
+    # simhash_docs, but with the SQL-portable md5-derived 60-bit word
+    # hash (dedup.md5_hash60) so DuckDB can recompute every simhash —
+    # recall is 1.0 by construction, so the blocked output must equal
+    # the oracle's brute-force all-pairs Hamming filter by VALUE.
+    def simhash_md5_docs(spark, sf_dir):
+        out = dedup.simhash_pairs(
+            _t(spark, sf_dir, "documents"),
+            max_hamming=6,
+            word_hash=dedup.md5_hash60,
+            n_bits=60,
+        )
+        return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+    q["simhash_md5_docs"] = simhash_md5_docs
+
     # the pixel-emitting tiler's geometry IS oracle-checkable: the bench
     # profile is a fixed 128x128 shape, so per-image tile counts and
     # pixel areas reduce to the same window enumeration the relational
@@ -1330,6 +1365,71 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
                    FROM cand)
         SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    # probe-all IVF is exact, so its oracle IS the brute-force top-k
+    o["ivf_probe_all"] = o["ann_topk"]
+
+    # MinHash-LSH at (64 hashes, 32 bands): banded candidates verified
+    # by exact Jaccard — the verify stage makes every emitted pair
+    # exact, and on this fixed corpus+seed recall is 1.0 (pytest gate),
+    # so the semantic oracle is the exact n-gram Jaccard join at the
+    # same threshold.  Deterministic: fixed data, fixed seed.
+    o["minhash_lsh_docs"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+          FROM d WHERE len(w) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))
+                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6)
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.s, b.s))
+                    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) >= 0.5
+    """
+
+    # brute-force 60-bit md5 SimHash twin: DuckDB recomputes the word
+    # hashes (CAST('0x'||substr(md5(w),1,15) AS BIGINT) == Spark
+    # conv(substr(md5(w),1,15),16,10)), the per-bit ±1 votes, the
+    # signature, and the all-pairs Hamming filter; the engine's blocked
+    # pigeonhole plan must match it by value (recall 1.0 by pigeonhole).
+    o["simhash_md5_docs"] = r"""
+        WITH words AS (
+          SELECT doc_id, w
+          FROM documents, LATERAL unnest(regexp_split_to_array(lower(text), '\s+')) AS t(w)
+          WHERE w != ''
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM words
+        ),
+        votes AS (
+          SELECT doc_id, g.b AS b,
+                 sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, generate_series(0, 59) AS g(b)
+          GROUP BY doc_id, g.b
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+          FROM votes GROUP BY doc_id
+        ),
+        alld AS (
+          SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+          FROM documents d LEFT JOIN sig s USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM alld a JOIN alld b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 6
     """
 
     return o

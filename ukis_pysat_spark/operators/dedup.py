@@ -44,6 +44,18 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def md5_hash60(c: Column) -> Column:
+    """60-bit integer hash from the md5 hex digest — JVM-side and
+    SQL-PORTABLE: DuckDB computes the identical value as
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``, so the
+    ``*_md5`` oracle-twin queries can value-gate the sketch pipelines
+    (simhash blocks, bucket joins, popcount filters) end-to-end against
+    a pure-SQL oracle.  15 hex chars = 60 bits, always positive, no
+    signed-overflow divergence between the engines.  xxhash64 stays the
+    default production hash (native JVM, no hex round-trip)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 # --- n-gram shingles ---------------------------------------------------------
 
 
@@ -336,30 +348,37 @@ def minhash_lsh_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash64_col(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh64) — 64-bit SimHash, FULLY relational.
+def simhash64_col(
+    documents: DataFrame,
+    text_col: str = "text",
+    word_hash=None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """(doc_id, sh64) — n_bits-bit SimHash, FULLY relational.
 
-    Word hashing runs JVM-side (explode(split) + xxhash64); the bit vote
-    is a 64-column ±1 sum with map-side partial aggregation, and the
-    final hash is a bitwise-OR fold of the positive votes.  No Python
-    touches any row — the whole thing is one whole-stage-codegen'd scan
-    plus one hash aggregate keyed by doc_id.
+    Word hashing runs JVM-side (explode(split) + xxhash64 by default;
+    pass ``word_hash=md5_hash60, n_bits=60`` for the SQL-portable
+    oracle-twin variant); the bit vote is an n_bits-column ±1 sum with
+    map-side partial aggregation, and the final hash is a bitwise-OR
+    fold of the positive votes.  No Python touches any row — the whole
+    thing is one whole-stage-codegen'd scan plus one hash aggregate
+    keyed by doc_id.
     """
     words = _spread(documents).select(
         "doc_id",
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    h = F.xxhash64("w")
+    h = (word_hash or F.xxhash64)(F.col("w"))
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     sh64 = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
@@ -373,9 +392,9 @@ def simhash64_col(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _simhash_block_bounds(n_blocks: int) -> list[tuple[int, int]]:
-    """Split 64 bits into n_blocks near-equal (shift, width) blocks."""
-    base, extra = divmod(64, n_blocks)
+def _simhash_block_bounds(n_blocks: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """Split n_bits bits into n_blocks near-equal (shift, width) blocks."""
+    base, extra = divmod(n_bits, n_blocks)
     bounds = []
     shift = 0
     for i in range(n_blocks):
@@ -385,8 +404,13 @@ def _simhash_block_bounds(n_blocks: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """64-bit SimHash near-dup pairs at Hamming distance <= max_hamming.
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    word_hash=None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """n_bits-bit SimHash near-dup pairs at Hamming distance <= max_hamming.
 
     Candidates: equal bit-block in any of (max_hamming+1) block
     positions — the pigeonhole guarantee is exact for the REQUESTED
@@ -394,9 +418,15 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     1.0 by construction; an exact popcount filter removes false
     positives.  Each block join is a relational equi-join on
     (block_index, block_value).
+
+    Because recall is 1.0 by construction, the semantic output equals
+    the brute-force all-pairs Hamming filter — which IS SQL-expressible
+    when ``word_hash`` is the portable ``md5_hash60`` — so the blocked
+    plan can be value-gated against a cross-join DuckDB oracle
+    (``simhash_md5_docs`` in __spark_entry__).
     """
     n_blocks = max_hamming + 1
-    docs = simhash64_col(documents)
+    docs = simhash64_col(documents, word_hash=word_hash, n_bits=n_bits)
     # ONE explode, not a union of per-block projections: a union would
     # replicate the (expensive) simhash aggregation subtree per block
     entries = F.array(
@@ -407,7 +437,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("key"),
             )
-            for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks))
+            for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks, n_bits))
         ]
     )
     bucketed = docs.select(
