@@ -137,6 +137,63 @@ def test_simhash_recall_exact_vs_blocked(spark):
     assert got == expected
 
 
+def test_md5_hash60_parity(spark):
+    """dedup.md5_hash60 must equal both the stdlib reference
+    (int(md5(s).hexdigest()[:15], 16)) and the DuckDB expression the
+    oracle twins use — all three engines bit-exact on the same bytes."""
+    import hashlib
+
+    vals = ["", "a", "the quick brown fox", "Ünïcode tøkens", "0" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", dedup.md5_hash60(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        exp = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[v] == exp, (v, got[v], exp)
+        duck = duckdb.sql(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", params=[v]
+        ).fetchone()[0]
+        assert duck == exp, (v, duck, exp)
+
+
+def test_simhash_md5_twin_matches_independent_oracle(spark):
+    """The md5-hash 60-bit simhash twin (the driver's simhash_md5_docs
+    path) against a FULLY independent oracle: tokenization, hashing,
+    bit votes, and all-pairs Hamming recomputed from raw text with
+    hashlib+numpy — no engine code on the oracle side."""
+    import hashlib
+    import re
+
+    docs = _docs(spark).limit(150)
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    sigs, ids = [], []
+    for r in rows:
+        words = [w for w in re.split(r"\s+", r.text.lower()) if w != ""]
+        votes = np.zeros(60, dtype=np.int64)
+        for w in words:
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            bits = (h >> np.arange(60)) & 1
+            votes += 2 * bits - 1
+        sig = int(((votes > 0).astype(np.uint64) << np.arange(60, dtype=np.uint64)).sum())
+        sigs.append(sig)
+        ids.append(r.doc_id)
+    h = np.array(sigs, dtype=np.uint64)
+    idv = np.array(ids)
+    x = h[:, None] ^ h[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for b in range(60):
+        ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.nonzero((ham <= 6) & (idv[:, None] < idv[None, :]))
+    expected = {(int(idv[i]), int(idv[j]), int(ham[i, j])) for i, j in zip(ii, jj)}
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(
+            docs, max_hamming=6, word_hash=dedup.md5_hash60, n_bits=60
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one near-dup pair"
+
+
 def test_simhash_no_per_row_python(spark):
     """simhash64_col must be pure JVM: no Python eval nodes in the plan."""
     plan = dedup.simhash64_col(_docs(spark))._jdf.queryExecution().executedPlan().toString()
