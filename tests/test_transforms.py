@@ -669,3 +669,200 @@ def test_warp_polar_and_laea_roundtrip(spark):
     assert arr.shape == (1, 764, 679)
     interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
     assert interior_match > 0.93
+
+
+def _densified_cell_ring(lon0, lat0, dlon=1.0, dlat=1.0, n=200):
+    ring_lon = np.array([lon0, lon0 + dlon, lon0 + dlon, lon0])
+    ring_lat = np.array([lat0, lat0, lat0 + dlat, lat0 + dlat])
+    pts_lon, pts_lat = [], []
+    for i in range(4):
+        a_lon, a_lat = ring_lon[i], ring_lat[i]
+        b_lon, b_lat = ring_lon[(i + 1) % 4], ring_lat[(i + 1) % 4]
+        t = np.linspace(0, 1, n, endpoint=False)
+        pts_lon.append(a_lon + (b_lon - a_lon) * t)
+        pts_lat.append(a_lat + (b_lat - a_lat) * t)
+    return np.concatenate(pts_lon), np.concatenate(pts_lat)
+
+
+def _shoelace(X, Y):
+    return 0.5 * abs(np.dot(X, np.roll(Y, -1)) - np.dot(Y, np.roll(X, -1)))
+
+
+def _authalic_cell_area(lat_lo, lat_hi, dlon_deg):
+    """Exact ellipsoid area of a lon/lat cell via the authalic q:
+    A = a^2/2 * dlam * (q(hi) - q(lo))."""
+    q = lambda la: float(transforms._laea_q(np.radians(np.asarray(la))))  # noqa: E731
+    return transforms._WGS_A**2 / 2.0 * np.radians(dlon_deg) * (q(lat_hi) - q(lat_lo))
+
+
+def test_lcc_invariants():
+    """Lambert conformal conic 2SP (EPSG:2154 Lambert-93, EPSG:3347
+    StatCan, + a proj-string cone): the natural origin maps to (FE,FN)
+    by definition, round-trip < 1e-9 deg, scale == 1 along BOTH
+    standard parallels, and the map is CONFORMAL (local scale isotropic
+    and the graticule locally orthogonal).  Conformality + k=1 on two
+    named parallels + the origin anchor uniquely pin LCC among smooth
+    projections, so these properties are an implementation-independent
+    oracle (Snyder 1987 ch. 15)."""
+    cases = {
+        "EPSG:2154": (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0, (-4, 9, 41, 51)),
+        "EPSG:3347": (49.0, 77.0, 63.390675, -91.8666666666667, 6_200_000.0,
+                      3_000_000.0, (-140, -50, 41, 84)),
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +x_0=0 +y_0=0":
+            (33.0, 45.0, 39.0, -96.0, 0.0, 0.0, (-120, -70, 24, 52)),
+    }
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(55)))
+    for crs, (lat1, lat2, lat0, lon0, fe, fn, box) in cases.items():
+        x0, y0 = transforms._fwd(crs, np.array([lon0]), np.array([lat0]))
+        assert abs(x0[0] - fe) < 1e-6 and abs(y0[0] - fn) < 1e-6, crs
+        lon = box[0] + (box[1] - box[0]) * rng.random(400)
+        lat = box[2] + (box[3] - box[2]) * rng.random(400)
+        x, y = transforms._fwd(crs, lon, lat)
+        ilon, ilat = transforms._inv(crs, x, y)
+        assert np.abs(ilon - lon).max() < 1e-9, crs
+        assert np.abs(ilat - lat).max() < 1e-9, crs
+        # scale 1 along both standard parallels
+        d = 1e-4
+        for sp in (lat1, lat2):
+            x1, y1 = transforms._fwd(crs, np.array([lon0 - d]), np.array([sp]))
+            x2, y2 = transforms._fwd(crs, np.array([lon0 + d]), np.array([sp]))
+            proj = float(np.hypot(x2 - x1, y2 - y1)[0])
+            phi = np.radians(sp)
+            nu = transforms._WGS_A / np.sqrt(1 - transforms._E2 * np.sin(phi) ** 2)
+            true = float(nu * np.cos(phi) * np.radians(2 * d))
+            assert abs(proj / true - 1.0) < 1e-9, (crs, sp)
+        # conformality at interior probe points: isotropic local scale
+        # (|df/dlon-arc| == |df/dlat-arc|) and orthogonal image axes
+        for plon, plat in [(lon0 + 4.0, (lat1 + lat2) / 2), (lon0 - 6.0, lat1)]:
+            phi = np.radians(plat)
+            nu = transforms._WGS_A / np.sqrt(1 - transforms._E2 * np.sin(phi) ** 2)
+            rho_m = (transforms._WGS_A * (1 - transforms._E2)
+                     / (1 - transforms._E2 * np.sin(phi) ** 2) ** 1.5)
+            xa, ya = transforms._fwd(crs, np.array([plon - d]), np.array([plat]))
+            xb, yb = transforms._fwd(crs, np.array([plon + d]), np.array([plat]))
+            xc, yc = transforms._fwd(crs, np.array([plon]), np.array([plat - d]))
+            xd, yd = transforms._fwd(crs, np.array([plon]), np.array([plat + d]))
+            k = float(np.hypot(xb - xa, yb - ya)[0]) / float(
+                nu * np.cos(phi) * np.radians(2 * d))
+            h = float(np.hypot(xd - xc, yd - yc)[0]) / float(rho_m * np.radians(2 * d))
+            assert abs(k / h - 1.0) < 1e-6, (crs, plon, plat)
+            dot = float(((xb - xa) * (xd - xc) + (yb - ya) * (yd - yc))[0])
+            norm = float((np.hypot(xb - xa, yb - ya) * np.hypot(xd - xc, yd - yc))[0])
+            assert abs(dot / norm) < 1e-6, (crs, plon, plat)
+
+
+def test_albers_invariants():
+    """Albers equal-area conic (EPSG:5070 Conus, EPSG:3577 Australian —
+    a SOUTHERN cone with n<0): origin anchor, round-trip at authalic-
+    series precision, scale 1 along both standard parallels, and the
+    EQUAL-AREA property (projected cell area == exact ellipsoid cell
+    area via the authalic q) — which LCC provably fails, so the two
+    conics cannot be confused by these gates."""
+    cases = {
+        "EPSG:5070": (29.5, 45.5, 23.0, -96.0, 0.0, 0.0, (-120, -70, 24, 49), (36.0, -100.0)),
+        "EPSG:3577": (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0, (115, 150, -43, -11), (-28.0, 140.0)),
+    }
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(57)))
+    for crs, (lat1, lat2, lat0, lon0, fe, fn, box, cell) in cases.items():
+        x0, y0 = transforms._fwd(crs, np.array([lon0]), np.array([lat0]))
+        assert abs(x0[0] - fe) < 1e-6 and abs(y0[0] - fn) < 1e-6, crs
+        lon = box[0] + (box[1] - box[0]) * rng.random(400)
+        lat = box[2] + (box[3] - box[2]) * rng.random(400)
+        x, y = transforms._fwd(crs, lon, lat)
+        ilon, ilat = transforms._inv(crs, x, y)
+        assert np.abs(ilon - lon).max() < 5e-8, crs
+        assert np.abs(ilat - lat).max() < 5e-8, crs
+        d = 1e-4
+        for sp in (lat1, lat2):
+            x1, y1 = transforms._fwd(crs, np.array([lon0 - d]), np.array([sp]))
+            x2, y2 = transforms._fwd(crs, np.array([lon0 + d]), np.array([sp]))
+            proj = float(np.hypot(x2 - x1, y2 - y1)[0])
+            phi = np.radians(sp)
+            nu = transforms._WGS_A / np.sqrt(1 - transforms._E2 * np.sin(phi) ** 2)
+            true = float(nu * np.cos(phi) * np.radians(2 * d))
+            assert abs(proj / true - 1.0) < 1e-9, (crs, sp)
+        clat, clon = cell
+        X, Y = transforms._fwd(crs, *_densified_cell_ring(clon, clat))
+        area = _shoelace(X, Y)
+        exp = _authalic_cell_area(clat, clat + 1.0, 1.0)
+        assert abs(area / exp - 1.0) < 1e-6, crs
+
+
+def test_sinusoidal_and_eqc_invariants():
+    """Sinusoidal (ellipsoidal ESRI:54008 and the spherical MODIS SIN
+    grid) and equidistant cylindrical EPSG:4087.
+
+    Sinusoidal: equal-area (projected cell == exact ellipsoid cell
+    area), the central meridian maps to y == meridian arc with x == 0,
+    and every parallel is TRUE TO SCALE (x spans a*m(phi)*dlam) —
+    Snyder ch. 30.  MODIS SIN: x == R*lam*cos(phi), y == R*phi exactly.
+    EqC: x == a*lam and meridian distances preserved."""
+    # ellipsoidal sinusoidal
+    crs = "ESRI:54008"
+    lon = np.array([0.0, 10.0, -150.0, 60.0])
+    lat = np.array([0.0, 47.3, -33.0, 80.0])
+    x, y = transforms._fwd(crs, lon, lat)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    # parallel true to scale at every latitude probed
+    m = transforms._m_ell(np.radians(lat))
+    assert np.allclose(x, transforms._WGS_A * np.radians(lon) * m, rtol=0, atol=1e-6)
+    # central meridian = meridian arc
+    assert np.allclose(y, transforms._meridian_arc(np.radians(lat)), atol=1e-6)
+    X, Y = transforms._fwd(crs, *_densified_cell_ring(11.0, 38.0))
+    assert abs(_shoelace(X, Y) / _authalic_cell_area(38.0, 39.0, 1.0) - 1.0) < 1e-6
+    lon2, lat2 = transforms._inv(crs, x, y)
+    # rectifying-series lat error is amplified into lon by 1/cos(phi)
+    # at the lat=80 probe; 1e-7 deg is ~3 mm on the parallel
+    assert np.abs(lon2 - lon).max() < 1e-7 and np.abs(lat2 - lat).max() < 5e-8
+    # spherical MODIS SIN grid
+    R = 6371007.181
+    crs = f"+proj=sinu +R={R} +lon_0=0 +x_0=0 +y_0=0"
+    x, y = transforms._fwd(crs, lon, lat)
+    assert np.allclose(x, R * np.radians(lon) * np.cos(np.radians(lat)), atol=1e-6)
+    assert np.allclose(y, R * np.radians(lat), atol=1e-6)
+    lon2, lat2 = transforms._inv(crs, x, y)
+    assert np.abs(lon2 - lon).max() < 1e-10 and np.abs(lat2 - lat).max() < 1e-10
+    # equidistant cylindrical
+    x, y = transforms._fwd("EPSG:4087", lon, lat)
+    assert np.allclose(x, transforms._WGS_A * np.radians(lon), atol=1e-6)
+    assert np.allclose(y, transforms._meridian_arc(np.radians(lat)), atol=1e-6)
+    lon2, lat2 = transforms._inv("EPSG:4087", x, y)
+    assert np.abs(lon2 - lon).max() < 1e-8 and np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_conic_proj_string_validation():
+    """Malformed conic proj strings fail loudly, never silently."""
+    import pytest
+
+    with pytest.raises(ValueError, match="lat_1"):
+        transforms._fwd("+proj=lcc +lon_0=3", np.array([1.0]), np.array([45.0]))
+    with pytest.raises(ValueError, match="lat_ts"):
+        transforms._fwd("+proj=eqc +lat_ts=30", np.array([1.0]), np.array([45.0]))
+    with pytest.raises(ValueError, match="unsupported CRS"):
+        transforms._fwd("+proj=robin", np.array([1.0]), np.array([45.0]))
+
+
+def test_warp_lcc_albers_sinu_roundtrip(spark):
+    """End-to-end warp through the DataFrame API into each new conic/
+    pseudocylindrical family and back onto the source grid (the
+    target_align pattern) — interior pixels must survive the nearest
+    round-trip.  The cones are centered on the scene (11.9E, 51.5N) so
+    grid rotation stays small — the projections' correctness is pinned
+    by the invariant tests; this test gates the warp WIRING."""
+    src = datagen.pixels_for(0, 1, 764, 679, "int16", 42)
+    src_t = [datagen.REF_PIXEL_X, 0.0, datagen.REF_ORIGIN[0],
+             0.0, datagen.REF_PIXEL_Y, datagen.REF_ORIGIN[1]]
+    for crs in ("+proj=lcc +lat_1=50 +lat_2=53 +lat_0=51.5 +lon_0=12",
+                "+proj=aea +lat_1=50 +lat_2=53 +lat_0=51.5 +lon_0=12",
+                "+proj=sinu +lon_0=12"):
+        out = transforms.apply_transforms(
+            _img0(spark),
+            [transforms.warp(crs),
+             transforms.warp("EPSG:4326", target_transform=src_t,
+                             target_size=(679, 764))],
+        )
+        row = out.collect()[0]
+        arr = codec.decode(row.bytes)
+        assert arr.shape == (1, 764, 679), crs
+        interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
+        assert interior_match > 0.93, (crs, interior_match)

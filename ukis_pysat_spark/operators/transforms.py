@@ -23,10 +23,15 @@ Operators:
                    (web mercator), UTM 326xx/327xx (Snyder Transverse
                    Mercator series; accepts get_proj_string output),
                    polar stereographic 3413/3976/3031 (Snyder 15-9/
-                   21-34..40) and LAEA Europe 3035 (Snyder 24-x,
-                   authalic latitude) — six resampling kernels
-                   (raster.py:215-274; full PROJ-grade CRS coverage is
-                   out of scope without GDAL)
+                   21-34..40), LAEA Europe 3035 (Snyder 24-x, authalic
+                   latitude), Lambert conformal conic 2SP (2154/3347 +
+                   +proj=lcc, Snyder ch.15), Albers equal-area
+                   (5070/3577 + +proj=aea, Snyder ch.14), sinusoidal
+                   (ESRI:54008 ellipsoidal + the spherical MODIS SIN
+                   grid via +proj=sinu +R=, Snyder ch.30) and
+                   equidistant cylindrical EPSG:4087 — six resampling
+                   kernels (raster.py:215-274; datum-shift-grade PROJ
+                   coverage is out of scope without GDAL)
 
 Every transform is a pure function of the row — task-retry-safe and
 partitioning-independent.
@@ -573,21 +578,27 @@ def _utm_fwd(lon, lat, lon0_deg: float, south: bool):
     return x, y
 
 
-def _utm_inv(x, y, lon0_deg: float, south: bool):
-    x = np.asarray(x, dtype=np.float64) - _UTM_FE
-    y = np.asarray(y, dtype=np.float64)
-    if south:
-        y = y - _UTM_FN_S
-    M = y / _K0
+def _phi_from_M(M: np.ndarray) -> np.ndarray:
+    """Footpoint latitude from meridian arc (Snyder 3-26/7-19
+    rectifying-latitude series) — shared by UTM, sinusoidal and
+    equidistant-cylindrical inverses."""
     mu = M / (_WGS_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
     e1 = _E1
-    phi1 = (
+    return (
         mu
         + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
         + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
         + (151 * e1**3 / 96) * np.sin(6 * mu)
         + (1097 * e1**4 / 512) * np.sin(8 * mu)
     )
+
+
+def _utm_inv(x, y, lon0_deg: float, south: bool):
+    x = np.asarray(x, dtype=np.float64) - _UTM_FE
+    y = np.asarray(y, dtype=np.float64)
+    if south:
+        y = y - _UTM_FN_S
+    phi1 = _phi_from_M(y / _K0)
     sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
     C1 = _EP2 * cos1**2
     T1 = tan1**2
@@ -629,6 +640,27 @@ _PS_PARAMS = {
 _LAEA_EUROPE = (52.0, 10.0, 4_321_000.0, 3_210_000.0)
 
 
+def _conformal_phi(chi: np.ndarray) -> np.ndarray:
+    """Geodetic latitude from conformal latitude (Snyder 3-5 series) —
+    shared by polar stereographic and Lambert conformal conic inverses."""
+    e2 = _E2
+    return (
+        chi
+        + (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0)
+        * np.sin(2.0 * chi)
+        + (7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0)
+        * np.sin(4.0 * chi)
+        + (7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0) * np.sin(6.0 * chi)
+        + (4279.0 * e2**4 / 161280.0) * np.sin(8.0 * chi)
+    )
+
+
+def _m_ell(phi: np.ndarray) -> np.ndarray:
+    """Snyder 14-15: radius of the parallel / a."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+
+
 def _ps_t(phi: np.ndarray) -> np.ndarray:
     # Snyder 15-9 (north aspect): conformal-latitude half-angle tangent
     es = _E * np.sin(phi)
@@ -664,17 +696,7 @@ def _ps_inv(x, y, lat_ts: float, lon0: float):
         y = -y
     rho = np.hypot(x, y)
     t = rho * t_f / (_WGS_A * m_f)
-    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
-    e2 = _E2
-    phi = (
-        chi
-        + (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0)
-        * np.sin(2.0 * chi)
-        + (7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0)
-        * np.sin(4.0 * chi)
-        + (7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0) * np.sin(6.0 * chi)
-        + (4279.0 * e2**4 / 161280.0) * np.sin(8.0 * chi)
-    )
+    phi = _conformal_phi(np.pi / 2.0 - 2.0 * np.arctan(t))
     lam = np.arctan2(x, -y)
     # the pole itself (rho == 0) has undefined lon; pick lon0
     lam = np.where(rho == 0.0, 0.0, lam)
@@ -694,6 +716,18 @@ def _laea_q(phi: np.ndarray) -> np.ndarray:
 
 _LAEA_QP = float(_laea_q(np.array(math.pi / 2.0)))
 _LAEA_RQ = _WGS_A * math.sqrt(_LAEA_QP / 2.0)
+
+
+def _authalic_phi(beta: np.ndarray) -> np.ndarray:
+    """Geodetic latitude from authalic latitude (Snyder 3-18 series) —
+    shared by LAEA and Albers equal-area inverses."""
+    e2 = _E2
+    return (
+        beta
+        + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0) * np.sin(2.0 * beta)
+        + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e2**3 / 45360.0) * np.sin(6.0 * beta)
+    )
 
 
 def _laea_fwd(lon, lat, lat0: float, lon0: float, fe: float, fn: float):
@@ -724,14 +758,203 @@ def _laea_inv(x, y, lat0: float, lon0: float, fe: float, fn: float):
     center = rho == 0.0
     beta = np.where(center, beta1, beta)
     lam = np.where(center, 0.0, lam)
-    e2 = _E2
-    phi = (
-        beta
-        + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0) * np.sin(2.0 * beta)
-        + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0) * np.sin(4.0 * beta)
-        + (761.0 * e2**3 / 45360.0) * np.sin(6.0 * beta)
-    )
+    return lon0 + np.degrees(lam), np.degrees(_authalic_phi(beta))
+
+
+# --- Lambert conformal conic (2SP), Albers equal-area, sinusoidal,
+# --- equidistant cylindrical (round 5, continued) ---------------------------
+# Closed-form ellipsoidal formulas, Snyder 1987: LCC eqs 14-15/15-7..
+# 15-10 (inverse via the shared conformal-latitude series 3-5), Albers
+# eqs 14-1..14-11 (inverse via the shared authalic series 3-18),
+# sinusoidal eqs 30-8/30-9 (inverse via the rectifying series 3-26),
+# equidistant cylindrical EPSG method 1028 with lat_ts=0.  EPSG
+# shortcuts below; arbitrary parameterizations via proj strings
+# ('+proj=lcc +lat_1=.. +lat_2=.. +lat_0=.. +lon_0=.. +x_0=.. +y_0=..',
+# '+proj=aea ..', '+proj=sinu [+R=..]', '+proj=eqc').  The datum is
+# always the WGS84/GRS80 ellipsoid (they differ by ~0.1 mm in b; the
+# reference's rasterio would treat these grids identically at float32
+# pixel scale).
+
+# crs -> (lat_1, lat_2, lat_0, lon_0, FE, FN)
+_LCC_PARAMS = {
+    # RGF93 v1 / Lambert-93 (France)
+    "EPSG:2154": (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
+    # NAD83 / Statistics Canada Lambert
+    "EPSG:3347": (49.0, 77.0, 63.390675, -91.8666666666667, 6_200_000.0, 3_000_000.0),
+}
+
+# crs -> (lat_1, lat_2, lat_0, lon_0, FE, FN)
+_AEA_PARAMS = {
+    # NAD83 / Conus Albers
+    "EPSG:5070": (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    # GDA94 / Australian Albers (southern-hemisphere cone, n < 0)
+    "EPSG:3577": (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+}
+
+
+def _lcc_consts(lat1: float, lat2: float, lat0: float):
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_ell(np.array(p1)))
+    m2 = float(_m_ell(np.array(p2)))
+    t1 = float(_ps_t(np.array(p1)))
+    t2 = float(_ps_t(np.array(p2)))
+    t0 = float(_ps_t(np.array(p0)))
+    n = math.log(m1 / m2) / math.log(t1 / t2) if lat1 != lat2 else math.sin(p1)
+    Fc = m1 / (n * t1**n)
+    rho0 = _WGS_A * Fc * t0**n
+    return n, Fc, rho0
+
+
+def _lcc_fwd(lon, lat, lat1, lat2, lat0, lon0, fe, fn):
+    n, Fc, rho0 = _lcc_consts(lat1, lat2, lat0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    rho = _WGS_A * Fc * _ps_t(phi) ** n
+    return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
+
+
+def _lcc_inv(x, y, lat1, lat2, lat0, lon0, fe, fn):
+    n, Fc, rho0 = _lcc_consts(lat1, lat2, lat0)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sign(n) * np.hypot(xp, yp)
+    # Snyder p.107: for n < 0 the signs of x', y', rho all flip
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    with np.errstate(divide="ignore"):
+        t = (rho / (_WGS_A * Fc)) ** (1.0 / n)
+    phi = _conformal_phi(np.pi / 2.0 - 2.0 * np.arctan(t))
+    phi = np.where(rho == 0.0, np.sign(n) * np.pi / 2.0, phi)
+    return lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+def _aea_consts(lat1: float, lat2: float, lat0: float):
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_ell(np.array(p1)))
+    m2 = float(_m_ell(np.array(p2)))
+    q1 = float(_laea_q(np.array(p1)))
+    q2 = float(_laea_q(np.array(p2)))
+    q0 = float(_laea_q(np.array(p0)))
+    n = (m1**2 - m2**2) / (q2 - q1) if lat1 != lat2 else math.sin(p1)
+    C = m1**2 + n * q1
+    rho0 = _WGS_A * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def _aea_fwd(lon, lat, lat1, lat2, lat0, lon0, fe, fn):
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    rho = _WGS_A * np.sqrt(np.maximum(C - n * _laea_q(phi), 0.0)) / n
+    return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
+
+
+def _aea_inv(x, y, lat1, lat2, lat0, lon0, fe, fn):
+    n, C, rho0 = _aea_consts(lat1, lat2, lat0)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xp, yp)
+    theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    q = (C - (rho * n / _WGS_A) ** 2) / n
+    beta = np.arcsin(np.clip(q / _LAEA_QP, -1.0, 1.0))
+    return lon0 + np.degrees(theta / n), np.degrees(_authalic_phi(beta))
+
+
+def _sinu_fwd(lon, lat, lon0, fe, fn, R=None):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    if R is not None:  # spherical variant (MODIS SIN grid, +R=6371007.181)
+        return R * lam * np.cos(phi) + fe, R * phi + fn
+    s = np.sin(phi)
+    x = _WGS_A * lam * np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+    return x + fe, _meridian_arc(phi) + fn
+
+
+def _sinu_inv(x, y, lon0, fe, fn, R=None):
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    if R is not None:
+        phi = yp / R
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = xp / (R * np.cos(phi))
+    else:
+        phi = _phi_from_M(yp)
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = xp * np.sqrt(1.0 - _E2 * s * s) / (_WGS_A * np.cos(phi))
+    lam = np.where(np.abs(np.cos(phi)) < 1e-12, 0.0, lam)  # pole: undefined lon
     return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _eqc_fwd(lon, lat, lon0, fe, fn):
+    # EPSG method 1028 with lat_ts = 0: x = a*lam, y = meridian arc
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return _WGS_A * lam + fe, _meridian_arc(phi) + fn
+
+
+def _eqc_inv(x, y, lon0, fe, fn):
+    lam = (np.asarray(x, dtype=np.float64) - fe) / _WGS_A
+    phi = _phi_from_M(np.asarray(y, dtype=np.float64) - fn)
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _proj_tokens(crs: str) -> dict[str, float] | None:
+    """Parse '+k=v' tokens of a proj string for the conic/pseudocyl
+    families; returns None if crs is not a proj string."""
+    if not crs.startswith("+proj="):
+        return None
+    toks: dict[str, float] = {}
+    for m in re.finditer(r"\+([a-zA-Z_0-9]+)(?:=([^\s]+))?", crs):
+        k, v = m.group(1), m.group(2)
+        if k == "proj":
+            toks["__proj__"] = v  # type: ignore[assignment]
+        elif v is not None:
+            try:
+                toks[k] = float(v)
+            except ValueError:
+                pass
+    return toks
+
+
+def _conic_args(crs: str) -> tuple[str, tuple] | None:
+    """Resolve crs to ('lcc'|'aea'|'sinu'|'eqc', args) or None."""
+    if crs in _LCC_PARAMS:
+        return "lcc", _LCC_PARAMS[crs]
+    if crs in _AEA_PARAMS:
+        return "aea", _AEA_PARAMS[crs]
+    if crs == "ESRI:54008":  # World Sinusoidal (ellipsoidal)
+        return "sinu", (0.0, 0.0, 0.0, None)
+    if crs == "EPSG:4087":  # WGS 84 / World Equidistant Cylindrical
+        return "eqc", (0.0, 0.0, 0.0)
+    toks = _proj_tokens(crs)
+    if toks is None:
+        return None
+    fam = toks.get("__proj__")
+    lon0 = toks.get("lon_0", 0.0)
+    fe, fn = toks.get("x_0", 0.0), toks.get("y_0", 0.0)
+    if fam in ("lcc", "aea"):
+        if "lat_1" not in toks:
+            raise ValueError(f"proj string {crs!r} needs +lat_1")
+        lat1 = toks["lat_1"]
+        lat2 = toks.get("lat_2", lat1)
+        return fam, (lat1, lat2, toks.get("lat_0", 0.0), lon0, fe, fn)
+    if fam == "sinu":
+        return "sinu", (lon0, fe, fn, toks.get("R"))
+    if fam == "eqc":
+        if toks.get("lat_ts", 0.0) != 0.0:
+            raise ValueError("eqc supported at lat_ts=0 only")
+        return "eqc", (lon0, fe, fn)
+    return None
+
+
+_CONIC_FWD = {"lcc": _lcc_fwd, "aea": _aea_fwd, "sinu": _sinu_fwd, "eqc": _eqc_fwd}
+_CONIC_INV = {"lcc": _lcc_inv, "aea": _aea_inv, "sinu": _sinu_inv, "eqc": _eqc_inv}
+
+_CRS_SUPPORT_MSG = (
+    "analytic warp supports EPSG:4326/3857/UTM, polar stereographic "
+    "3413/3976/3031, LAEA 3035, LCC 2154/3347, Albers 5070/3577, "
+    "sinusoidal ESRI:54008, eqc EPSG:4087, and +proj=utm/lcc/aea/sinu/eqc strings"
+)
 
 
 def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -748,9 +971,10 @@ def _fwd(crs: str, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.nda
     utm = _utm_params(crs)
     if utm is not None:
         return _utm_fwd(lon, lat, *utm)
-    raise ValueError(
-        f"unsupported CRS {crs} (analytic warp supports EPSG:4326/3857/UTM, polar stereographic 3413/3976/3031, LAEA 3035)"
-    )
+    conic = _conic_args(crs)
+    if conic is not None:
+        return _CONIC_FWD[conic[0]](lon, lat, *conic[1])
+    raise ValueError(f"unsupported CRS {crs} ({_CRS_SUPPORT_MSG})")
 
 
 def _inv(crs: str, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -767,7 +991,10 @@ def _inv(crs: str, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray
     utm = _utm_params(crs)
     if utm is not None:
         return _utm_inv(x, y, *utm)
-    raise ValueError(f"unsupported CRS {crs}")
+    conic = _conic_args(crs)
+    if conic is not None:
+        return _CONIC_INV[conic[0]](x, y, *conic[1])
+    raise ValueError(f"unsupported CRS {crs} ({_CRS_SUPPORT_MSG})")
 
 
 def warp(
