@@ -511,10 +511,15 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
 def ingest_geotiffs(files: DataFrame, fmt: str = "raw") -> DataFrame:
     """binaryFile scan rows -> engine `images` table rows.
 
-    Payloads are decoded once and re-encoded with the engine codec;
+    Magic-sniffing decode (GeoTIFF/BigTIFF or PNG — sources/png.py);
+    payloads are decoded once and re-encoded with the engine codec;
     geo metadata land in plain columns (IMAGES_SCHEMA minus caption
-    semantics: caption <- file name, platform <- name prefix)."""
+    semantics: caption <- file name, platform <- name prefix).  PNGs
+    carry no geo metadata and ingest on the default unit grid."""
+    import zlib
+
     from ukis_pysat_spark.datagen import IMAGES_SCHEMA, phash64
+    from ukis_pysat_spark.sources.png import read_image
 
     prefix_platform = {"LC08": "Landsat8", "LE07": "Landsat7", "LT05": "Landsat5"}
 
@@ -524,8 +529,8 @@ def ingest_geotiffs(files: DataFrame, fmt: str = "raw") -> DataFrame:
             for r in pdf.itertuples(index=False):
                 name = r.path.rsplit("/", 1)[-1]
                 try:
-                    arr, meta = read_geotiff(r.content)
-                except (ValueError, NotImplementedError, struct.error):
+                    arr, meta = read_image(r.content)
+                except (ValueError, NotImplementedError, struct.error, zlib.error):
                     continue
                 ident = name.rsplit(".", 1)[0]
                 platform = prefix_platform.get(name[:4])
