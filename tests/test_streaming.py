@@ -270,3 +270,66 @@ def test_stream_sessionize_closed_sessions(spark, tmp_path):
     }
     assert (1, 3) in after, after  # C closed with 2 events (360+365)
     assert after[(1, 3)] == allb[(1, 3)]
+
+
+def test_stream_points_in_aois_matches_batch(spark, tmp_path):
+    """Stream-static spatial join: the SAME points_in_aois plan runs
+    over a file-source point stream against static AOIs and must emit
+    exactly the batch operator's pairs — including the exact PIP refine
+    (mapInArrow is stateless, so it composes with streaming)."""
+    import numpy as np
+    import pandas as pd
+
+    from ukis_pysat_spark.operators import spatial_join
+
+    rng = np.random.default_rng(61)
+    pts = pd.DataFrame({
+        "point_id": [f"p{i}" for i in range(400)],
+        "lon": rng.uniform(-10, 30, 400),
+        "lat": rng.uniform(30, 60, 400),
+    })
+    # AOIs: two axis-aligned boxes + one convex quad (exercises the
+    # box fast path AND the exact-ring refine in the stream)
+    aois = pd.DataFrame({
+        "aoi_id": ["box1", "box2", "quad"],
+        "ring_lon": [[0.0, 10.0, 10.0, 0.0, 0.0],
+                     [15.0, 25.0, 25.0, 15.0, 15.0],
+                     [2.0, 12.0, 14.0, 4.0, 2.0]],
+        "ring_lat": [[35.0, 35.0, 45.0, 45.0, 35.0],
+                     [40.0, 40.0, 55.0, 55.0, 40.0],
+                     [46.0, 48.0, 56.0, 54.0, 46.0]],
+    })
+    src = str(tmp_path / "points_stream")
+    out_dir = str(tmp_path / "pip_out")
+    ckpt = str(tmp_path / "pip_ckpt")
+    pdf = spark.createDataFrame(pts)
+    pdf.repartition(3).write.mode("overwrite").parquet(src)
+    aoi_df = spark.createDataFrame(aois)
+
+    stream = (
+        spark.readStream.schema("point_id string, lon double, lat double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    joined = ingest.stream_points_in_aois(stream, aoi_df, res=10)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r.point_id, r.aoi_id) for r in spark.read.parquet(out_dir).collect()}
+    exp = {
+        (r.point_id, r.aoi_id)
+        for r in spatial_join.points_in_aois(
+            spark.createDataFrame(pts), aoi_df, res=10
+        ).collect()
+    }
+    assert got == exp
+    assert exp, "fixture must produce matches"
+    # both fast-path and refine-path AOIs must appear
+    assert any(a == "quad" for _, a in exp) and any(a == "box1" for _, a in exp)

@@ -58,6 +58,27 @@ def stream_events_windowed(
     )
 
 
+def stream_points_in_aois(
+    points_stream: DataFrame,
+    aois: DataFrame,
+    res: int = 12,
+    exact: bool = True,
+) -> DataFrame:
+    """STREAM-STATIC spatial join: a continuously-arriving point feed
+    against a static (broadcastable) AOI table.
+
+    The batch ``points_in_aois`` operator is stateless — a relational
+    cell equi-join plus a mapInArrow PIP refine — so the SAME logical
+    plan runs unchanged over a streaming point source (Spark's
+    stream-static inner equi-join + a stateless Arrow map).  No state
+    store, no watermark: each micro-batch joins independently, which
+    is exactly the semantics of enriching a scene/point feed with AOI
+    memberships at ingest time."""
+    from ukis_pysat_spark.operators import spatial_join
+
+    return spatial_join.points_in_aois(points_stream, aois, res=res, exact=exact)
+
+
 def run_stream_to_checkpointed_sink(
     stream_df: DataFrame,
     ckpt,
