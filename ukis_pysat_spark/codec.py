@@ -13,11 +13,15 @@ available in the target environment, so the codec is pure numpy + zlib:
              Lossy; reconstruction satisfies PSNR >= 40 dB for arrays
              whose per-band dynamic range spans < ~2^14 steps, which is
              the invariant BASELINE.json:15 requires of the lossy path.
+- ``png``  : body is a complete PNG stream (sources/png.py writer, up
+             filter).  Lossless; uint8/uint16 with 1-4 bands only —
+             anything else raises.  Interchange-friendly: the payload
+             minus the 20-byte header IS a valid .png file.
 
 Header layout (little-endian, 20 bytes):
     magic   4s   b"UPSR"
     version u8   1
-    fmt     u8   0=raw 1=rawz 2=q8
+    fmt     u8   0=raw 1=rawz 2=q8 3=png
     dtype   u8   index into _DTYPES
     ndim    u8   always 3 (2-D inputs are promoted, like raster.py:65-66)
     bands   u16
@@ -41,10 +45,10 @@ HEADER_SIZE = _HEADER.size  # 20
 _DTYPES = ["uint8", "uint16", "int16", "int32", "float32", "float64", "int64", "uint32", "int8", "uint64"]
 _DTYPE_CODE = {np.dtype(d): i for i, d in enumerate(_DTYPES)}
 
-FMT_CODES = {"raw": 0, "rawz": 1, "q8": 2}
+FMT_CODES = {"raw": 0, "rawz": 1, "q8": 2, "png": 3}
 FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
 
-LOSSLESS_FMTS = ("raw", "rawz")
+LOSSLESS_FMTS = ("raw", "rawz", "png")
 
 
 def promote_3d(arr: np.ndarray) -> np.ndarray:
@@ -96,6 +100,22 @@ def encode(arr: np.ndarray, fmt: str = "raw") -> bytes:
             q = np.clip(np.rint((f[b] - lo) / scale), 0, 255).astype(np.uint8)
             chunks.append(struct.pack("<dd", lo, scale) + q.tobytes())
         body = b"".join(chunks)
+    elif fmt == "png":
+        from ukis_pysat_spark.sources.png import write_png
+
+        # signed ints ride PNG's unsigned samples via a lossless bias;
+        # the UPSR header keeps the true dtype for the decoder
+        if arr.dtype == np.dtype("int16"):
+            enc = (arr.astype(np.int32) + 32768).astype(np.uint16)
+        elif arr.dtype == np.dtype("int8"):
+            enc = (arr.astype(np.int16) + 128).astype(np.uint8)
+        else:
+            enc = arr
+        if enc.dtype not in (np.dtype("uint8"), np.dtype("uint16")) or bands > 4:
+            raise ValueError(
+                f"png payload needs (u)int8/(u)int16 with <=4 bands, got {arr.dtype} x{bands}"
+            )
+        body = write_png(enc)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
     return header + body
@@ -114,7 +134,7 @@ def encode_chunks(arr: np.ndarray, fmt: str = "raw") -> tuple[bytes, np.ndarray]
     header = make_header(fmt, arr.dtype.name, bands, rows, cols)
     if fmt == "raw":
         body = arr.astype(dt, copy=False).view(np.uint8).reshape(-1)
-    elif fmt in ("rawz", "q8"):
+    elif fmt in ("rawz", "q8", "png"):
         # compressed/lossy bodies are produced by the scalar encoder
         # (compression materializes a copy regardless)
         body = np.frombuffer(encode(arr, fmt), dtype=np.uint8)[HEADER_SIZE:]
@@ -172,6 +192,21 @@ def _decode_first(payload) -> np.ndarray:
                 rows, cols
             )
         return out
+    if fmt == "png":
+        from ukis_pysat_spark.sources.png import read_png
+
+        arr, _ = read_png(bytes(body))
+        want = np.dtype(_DTYPES[dtype_code])
+        if want == np.dtype("int16"):  # undo the signed-int encode bias
+            arr = (arr.astype(np.int32) - 32768).astype(np.int16)
+        elif want == np.dtype("int8"):
+            arr = (arr.astype(np.int16) - 128).astype(np.int8)
+        if arr.shape != (bands, rows, cols) or arr.dtype != want:
+            raise ValueError(
+                f"png body {arr.shape}/{arr.dtype} disagrees with header "
+                f"({bands},{rows},{cols})/{want}"
+            )
+        return arr
     raise ValueError(f"unknown fmt code {fmt_code}")
 
 
