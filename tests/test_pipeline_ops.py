@@ -665,3 +665,56 @@ def test_connected_components_matches_union_find(spark):
     got = {r.node: r.comp for r in graph.connected_components(df).collect()}
     exp = _uf_oracle(edges)
     assert got == exp
+
+
+def test_hamming_pairs_int64_including_negative(spark):
+    """hamming_pairs over full-width signed int64 hashes (top bit set
+    -> negative in Spark's LongType) against a numpy brute-force
+    oracle; pigeonhole recall must be 1.0 at the requested radius."""
+    rng = np.random.default_rng(41)
+    base = rng.integers(-(2**63), 2**63, 40, dtype=np.int64)
+    vals = list(base)
+    # plant near-dups: flip 1..6 bits of some bases (top bit included)
+    for i, k in [(0, 1), (3, 6), (7, 3), (11, 6)]:
+        v = np.uint64(base[i])
+        for b in rng.choice(64, k, replace=False):
+            v ^= np.uint64(1) << np.uint64(b)
+        vals.append(v.astype(np.int64))
+    ids = list(range(len(vals)))
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in zip(ids, vals)], "id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_pairs(df, "id", "h", max_hamming=6).collect()
+    }
+    hv = np.array(vals, dtype=np.int64).view(np.uint64)
+    x = hv[:, None] ^ hv[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for b in range(64):
+        ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.nonzero((ham <= 6) & (np.arange(len(vals))[:, None] < np.arange(len(vals))[None, :]))
+    exp = {(int(i), int(j), int(ham[i, j])) for i, j in zip(ii, jj)}
+    assert got == exp
+    assert len(exp) >= 4  # the planted near-dups must be found
+
+
+def test_phash_neardup_finds_duplicate_images(spark):
+    """phash_neardup over the images table: byte-identical images have
+    equal phash (hamming 0); the plan must not decode any pixels."""
+    imgs = datagen.gen_images(spark, 6, profile="bench")
+    dup = imgs.limit(2).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    both = imgs.unionByName(dup)
+    pairs = dedup.phash_neardup(both, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {("img00000000", "img00000000_copy"),
+            ("img00000001", "img00000001_copy")} <= got
+    # the operator itself adds no Python stage: over a plain relational
+    # source the whole plan is JVM-side (datagen's synth source is
+    # Python, so the plan check uses createDataFrame)
+    rel = spark.createDataFrame([("a", 1), ("b", 2)], "image_id string, phash long")
+    plan = dedup.phash_neardup(rel)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
+        assert marker not in plan, marker

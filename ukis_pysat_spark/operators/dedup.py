@@ -425,45 +425,78 @@ def simhash_pairs(
     plan can be value-gated against a cross-join DuckDB oracle
     (``simhash_md5_docs`` in __spark_entry__).
     """
-    n_blocks = max_hamming + 1
     docs = simhash64_col(documents, word_hash=word_hash, n_bits=n_bits)
+    return hamming_pairs(docs, "doc_id", "sh64", max_hamming, n_bits)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose ``hash_col`` values differ in at
+    most ``max_hamming`` of ``n_bits`` bits — the pigeonhole-blocked
+    plan shared by simhash_pairs and phash_neardup.
+
+    (max_hamming+1) near-equal bit blocks; h differing bits cannot
+    touch all h+1 blocks, so candidates from the per-block equi-joins
+    have recall 1.0 by construction, and the exact popcount filter
+    runs INSIDE the join stage so only true pairs reach the
+    dropDuplicates shuffle."""
+    n_blocks = max_hamming + 1
+
+    def _mask(width: int) -> int:
+        # two's-complement int64 (width == 64 -> all-ones == -1);
+        # a raw (1<<64)-1 literal overflows Spark's LongType
+        m = (1 << width) - 1
+        return m - (1 << 64) if m > 0x7FFFFFFFFFFFFFFF else m
+
     # ONE explode, not a union of per-block projections: a union would
-    # replicate the (expensive) simhash aggregation subtree per block
+    # replicate the (possibly expensive) upstream subtree per block
     entries = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("blk"),
-                F.shiftrightunsigned(F.col("sh64"), shift)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftrightunsigned(F.col(hash_col), shift)
+                .bitwiseAND(F.lit(_mask(width)).cast("long"))
                 .alias("key"),
             )
             for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks, n_bits))
         ]
     )
-    bucketed = docs.select(
-        "doc_id", "sh64", F.explode(entries).alias("e")
-    ).select("doc_id", "sh64", F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
+    bucketed = df.select(
+        id_col, hash_col, F.explode(entries).alias("e")
+    ).select(id_col, hash_col, F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    hamming = F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64")))
-    # the exact popcount filter runs IN the join stage, before the pair
-    # dedup: only true near-dup pairs (<= 1 per block, <= n_blocks
-    # copies) reach the dropDuplicates shuffle, instead of every
-    # bucket-collision candidate
+    hamming = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (hamming <= max_hamming),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def phash_neardup(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs: Hamming distance
+    over the images table's 64-bit ``phash`` column (the input_hint's
+    precomputed perceptual hash) — no pixel decode anywhere in the
+    plan, pure relational pigeonhole blocks, so it runs at catalog
+    scan speed over a 10^12-image table."""
+    return hamming_pairs(
+        images.select("image_id", "phash"), "image_id", "phash", max_hamming, 64
     )
 
 
