@@ -718,3 +718,51 @@ def test_phash_neardup_finds_duplicate_images(spark):
     plan = dedup.phash_neardup(rel)._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
         assert marker not in plan, marker
+
+
+def test_phash64_arr_matches_datagen_scalar():
+    """multimodal.phash64_arr (SAT-vectorized) vs datagen.phash64
+    (per-block scalar loop) — two independent implementations — across
+    integer dtypes, degenerate sub-8px shapes, and the float fallback."""
+    rng = np.random.default_rng(7)
+    shapes = [(1, 128, 128), (3, 64, 96), (13, 8, 9), (1, 1, 1), (2, 4, 5),
+              (1, 7, 300), (1, 300, 7)]
+    for dt in ("uint8", "uint16", "int16", "int32", "float32", "float64"):
+        for shape in shapes:
+            if np.issubdtype(np.dtype(dt), np.integer):
+                info = np.iinfo(dt)
+                arr = rng.integers(info.min, info.max, shape).astype(dt)
+            else:
+                arr = (rng.random(shape) * 1e4 - 5e3).astype(dt)
+            got = multimodal.phash64_arr(arr)
+            exp = datagen.phash64(arr)
+            assert got == exp, (dt, shape)
+    # constant image: no block exceeds the mean -> hash 0 in both
+    flat = np.full((1, 32, 32), 7, dtype=np.uint8)
+    assert multimodal.phash64_arr(flat) == datagen.phash64(flat) == 0
+
+
+def test_compute_phash_matches_precomputed_column(spark):
+    """compute_phash over the mixed-profile images equals the datagen
+    precomputed phash column, and pixel-identical copies collide."""
+    imgs = datagen.gen_images(spark, 16)
+    got = multimodal.compute_phash(imgs)
+    joined = (
+        got.withColumnRenamed("phash", "phash_c")
+        .join(imgs.select("image_id", "phash"), "image_id")
+        .collect()
+    )
+    assert len(joined) == 16
+    for r in joined:
+        assert r.phash_c == r.phash, r.image_id
+    # end-to-end: computed hashes feed hamming_pairs and find the copy
+    dup = imgs.limit(1).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    pairs = dedup.hamming_pairs(
+        multimodal.compute_phash(imgs.unionByName(dup)),
+        "image_id", "phash", max_hamming=0,
+    ).collect()
+    assert ("img00000000", "img00000000_copy") in {
+        (r.id_a, r.id_b) for r in pairs
+    }

@@ -107,6 +107,82 @@ def decode_stats(images: DataFrame, nodata: float | None = 0.0) -> DataFrame:
     return images.select("image_id", "bytes").mapInArrow(run, schema=STATS_SCHEMA)
 
 
+def phash64_arr(arr: np.ndarray) -> int:
+    """(bands, h, w) pixel array -> 64-bit perceptual hash (8x8 block
+    means of band 0 thresholded at their mean, packed MSB-first into a
+    signed int64) — the hash the images table's precomputed ``phash``
+    column carries (datagen.phash64 semantics, reference-free).
+
+    Integer payloads (the satellite norm) go through a summed-area
+    table: float64 sums of integer pixels are exact below 2^53, so the
+    vectorized block means match a per-block ``np.mean`` bit-for-bit.
+    Float payloads fall back to the 64 per-block mean slices, where
+    summation order would otherwise change the rounding."""
+    a = arr[0].astype(np.float64)
+    rows, cols = a.shape
+    rr = np.linspace(0, rows, 9).astype(int)
+    cc = np.linspace(0, cols, 9).astype(int)
+    # end bounds: every block at least one pixel (degenerate-grid rule)
+    r1 = np.maximum(rr[1:], rr[:-1] + 1)
+    c1 = np.maximum(cc[1:], cc[:-1] + 1)
+    r0, c0 = rr[:-1], cc[:-1]
+    if a.size and np.issubdtype(arr.dtype, np.integer):
+        sat = np.zeros((rows + 1, cols + 1))
+        sat[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+        sums = (
+            sat[r1[:, None], c1[None, :]]
+            - sat[r0[:, None], c1[None, :]]
+            - sat[r1[:, None], c0[None, :]]
+            + sat[r0[:, None], c0[None, :]]
+        )
+        sizes = ((r1 - r0)[:, None] * (c1 - c0)[None, :]).astype(np.float64)
+        blocks = sums / sizes
+    else:
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blk = a[r0[i] : r1[i], c0[j] : c1[j]]
+                blocks[i, j] = blk.mean() if blk.size else 0.0
+    bits = (blocks > blocks.mean()).ravel()
+    weights = np.left_shift(
+        np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64)
+    )
+    if not bits.any():
+        return 0
+    packed = np.bitwise_or.reduce(weights[bits])
+    return int(packed.astype(np.int64))
+
+
+_PHASH_PA_SCHEMA = pa.schema([("image_id", pa.string()), ("phash", pa.int64())])
+
+
+def compute_phash(images: DataFrame) -> DataFrame:
+    """Compute the 64-bit perceptual hash from pixel payloads:
+    (image_id, phash) in one ``mapInArrow`` stage (payloads enter as
+    zero-copy Arrow buffer views; output is two flat columns).
+
+    Feeds ``dedup.phash_neardup`` / ``dedup.hamming_pairs`` when the
+    catalog has no precomputed phash column; when it does, prefer the
+    precomputed column — near-dup then never touches pixels."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            payload = batch.column("bytes")
+            out = np.empty(batch.num_rows, dtype=np.int64)
+            for ri in range(batch.num_rows):
+                out[ri] = phash64_arr(codec.decode(payload[ri].as_buffer()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("image_id"), pa.array(out, type=pa.int64())],
+                schema=_PHASH_PA_SCHEMA,
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(
+        run, schema="image_id string, phash long"
+    )
+
+
 def resize_images(
     images: DataFrame,
     out_h: int,
