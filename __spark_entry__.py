@@ -232,6 +232,16 @@ def _tile_oracle_sql(src_sql: str, width: int, height: int, overlap: int) -> str
     """
 
 
+# closed-form 62-bit hash mix shared by the phash_neardup_synth query
+# and its DuckDB oracle: two 31-bit multiplicative congruential terms in
+# disjoint bit ranges — every intermediate fits a signed 64-bit integer,
+# so Spark (wrapping) and DuckDB (overflow-checking) agree exactly
+_PHASH_MIX = (
+    "((({x} * 2654435761) % 2147483648) + "
+    "(({x} * 2246822519) % 2147483648) * 2147483648)"
+)
+
+
 # --- entry -----------------------------------------------------------------
 
 
@@ -643,6 +653,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
     q["simhash_md5_docs"] = simhash_md5_docs
+
+    # phash near-dup, value-gated (round 5): closed-form 62-bit hashes
+    # (two multiplicative mixes, no wraparound in either engine) for 500
+    # base ids plus 100 variants that flip a contiguous run of j%8 bits
+    # — hamming is exactly j%8, so runs of 7 fall outside the radius.
+    # The engine's pigeonhole-blocked hamming_pairs (recall 1.0 by
+    # construction) must equal DuckDB's brute-force all-pairs popcount
+    # filter by VALUE.
+    def phash_neardup_synth(spark, sf_dir):
+        tbl = spark.range(600).selectExpr(
+            "concat('ph', cast(id as string)) AS image_id",
+            f"""CASE WHEN id < 500 THEN {_PHASH_MIX.format(x="id")}
+                ELSE {_PHASH_MIX.format(x="(id-500)")} ^ (
+                  (shiftleft(cast(1 as bigint), cast((id-500)%8 as int)) - 1)
+                  * shiftleft(cast(1 as bigint), cast(((id-500)*5)%54 as int)))
+                END AS phash""",
+        )
+        out = dedup.phash_neardup(tbl, max_hamming=6)
+        return out.select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+        )
+
+    q["phash_neardup_synth"] = phash_neardup_synth
 
     # the pixel-emitting tiler's geometry IS oracle-checkable: the bench
     # profile is a fixed 128x128 shape, so per-image tile counts and
@@ -1430,6 +1463,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         FROM alld a JOIN alld b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """
+
+    # brute-force twin of phash_neardup_synth: DuckDB recomputes the
+    # same closed-form hashes (no engine-specific overflow anywhere in
+    # _PHASH_MIX) and cross-joins with an exact popcount filter; the
+    # engine's pigeonhole-blocked plan must match it by value.
+    mix_id = _PHASH_MIX.format(x="id")
+    mix_v = _PHASH_MIX.format(x="(id-500)")
+    o["phash_neardup_synth"] = f"""
+        WITH t AS (
+          SELECT 'ph' || CAST(id AS VARCHAR) AS image_id,
+                 CASE WHEN id < 500 THEN {mix_id}
+                 ELSE xor({mix_v},
+                   ((CAST(1 AS BIGINT) << CAST((id-500)%8 AS INTEGER)) - 1)
+                   * (CAST(1 AS BIGINT) << CAST(((id-500)*5)%54 AS INTEGER)))
+                 END AS phash
+          FROM range(600) tt(id)
+        )
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM t a JOIN t b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
     """
 
     return o
