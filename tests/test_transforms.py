@@ -836,8 +836,9 @@ def test_conic_proj_string_validation():
 
     with pytest.raises(ValueError, match="lat_1"):
         transforms._fwd("+proj=lcc +lon_0=3", np.array([1.0]), np.array([45.0]))
-    with pytest.raises(ValueError, match="lat_ts"):
-        transforms._fwd("+proj=eqc +lat_ts=30", np.array([1.0]), np.array([45.0]))
+    with pytest.raises(ValueError, match="POLAR"):
+        # oblique stereographic is not analytic here — must be loud
+        transforms._fwd("+proj=stere +lat_0=52", np.array([1.0]), np.array([45.0]))
     with pytest.raises(ValueError, match="unsupported CRS"):
         transforms._fwd("+proj=robin", np.array([1.0]), np.array([45.0]))
 
@@ -866,3 +867,122 @@ def test_warp_lcc_albers_sinu_roundtrip(spark):
         assert arr.shape == (1, 764, 679), crs
         interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
         assert interior_match > 0.93, (crs, interior_match)
+
+
+def test_ups_variant_a_published_anchor():
+    """WGS 84 / UPS North & South (EPSG:5041/5042, polar stereographic
+    VARIANT A — scale factor at the pole): the EPSG Guidance Note 7-2
+    worked example (73N 44E -> E 3,320,416.75 N 632,668.43) must
+    reproduce to < 1 cm, the pole must map to (FE, FN) exactly, and
+    the inverse must close < 1e-9 deg."""
+    x, y = transforms._fwd("EPSG:5041", np.array([44.0]), np.array([73.0]))
+    assert abs(x[0] - 3_320_416.75) < 0.01
+    assert abs(y[0] - 632_668.43) < 0.01
+    lon, lat = transforms._inv("EPSG:5041", x, y)
+    assert abs(lon[0] - 44.0) < 1e-9 and abs(lat[0] - 73.0) < 1e-8
+    px, py = transforms._fwd("EPSG:5041", np.array([31.0]), np.array([90.0]))
+    assert abs(px[0] - 2_000_000.0) < 1e-6 and abs(py[0] - 2_000_000.0) < 1e-6
+    # south UPS: mirrored hemisphere, same grid origin at the pole
+    px, py = transforms._fwd("EPSG:5042", np.array([31.0]), np.array([-90.0]))
+    assert abs(px[0] - 2_000_000.0) < 1e-6 and abs(py[0] - 2_000_000.0) < 1e-6
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(61)))
+    lon = -180.0 + 360.0 * rng.random(300)
+    lat = -(60.0 + 29.9 * rng.random(300))
+    lon2, lat2 = transforms._inv("EPSG:5042", *transforms._fwd("EPSG:5042", lon, lat))
+    dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+    assert np.abs(dlon * np.cos(np.radians(lat))).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_polar_stereo_variant_b_published_anchor():
+    """EPSG:3032 (Australian Antarctic Polar Stereographic, variant B,
+    lat_ts=71S lon0=70E FE=FN=6,000 km): the EPSG Guidance Note 7-2
+    worked example 75S 120E -> E 7,255,380.79 N 7,053,389.56 to < 1 cm,
+    and the equivalent +proj=stere string lands on the same grid."""
+    x, y = transforms._fwd("EPSG:3032", np.array([120.0]), np.array([-75.0]))
+    assert abs(x[0] - 7_255_380.79) < 0.01
+    assert abs(y[0] - 7_053_389.56) < 0.01
+    ps = "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 +x_0=6000000 +y_0=6000000"
+    xs, ys = transforms._fwd(ps, np.array([120.0]), np.array([-75.0]))
+    assert abs(xs[0] - x[0]) < 1e-9 and abs(ys[0] - y[0]) < 1e-9
+    lon, lat = transforms._inv(ps, xs, ys)
+    assert abs(lon[0] - 120.0) < 1e-9 and abs(lat[0] + 75.0) < 1e-9
+
+
+def test_tmerc_proj_string_generalizes_utm():
+    """+proj=tmerc with UTM parameters is bit-identical to the
+    EPSG:326xx/327xx path; a shifted natural origin (lat_0 != 0) maps
+    the origin to (x_0, y_0) exactly and inverts < 1e-8 deg."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(62)))
+    lon = 12.0 + 6.0 * rng.random(200)
+    lat = -70.0 + 140.0 * rng.random(200)
+    xu, yu = transforms._fwd("EPSG:32633", lon, lat)
+    xt, yt = transforms._fwd(
+        "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0", lon, lat
+    )
+    assert np.abs(xu - xt).max() == 0.0 and np.abs(yu - yt).max() == 0.0
+    osgb = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000"
+    x0, y0 = transforms._fwd(osgb, np.array([-2.0]), np.array([49.0]))
+    assert abs(x0[0] - 400_000.0) < 1e-9 and abs(y0[0] + 100_000.0) < 1e-9
+    lon = -2.0 + 3.0 * (rng.random(200) - 0.5)
+    lat = 49.0 + 8.0 * (rng.random(200) - 0.5)
+    lon2, lat2 = transforms._inv(osgb, *transforms._fwd(osgb, lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-8 and np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_mercator_ellipsoidal_invariants():
+    """EPSG:3395 (ellipsoidal Mercator): same eastings as spherical
+    3857 (both a*lam at k0=1) but SMALLER northings (conformal-latitude
+    compression); round-trip < 1e-9 deg; variant B's easting scales by
+    exactly m(lat_ts); the e->0 limit recovers the spherical formula."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(63)))
+    lon = -180.0 + 360.0 * rng.random(300)
+    lat = -80.0 + 160.0 * rng.random(300)
+    x95, y95 = transforms._fwd("EPSG:3395", lon, lat)
+    x57, y57 = transforms._fwd("EPSG:3857", lon, lat)
+    assert np.abs(x95 - x57).max() < 1e-6
+    nz = np.abs(lat) > 1.0
+    assert (np.abs(y95[nz]) < np.abs(y57[nz])).all()
+    lon2, lat2 = transforms._inv("EPSG:3395", x95, y95)
+    dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+    assert np.abs(dlon * np.cos(np.radians(lat))).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # variant B == variant A scaled by m(lat_ts)
+    import math
+
+    m30 = math.cos(math.radians(30.0)) / math.sqrt(
+        1.0 - transforms._E2 * math.sin(math.radians(30.0)) ** 2
+    )
+    xb, yb = transforms._fwd("+proj=merc +lat_ts=30", lon, lat)
+    assert np.abs(xb - m30 * x95).max() < 1e-6
+    assert np.abs(yb - m30 * y95).max() < 1e-6
+
+
+def test_family_proj_string_roundtrips():
+    """Arbitrary-parameter proj strings for every newly parameterized
+    family round-trip < 5e-8 deg (sub-cm; the authalic/rectifying
+    series truncation at continental distances) on points inside their
+    useful area, and +proj=longlat is the identity."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(64)))
+    cases = {
+        "+proj=laea +lat_0=45 +lon_0=-100 +x_0=12345 +y_0=-6789": (-130, -70, 20, 70),
+        "+proj=stere +lat_0=90 +k=0.97 +lon_0=-30 +x_0=1000": (-180, 180, 45, 89),
+        "+proj=stere +lat_0=-90 +lat_ts=-80 +lon_0=10": (-180, 180, -89, -45),
+        "+proj=merc +k=0.75 +lon_0=40 +x_0=5000 +y_0=5000": (-140, 140, -70, 70),
+        "+proj=eqc +lat_ts=37.5 +lon_0=12": (-170, 170, -80, 80),
+        "+proj=tmerc +lat_0=-20 +lon_0=133 +k=1.2 +y_0=10000": (130, 136, -45, 5),
+    }
+    for crs, (lo0, lo1, la0, la1) in cases.items():
+        lon = lo0 + (lo1 - lo0) * rng.random(200)
+        lat = la0 + (la1 - la0) * rng.random(200)
+        lon2, lat2 = transforms._inv(crs, *transforms._fwd(crs, lon, lat))
+        dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon * np.cos(np.radians(lat))).max() < 5e-8, crs
+        assert np.abs(lat2 - lat).max() < 5e-8, crs
+    lon = np.array([1.5, -77.0])
+    lat = np.array([-33.0, 8.0])
+    for crs in ("+proj=longlat", "+proj=latlong +datum=WGS84"):
+        x, y = transforms._fwd(crs, lon, lat)
+        assert (x == lon).all() and (y == lat).all(), crs
+        x, y = transforms._inv(crs, lon, lat)
+        assert (x == lon).all() and (y == lat).all(), crs

@@ -20,18 +20,25 @@ Operators:
 - dn2toa           DN -> TOA reflectance / brightness temperature
                    (raster.py:276-422) via broadcast metadata join
 - warp             analytic reprojection between EPSG:4326, 3857
-                   (web mercator), UTM 326xx/327xx (Snyder Transverse
-                   Mercator series; accepts get_proj_string output),
-                   polar stereographic 3413/3976/3031 (Snyder 15-9/
-                   21-34..40), LAEA Europe 3035 (Snyder 24-x, authalic
-                   latitude), Lambert conformal conic 2SP (2154/3347 +
-                   +proj=lcc, Snyder ch.15), Albers equal-area
-                   (5070/3577 + +proj=aea, Snyder ch.14), sinusoidal
-                   (ESRI:54008 ellipsoidal + the spherical MODIS SIN
-                   grid via +proj=sinu +R=, Snyder ch.30) and
-                   equidistant cylindrical EPSG:4087 — six resampling
-                   kernels (raster.py:215-274; datum-shift-grade PROJ
-                   coverage is out of scope without GDAL)
+                   (web mercator), UTM 326xx/327xx + arbitrary-param
+                   +proj=tmerc (Snyder Transverse Mercator series;
+                   accepts get_proj_string output), polar stereographic
+                   3413/3976/3031/3995/3032 + UPS 5041/5042 + +proj=
+                   stere in both EPSG variants (A: +k at the pole,
+                   B: +lat_ts; Snyder 15-9/21-34..40), LAEA 3035 +
+                   +proj=laea (Snyder 24-x, authalic latitude),
+                   ellipsoidal Mercator 3395 + +proj=merc variants A/B
+                   (Snyder 7-6..7-8; distinct from spherical 3857),
+                   Lambert conformal conic 2SP (2154/3347 + +proj=lcc,
+                   Snyder ch.15), Albers equal-area (5070/3577 +
+                   +proj=aea, Snyder ch.14), sinusoidal (ESRI:54008
+                   ellipsoidal + the spherical MODIS SIN grid via
+                   +proj=sinu +R=, Snyder ch.30), equidistant
+                   cylindrical EPSG:4087 + +proj=eqc with lat_ts, and
+                   +proj=longlat — six resampling kernels
+                   (raster.py:215-274; the datum is always WGS84/GRS80:
+                   datum-shift-grade PROJ coverage is out of scope
+                   without GDAL)
 
 Every transform is a pure function of the row — task-retry-safe and
 partitioning-independent.
@@ -551,7 +558,10 @@ def _meridian_arc(phi: np.ndarray) -> np.ndarray:
     )
 
 
-def _utm_fwd(lon, lat, lon0_deg: float, south: bool):
+def _tmerc_fwd(lon, lat, lon0_deg: float, lat0_deg: float, k0: float, fe: float, fn: float):
+    """Transverse Mercator, Snyder eqs 8-9..8-13 with arbitrary natural
+    origin (lat0), scale (k0) and false grid offsets; UTM is the
+    (lat0=0, k0=0.9996, fe=500km) special case."""
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
     sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
@@ -560,22 +570,28 @@ def _utm_fwd(lon, lat, lon0_deg: float, south: bool):
     C = _EP2 * cos_p**2
     A = lam * cos_p
     M = _meridian_arc(phi)
-    x = _K0 * N * (
+    M0 = float(_meridian_arc(np.array(math.radians(lat0_deg))))
+    x = k0 * N * (
         A
         + (1 - T + C) * A**3 / 6.0
         + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * A**5 / 120.0
-    ) + _UTM_FE
-    y = _K0 * (
+    ) + fe
+    y = k0 * (
         M
+        - M0
         + N * tan_p * (
             A**2 / 2.0
             + (5 - T + 9 * C + 4 * C**2) * A**4 / 24.0
             + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * A**6 / 720.0
         )
-    )
-    if south:
-        y = y + _UTM_FN_S
+    ) + fn
     return x, y
+
+
+def _utm_fwd(lon, lat, lon0_deg: float, south: bool):
+    return _tmerc_fwd(
+        lon, lat, lon0_deg, 0.0, _K0, _UTM_FE, _UTM_FN_S if south else 0.0
+    )
 
 
 def _phi_from_M(M: np.ndarray) -> np.ndarray:
@@ -593,18 +609,17 @@ def _phi_from_M(M: np.ndarray) -> np.ndarray:
     )
 
 
-def _utm_inv(x, y, lon0_deg: float, south: bool):
-    x = np.asarray(x, dtype=np.float64) - _UTM_FE
-    y = np.asarray(y, dtype=np.float64)
-    if south:
-        y = y - _UTM_FN_S
-    phi1 = _phi_from_M(y / _K0)
+def _tmerc_inv(x, y, lon0_deg: float, lat0_deg: float, k0: float, fe: float, fn: float):
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    M0 = float(_meridian_arc(np.array(math.radians(lat0_deg))))
+    phi1 = _phi_from_M(M0 + y / k0)
     sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
     C1 = _EP2 * cos1**2
     T1 = tan1**2
     N1 = _WGS_A / np.sqrt(1 - _E2 * sin1**2)
     R1 = _WGS_A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
-    D = x / (N1 * _K0)
+    D = x / (N1 * k0)
     phi = phi1 - (N1 * tan1 / R1) * (
         D**2 / 2.0
         - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24.0
@@ -616,6 +631,12 @@ def _utm_inv(x, y, lon0_deg: float, south: bool):
         + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2) * D**5 / 120.0
     ) / cos1
     return lon0_deg + np.degrees(lam), np.degrees(phi)
+
+
+def _utm_inv(x, y, lon0_deg: float, south: bool):
+    return _tmerc_inv(
+        x, y, lon0_deg, 0.0, _K0, _UTM_FE, _UTM_FN_S if south else 0.0
+    )
 
 
 # --- polar stereographic (EPSG variant B) + LAEA (round 5) -----------------
@@ -674,28 +695,48 @@ def _ps_consts(lat_ts_abs: float) -> tuple[float, float]:
     return t_f, m_f
 
 
-def _ps_fwd(lon, lat, lat_ts: float, lon0: float):
-    north = lat_ts >= 0.0
-    t_f, m_f = _ps_consts(abs(lat_ts))
+def _ps_scale(lat_ts: float | None, k0: float | None) -> float:
+    """rho = scale * t(phi) for the polar aspect: EPSG variant B scales
+    by the standard parallel (Snyder 21-34, rho = a m_f t / t_f);
+    variant A by the scale factor AT the pole (Snyder 21-39,
+    rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e)))."""
+    if lat_ts is not None and abs(lat_ts) != 90.0:
+        t_f, m_f = _ps_consts(abs(lat_ts))
+        return _WGS_A * m_f / t_f
+    k = 1.0 if k0 is None else k0
+    return 2.0 * _WGS_A * k / math.sqrt(
+        (1.0 + _E) ** (1.0 + _E) * (1.0 - _E) ** (1.0 - _E)
+    )
+
+
+def _ps_fwd(lon, lat, lat_ts: float | None, lon0: float,
+            fe: float = 0.0, fn: float = 0.0,
+            k0: float | None = None, north: bool | None = None):
+    if north is None:
+        north = lat_ts >= 0.0  # EPSG-code path: hemisphere from lat_ts sign
+    scale = _ps_scale(lat_ts, k0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     if not north:
         phi = -phi
-    rho = _WGS_A * m_f * _ps_t(phi) / t_f
+    rho = scale * _ps_t(phi)
     x = rho * np.sin(lam)
     y = -rho * np.cos(lam)
-    return (x, y) if north else (x, -y)
+    return (x + fe, y + fn) if north else (x + fe, -y + fn)
 
 
-def _ps_inv(x, y, lat_ts: float, lon0: float):
-    north = lat_ts >= 0.0
-    t_f, m_f = _ps_consts(abs(lat_ts))
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+def _ps_inv(x, y, lat_ts: float | None, lon0: float,
+            fe: float = 0.0, fn: float = 0.0,
+            k0: float | None = None, north: bool | None = None):
+    if north is None:
+        north = lat_ts >= 0.0
+    scale = _ps_scale(lat_ts, k0)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
     if not north:
         y = -y
     rho = np.hypot(x, y)
-    t = rho * t_f / (_WGS_A * m_f)
+    t = rho / scale
     phi = _conformal_phi(np.pi / 2.0 - 2.0 * np.arctan(t))
     lam = np.arctan2(x, -y)
     # the pole itself (rho == 0) has undefined lon; pick lon0
@@ -885,17 +926,47 @@ def _sinu_inv(x, y, lon0, fe, fn, R=None):
     return lon0 + np.degrees(lam), np.degrees(phi)
 
 
-def _eqc_fwd(lon, lat, lon0, fe, fn):
-    # EPSG method 1028 with lat_ts = 0: x = a*lam, y = meridian arc
+def _eqc_nu1cos(lat_ts: float) -> float:
+    # EPSG method 1028: x scales by nu(lat_ts)*cos(lat_ts)/a
+    p = math.radians(lat_ts)
+    return math.cos(p) / math.sqrt(1.0 - _E2 * math.sin(p) ** 2)
+
+
+def _eqc_fwd(lon, lat, lon0, fe, fn, lat_ts: float = 0.0):
+    # EPSG method 1028: x = nu1*cos(lat_ts)*lam, y = meridian arc
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
-    return _WGS_A * lam + fe, _meridian_arc(phi) + fn
+    return _WGS_A * _eqc_nu1cos(lat_ts) * lam + fe, _meridian_arc(phi) + fn
 
 
-def _eqc_inv(x, y, lon0, fe, fn):
-    lam = (np.asarray(x, dtype=np.float64) - fe) / _WGS_A
+def _eqc_inv(x, y, lon0, fe, fn, lat_ts: float = 0.0):
+    lam = (np.asarray(x, dtype=np.float64) - fe) / (_WGS_A * _eqc_nu1cos(lat_ts))
     phi = _phi_from_M(np.asarray(y, dtype=np.float64) - fn)
     return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _merc_fwd(lon, lat, lon0, k0, fe, fn):
+    """Ellipsoidal Mercator (EPSG methods 9804/9805; Snyder 7-6/7-7):
+    y = -a k0 ln t(phi).  Distinct from the SPHERICAL web-mercator
+    EPSG:3857 fast path.  k0 comes in resolved (variant B passes
+    m(lat_ts), see _conic_args)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x = _WGS_A * k0 * lam + fe
+    with np.errstate(divide="ignore"):
+        y = -_WGS_A * k0 * np.log(_ps_t(phi)) + fn
+    return x, y
+
+
+def _merc_inv(x, y, lon0, k0, fe, fn):
+    lam = (np.asarray(x, dtype=np.float64) - fe) / (_WGS_A * k0)
+    t = np.exp(-(np.asarray(y, dtype=np.float64) - fn) / (_WGS_A * k0))
+    phi = _conformal_phi(np.pi / 2.0 - 2.0 * np.arctan(t))
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _longlat_fwd(lon, lat):
+    return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
 
 
 def _proj_tokens(crs: str) -> dict[str, float] | None:
@@ -916,12 +987,33 @@ def _proj_tokens(crs: str) -> dict[str, float] | None:
     return toks
 
 
+# EPSG shortcuts resolved to parameterized families (args match the
+# corresponding _*_fwd/_*_inv signatures after (lon, lat | x, y))
+_FAMILY_EPSG = {
+    # WGS 84 / UPS North & South: polar stereographic VARIANT A
+    # (k0=0.994 at the pole), FE=FN=2,000 km
+    "EPSG:5041": ("stere", (None, 0.0, 2_000_000.0, 2_000_000.0, 0.994, True)),
+    "EPSG:5042": ("stere", (None, 0.0, 2_000_000.0, 2_000_000.0, 0.994, False)),
+    # WGS 84 / Arctic Polar Stereographic (variant B, lat_ts=71N)
+    "EPSG:3995": ("stere", (71.0, 0.0, 0.0, 0.0, None, True)),
+    # WGS 84 / Australian Antarctic Polar Stereographic (lat_ts=71S,
+    # lon0=70E, FE=FN=6,000 km)
+    "EPSG:3032": ("stere", (-71.0, 70.0, 6_000_000.0, 6_000_000.0, None, False)),
+    # WGS 84 / World Mercator: ELLIPSOIDAL Mercator variant A, k0=1
+    # (unlike the spherical web-mercator EPSG:3857 fast path)
+    "EPSG:3395": ("merc", (0.0, 1.0, 0.0, 0.0)),
+}
+
+
 def _conic_args(crs: str) -> tuple[str, tuple] | None:
-    """Resolve crs to ('lcc'|'aea'|'sinu'|'eqc', args) or None."""
+    """Resolve crs (EPSG shortcut or '+proj=' string with arbitrary
+    parameters) to a (family, args) pair, or None if unrecognized."""
     if crs in _LCC_PARAMS:
         return "lcc", _LCC_PARAMS[crs]
     if crs in _AEA_PARAMS:
         return "aea", _AEA_PARAMS[crs]
+    if crs in _FAMILY_EPSG:
+        return _FAMILY_EPSG[crs]
     if crs == "ESRI:54008":  # World Sinusoidal (ellipsoidal)
         return "sinu", (0.0, 0.0, 0.0, None)
     if crs == "EPSG:4087":  # WGS 84 / World Equidistant Cylindrical
@@ -941,19 +1033,49 @@ def _conic_args(crs: str) -> tuple[str, tuple] | None:
     if fam == "sinu":
         return "sinu", (lon0, fe, fn, toks.get("R"))
     if fam == "eqc":
-        if toks.get("lat_ts", 0.0) != 0.0:
-            raise ValueError("eqc supported at lat_ts=0 only")
-        return "eqc", (lon0, fe, fn)
+        return "eqc", (lon0, fe, fn, toks.get("lat_ts", 0.0))
+    if fam == "laea":
+        return "laea", (toks.get("lat_0", 0.0), lon0, fe, fn)
+    if fam == "tmerc":
+        return "tmerc", (lon0, toks.get("lat_0", 0.0), toks.get("k", toks.get("k_0", 1.0)), fe, fn)
+    if fam == "merc":
+        if "lat_ts" in toks:  # variant B: true scale at lat_ts
+            k0 = _eqc_nu1cos(toks["lat_ts"])
+        else:  # variant A: explicit scale at the natural origin
+            k0 = toks.get("k", toks.get("k_0", 1.0))
+        return "merc", (lon0, k0, fe, fn)
+    if fam == "stere":
+        lat0 = toks.get("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                f"proj string {crs!r}: only POLAR stereographic is supported "
+                "analytically (+lat_0=90 or +lat_0=-90)"
+            )
+        lat_ts = toks.get("lat_ts")
+        k0 = toks.get("k", toks.get("k_0")) if lat_ts is None else None
+        return "stere", (lat_ts, lon0, fe, fn, k0, lat0 > 0.0)
+    if fam in ("longlat", "latlong", "lonlat", "latlon"):
+        return "longlat", ()
     return None
 
 
-_CONIC_FWD = {"lcc": _lcc_fwd, "aea": _aea_fwd, "sinu": _sinu_fwd, "eqc": _eqc_fwd}
-_CONIC_INV = {"lcc": _lcc_inv, "aea": _aea_inv, "sinu": _sinu_inv, "eqc": _eqc_inv}
+_CONIC_FWD = {
+    "lcc": _lcc_fwd, "aea": _aea_fwd, "sinu": _sinu_fwd, "eqc": _eqc_fwd,
+    "laea": _laea_fwd, "tmerc": _tmerc_fwd, "merc": _merc_fwd,
+    "stere": _ps_fwd, "longlat": _longlat_fwd,
+}
+_CONIC_INV = {
+    "lcc": _lcc_inv, "aea": _aea_inv, "sinu": _sinu_inv, "eqc": _eqc_inv,
+    "laea": _laea_inv, "tmerc": _tmerc_inv, "merc": _merc_inv,
+    "stere": _ps_inv, "longlat": _longlat_fwd,
+}
 
 _CRS_SUPPORT_MSG = (
     "analytic warp supports EPSG:4326/3857/UTM, polar stereographic "
-    "3413/3976/3031, LAEA 3035, LCC 2154/3347, Albers 5070/3577, "
-    "sinusoidal ESRI:54008, eqc EPSG:4087, and +proj=utm/lcc/aea/sinu/eqc strings"
+    "3413/3976/3031/3995/3032 + UPS 5041/5042, LAEA 3035, LCC 2154/3347, "
+    "Albers 5070/3577, sinusoidal ESRI:54008, eqc EPSG:4087, Mercator "
+    "EPSG:3395, and arbitrary-parameter "
+    "+proj=utm/tmerc/lcc/aea/laea/stere(polar)/merc/sinu/eqc/longlat strings"
 )
 
 
