@@ -1,6 +1,7 @@
 """Structured Streaming ingest: incremental file stream -> tiling ->
 checkpointed sink; restart resumes without duplicates."""
 
+import numpy as np
 import pyspark.sql.functions as F
 
 from ukis_pysat_spark import datagen
@@ -333,3 +334,78 @@ def test_stream_points_in_aois_matches_batch(spark, tmp_path):
     assert exp, "fixture must produce matches"
     # both fast-path and refine-path AOIs must appear
     assert any(a == "quad" for _, a in exp) and any(a == "box1" for _, a in exp)
+
+
+def test_stream_hamming_pairs_matches_batch_join(spark, tmp_path):
+    """Streaming near-dup detector (stream_hamming_pairs): the set of
+    emitted (pair, hamming) match events over a micro-batched stream
+    equals the batch hamming_pairs join on the same rows (pigeonhole
+    recall 1.0 holds incrementally), and state survives a restart —
+    a near-dup arriving after the stream is restarted still pairs with
+    a base seen before the restart."""
+    from ukis_pysat_spark.operators import dedup as bdedup
+    from ukis_pysat_spark.streaming import dedup as sdedup
+
+    rng = np.random.default_rng(73)
+    base = rng.integers(-(2**63), 2**63, 40, dtype=np.int64)
+    vals = list(base)
+    for i, k in [(0, 1), (5, 4), (9, 6), (17, 3), (23, 6), (31, 2)]:
+        v = np.uint64(base[i])
+        for b in rng.choice(64, k, replace=False):
+            v ^= np.uint64(1) << np.uint64(b)
+        vals.append(v.astype(np.int64))
+    rows = [(f"d{i:03d}", int(v)) for i, v in enumerate(vals)]
+
+    src = str(tmp_path / "hashes_stream")
+    ckpt = str(tmp_path / "ham_ckpt")
+    out_dir = str(tmp_path / "ham_out")
+    # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+    for lo, hi in [(0, 20), (20, 40), (40, len(rows))]:
+        spark.createDataFrame(
+            rows[lo:hi], "image_id string, phash long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("image_id string, phash long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            sdedup.stream_hamming_pairs(stream, max_hamming=6)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got = {
+        (min(r.id_new, r.id_seen), max(r.id_new, r.id_seen), r.hamming)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in bdedup.hamming_pairs(
+            spark.createDataFrame(rows, "image_id string, phash long"),
+            "image_id", "phash", max_hamming=6,
+        ).collect()
+    }
+    assert got == exp
+    assert len(exp) >= 6  # every planted near-dup found
+
+    # restart: a new variant of base d001 (2 bit flips) must pair with
+    # the pre-restart state
+    v = np.uint64(base[1]) ^ np.uint64(1) ^ (np.uint64(1) << np.uint64(63))
+    spark.createDataFrame(
+        [("d900", int(v.astype(np.int64)))], "image_id string, phash long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    after = {
+        (min(r.id_new, r.id_seen), max(r.id_new, r.id_seen), r.hamming)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("d001", "d900", 2) in after - got

@@ -429,6 +429,42 @@ def simhash_pairs(
     return hamming_pairs(docs, "doc_id", "sh64", max_hamming, n_bits)
 
 
+def hamming_blocks(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """(id, hash, blk, key): each row exploded into its (max_hamming+1)
+    pigeonhole block keys — the candidate-generation half shared by the
+    batch ``hamming_pairs`` join and the streaming near-dup state key.
+    ONE explode, not a union of per-block projections (a union would
+    replicate the possibly-expensive upstream subtree per block)."""
+    n_blocks = max_hamming + 1
+
+    def _mask(width: int) -> int:
+        # two's-complement int64 (width == 64 -> all-ones == -1);
+        # a raw (1<<64)-1 literal overflows Spark's LongType
+        m = (1 << width) - 1
+        return m - (1 << 64) if m > 0x7FFFFFFFFFFFFFFF else m
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftrightunsigned(F.col(hash_col), shift)
+                .bitwiseAND(F.lit(_mask(width)).cast("long"))
+                .alias("key"),
+            )
+            for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks, n_bits))
+        ]
+    )
+    return df.select(
+        id_col, hash_col, F.explode(entries).alias("e")
+    ).select(id_col, hash_col, F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
+
+
 def hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -445,30 +481,7 @@ def hamming_pairs(
     have recall 1.0 by construction, and the exact popcount filter
     runs INSIDE the join stage so only true pairs reach the
     dropDuplicates shuffle."""
-    n_blocks = max_hamming + 1
-
-    def _mask(width: int) -> int:
-        # two's-complement int64 (width == 64 -> all-ones == -1);
-        # a raw (1<<64)-1 literal overflows Spark's LongType
-        m = (1 << width) - 1
-        return m - (1 << 64) if m > 0x7FFFFFFFFFFFFFFF else m
-
-    # ONE explode, not a union of per-block projections: a union would
-    # replicate the (possibly expensive) upstream subtree per block
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("blk"),
-                F.shiftrightunsigned(F.col(hash_col), shift)
-                .bitwiseAND(F.lit(_mask(width)).cast("long"))
-                .alias("key"),
-            )
-            for bi, (shift, width) in enumerate(_simhash_block_bounds(n_blocks, n_bits))
-        ]
-    )
-    bucketed = df.select(
-        id_col, hash_col, F.explode(entries).alias("e")
-    ).select(id_col, hash_col, F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
+    bucketed = hamming_blocks(df, id_col, hash_col, max_hamming, n_bits)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     hamming = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
