@@ -43,7 +43,7 @@ def materialize_synthetic(spark, sf: float, base: str) -> tuple[str, str, str, s
     n_toa = max(int(10_000 * sf), 50)  # scene-like 512 KiB payloads
     paths = (
         f"{base}/images", f"{base}/aois", f"{base}/metadata",
-        f"{base}/toa_images", f"{base}/toa_metadata",
+        f"{base}/toa_images", f"{base}/toa_metadata", f"{base}/hashes",
     )
     if not os.path.exists(f"{paths[0]}/_SUCCESS"):
         datagen.gen_images(spark, n_images, profile="bench", skew_frac=0.2).write.mode(
@@ -53,6 +53,25 @@ def materialize_synthetic(spark, sf: float, base: str) -> tuple[str, str, str, s
         datagen.gen_metadata(spark, n_images, profile="bench").write.mode("overwrite").parquet(
             paths[2]
         )
+    if not os.path.exists(f"{paths[5]}/_SUCCESS"):
+        # perceptual-hash corpus for the hamming near-dup join: the
+        # bench images' phash column is DEGENERATE (4 distinct values —
+        # their low-amplitude noise never flips a block-mean bit), so
+        # the near-dup bench uses closed-form 62-bit mixed hashes with
+        # 2% planted variants at hamming 0..4 — realistic bucket
+        # occupancy for a web-scale image catalog
+        n_hashes = max(int(2_000_000 * sf), 2_000)
+        mix = (
+            "((({x} * 2654435761) % 2147483648) + "
+            "(({x} * 2246822519) % 2147483648) * 2147483648)"
+        )
+        spark.range(n_hashes).selectExpr(
+            "concat('ph', cast(id as string)) AS image_id",
+            f"""CASE WHEN id % 50 = 49 THEN {mix.format(x="(id-7)")} ^ (
+                  (shiftleft(cast(1 as bigint), cast(id%5 as int)) - 1)
+                  * shiftleft(cast(1 as bigint), cast((id*5)%54 as int)))
+                ELSE {mix.format(x="id")} END AS phash""",
+        ).write.mode("overwrite").parquet(paths[5])
     if not os.path.exists(f"{paths[3]}/_SUCCESS"):
         datagen.gen_images(spark, n_toa, profile="toa_bench").write.mode("overwrite").parquet(
             paths[3]
@@ -67,7 +86,9 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     base = f"/tmp/upss_bench_sf{sf}"
-    images_p, aois_p, meta_p, toa_img_p, toa_meta_p = materialize_synthetic(spark, sf, base)
+    images_p, aois_p, meta_p, toa_img_p, toa_meta_p, hashes_p = materialize_synthetic(
+        spark, sf, base
+    )
     images = spark.read.parquet(images_p)
     aois = spark.read.parquet(aois_p)
     metadata = spark.read.parquet(meta_p)
@@ -145,6 +166,15 @@ def main() -> None:
     # blocked-GEMM near-dup (the relational twin is the sf0.01
     # correctness query; quadratic interpreted cosine is not a benchmark)
     from ukis_pysat_spark.operators import dedup as _dedup
+
+    # perceptual-hash near-dup: pure-relational pigeonhole hamming join
+    # over the materialized 62-bit hash corpus (no pixel decode)
+    timed(
+        "phash_neardup",
+        lambda: _dedup.phash_neardup(
+            spark.read.parquet(hashes_p), max_hamming=4
+        ).count(),
+    )
 
     timed(
         "embedding_neardup_blocked",

@@ -766,3 +766,30 @@ def test_compute_phash_matches_precomputed_column(spark):
     assert ("img00000000", "img00000000_copy") in {
         (r.id_a, r.id_b) for r in pairs
     }
+
+
+def test_frame_neardup_finds_shared_frames(spark):
+    """frame_neardup: two 'videos' sharing identical frames pair at
+    hamming 0; per-frame phash matches a direct numpy recomputation."""
+    a = datagen.pixels_for(3, 6, 24, 24, "uint8", 42)
+    b = np.concatenate([a[2:4], datagen.pixels_for(9, 2, 24, 24, "uint8", 7)])
+    rows = [
+        ("vidA", codec.encode(a, "raw")),
+        ("vidB", codec.encode(b, "raw")),
+    ]
+    vids = spark.createDataFrame(rows, "image_id string, bytes binary")
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.frame_neardup(vids, every_n=1, max_hamming=0).collect()
+    }
+    # vidB frame 0 == vidA frame 2, vidB frame 1 == vidA frame 3
+    assert ("vidA#2", "vidB#0", 0) in pairs
+    assert ("vidA#3", "vidB#1", 0) in pairs
+    # distinct planted frames never collide at radius 0 unless their
+    # hashes truly match the numpy recomputation
+    for fid_a, fid_b, ham in pairs:
+        vid_a, fr_a = fid_a.split("#")
+        vid_b, fr_b = fid_b.split("#")
+        src_a = a[int(fr_a)][None] if vid_a == "vidA" else b[int(fr_a)][None]
+        src_b = a[int(fr_b)][None] if vid_b == "vidA" else b[int(fr_b)][None]
+        assert multimodal.phash64_arr(src_a) == multimodal.phash64_arr(src_b)

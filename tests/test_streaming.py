@@ -409,3 +409,39 @@ def test_stream_hamming_pairs_matches_batch_join(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert ("d001", "d900", 2) in after - got
+
+
+def test_stream_image_neardup_end_to_end(spark, tmp_path):
+    """Streaming image near-dup at ingest: pixel payloads decode to
+    phash inside the stream (mapInArrow composes onto the streaming
+    frame) and a byte-identical copy arriving in a LATER micro-batch
+    emits a hamming-0 match event against checkpointed state."""
+    from ukis_pysat_spark.streaming import ingest as singest
+
+    src = str(tmp_path / "img_stream")
+    ckpt = str(tmp_path / "img_ckpt")
+    out_dir = str(tmp_path / "img_out")
+
+    imgs = datagen.gen_images(spark, 6, profile="mixed")
+    imgs.coalesce(1).write.mode("append").parquet(src)
+    # second file: a byte-identical copy of image 0 under a new id
+    imgs.limit(1).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = singest.stream_images(spark, src, max_files_per_trigger=1)
+    q = (
+        singest.stream_image_neardup(stream, max_hamming=0)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    events = {
+        (min(r.id_new, r.id_seen), max(r.id_new, r.id_seen), r.hamming)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("img00000000", "img00000000_copy", 0) in events

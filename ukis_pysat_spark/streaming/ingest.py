@@ -79,6 +79,30 @@ def stream_points_in_aois(
     return spatial_join.points_in_aois(points_stream, aois, res=res, exact=exact)
 
 
+def stream_image_neardup(
+    images_stream: DataFrame,
+    max_hamming: int = 6,
+    ttl_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming IMAGE near-dup at ingest: decode each arriving image
+    payload to its 64-bit perceptual hash (compute_phash, one stateless
+    mapInArrow stage — mapInArrow composes onto streaming frames) and
+    feed the hashes into the checkpointed pigeonhole state of
+    stream_hamming_pairs.  Emits (id_new, id_seen, hamming) match
+    events: a crawler sees "this image is a near-copy of one already
+    ingested" at arrival time, across micro-batches and restarts.
+
+    When the catalog already carries a trusted precomputed ``phash``
+    column, skip the decode and call stream_hamming_pairs directly."""
+    from ukis_pysat_spark.operators import multimodal
+    from ukis_pysat_spark.streaming import dedup as sdedup
+
+    hashes = multimodal.compute_phash(images_stream)
+    return sdedup.stream_hamming_pairs(
+        hashes, "image_id", "phash", max_hamming=max_hamming, ttl_seconds=ttl_seconds
+    )
+
+
 def run_stream_to_checkpointed_sink(
     stream_df: DataFrame,
     ckpt,
