@@ -986,3 +986,59 @@ def test_family_proj_string_roundtrips():
         assert (x == lon).all() and (y == lat).all(), crs
         x, y = transforms._inv(crs, lon, lat)
         assert (x == lon).all() and (y == lat).all(), crs
+
+
+def test_oblique_stereographic_rd_new_published_anchor():
+    """+proj=sterea (EPSG method 9809, the oblique-stereographic
+    double projection): the EPSG Guidance Note 7-2 worked example
+    (Amersfoort / RD New on the Bessel ellipsoid: 53N 6E ->
+    E 196,105.283 N 557,057.739) reproduces to < 1 cm, the natural
+    origin maps to (x_0, y_0) exactly, and the inverse (conformal
+    sphere -> Newton on the isometric latitude) closes < 1e-10 deg.
+    +ellps selects the computation surface only — no datum shift."""
+    rd = ("+proj=sterea +lat_0=52.156160555555556 +lon_0=5.387638888888889 "
+          "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    x, y = transforms._fwd(rd, np.array([6.0]), np.array([53.0]))
+    assert abs(x[0] - 196_105.283) < 0.01
+    assert abs(y[0] - 557_057.739) < 0.01
+    lon, lat = transforms._inv(rd, x, y)
+    assert abs(lon[0] - 6.0) < 1e-10 and abs(lat[0] - 53.0) < 1e-10
+    x0, y0 = transforms._fwd(
+        rd, np.array([5.387638888888889]), np.array([52.156160555555556])
+    )
+    assert abs(x0[0] - 155_000.0) < 1e-6 and abs(y0[0] - 463_000.0) < 1e-6
+
+
+def test_oblique_stereographic_wgs84_invariants():
+    """sterea on the default WGS84 surface: round-trip to machine
+    precision over a +-10 deg window, CONFORMAL (local scale isotropic
+    to 1e-6 relative), and unknown +ellps names fail loudly."""
+    import math
+
+    import pytest
+
+    ob = "+proj=sterea +lat_0=46.5 +lon_0=7.4 +k=0.99985 +x_0=2000 +y_0=-1000"
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(65)))
+    lon = 7.4 + 20.0 * (rng.random(300) - 0.5)
+    lat = 46.5 + 16.0 * (rng.random(300) - 0.5)
+    lon2, lat2 = transforms._inv(ob, *transforms._fwd(ob, lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-12
+    assert np.abs(lat2 - lat).max() < 1e-12
+    d = 1e-6
+    for L, P in [(10.0, 50.0), (0.0, 40.0), (14.0, 53.0)]:
+        x0, y0 = transforms._fwd(ob, np.array([L]), np.array([P]))
+        xe, ye = transforms._fwd(ob, np.array([L + d]), np.array([P]))
+        xn, yn = transforms._fwd(ob, np.array([L]), np.array([P + d]))
+        phi = math.radians(P)
+        nu = transforms._WGS_A / math.sqrt(1 - transforms._E2 * math.sin(phi) ** 2)
+        rho = (
+            transforms._WGS_A * (1 - transforms._E2)
+            / (1 - transforms._E2 * math.sin(phi) ** 2) ** 1.5
+        )
+        ke = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (nu * math.cos(phi) * math.radians(d))
+        kn = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (rho * math.radians(d))
+        assert abs(ke / kn - 1.0) < 1e-6, (L, P)
+    with pytest.raises(ValueError, match="ellps"):
+        transforms._fwd(
+            "+proj=sterea +lat_0=10 +ellps=airy", np.array([1.0]), np.array([2.0])
+        )

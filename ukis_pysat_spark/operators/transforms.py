@@ -969,6 +969,89 @@ def _longlat_fwd(lon, lat):
     return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
 
 
+# named ellipsoids accepted by +ellps= for the sterea (double
+# projection) family — (a, 1/f); every OTHER family stays WGS84-only.
+# No datum SHIFT is applied anywhere: +ellps changes the surface the
+# formulas run on, matching how the EPSG worked examples are stated.
+_ELLPS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "bessel": (6377397.155, 299.1528128),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+}
+
+
+def _sterea_consts(lat0: float, lon0: float, a: float, e2: float):
+    """Conformal-sphere constants of the Oblique Stereographic double
+    projection (EPSG method 9809; the 'Dutch'/Roussilhe method used by
+    RD New): latitude maps ellipsoid -> conformal sphere -> plane."""
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + e2 * math.cos(phi0) ** 4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + s0) * (1.0 - sin_chi00) / ((n - s0) * (1.0 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    return R, n, c, chi0, math.radians(lon0)
+
+
+def _sterea_chi(phi: np.ndarray, n: float, c: float, e: float) -> np.ndarray:
+    s = np.sin(phi)
+    Sa = (1.0 + s) / (1.0 - s)
+    Sb = (1.0 - e * s) / (1.0 + e * s)
+    w = c * (Sa * Sb**e) ** n
+    return np.arcsin((w - 1.0) / (w + 1.0))
+
+
+def _sterea_fwd(lon, lat, lat0: float, lon0: float, k0: float,
+                fe: float, fn: float, a: float = _WGS_A, e2: float = _E2):
+    R, n, c, chi0, lam0 = _sterea_consts(lat0, lon0, a, e2)
+    e = math.sqrt(e2)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    Lam = n * (lam - lam0) + lam0
+    chi = _sterea_chi(phi, n, c, e)
+    dl = Lam - lam0
+    B = 1.0 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dl)
+    x = fe + 2.0 * R * k0 * np.cos(chi) * np.sin(dl) / B
+    y = fn + 2.0 * R * k0 * (
+        np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dl)
+    ) / B
+    return x, y
+
+
+def _sterea_inv(x, y, lat0: float, lon0: float, k0: float,
+                fe: float, fn: float, a: float = _WGS_A, e2: float = _E2):
+    R, n, c, chi0, lam0 = _sterea_consts(lat0, lon0, a, e2)
+    e = math.sqrt(e2)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    g = 2.0 * R * k0 * math.tan(math.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * R * k0 * math.tan(chi0) + g
+    i = np.arctan2(xp, h + yp)
+    j = np.arctan2(xp, g - yp) - i
+    chi = chi0 + 2.0 * np.arctan((yp - xp * np.tan(j / 2.0)) / (2.0 * R * k0))
+    Lam = j + 2.0 * i + lam0
+    lam = (Lam - lam0) / n + lam0
+    # conformal-sphere isometric latitude -> ellipsoidal latitude
+    # (EPSG 9809 inverse): Newton iteration on the isometric latitude
+    psi = np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / (2.0 * n)
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(6):
+        es = e * np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0) * ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * np.sin(phi) ** 2) / (1.0 - e2)
+    return np.degrees(lam), np.degrees(phi)
+
+
 def _proj_tokens(crs: str) -> dict[str, float] | None:
     """Parse '+k=v' tokens of a proj string for the conic/pseudocyl
     families; returns None if crs is not a proj string."""
@@ -983,8 +1066,24 @@ def _proj_tokens(crs: str) -> dict[str, float] | None:
             try:
                 toks[k] = float(v)
             except ValueError:
-                pass
+                toks[k] = v  # type: ignore[assignment]  # e.g. +ellps=bessel
     return toks
+
+
+def _ellps_args(toks: dict) -> tuple[float, float]:
+    """(a, e2) from +ellps/+a/+rf tokens (sterea family only; default
+    WGS84).  This selects the computation SURFACE — no datum shift."""
+    name = toks.get("ellps", "WGS84")
+    if name not in _ELLPS:
+        raise ValueError(
+            f"unknown +ellps={name!r} (known: {sorted(_ELLPS)}); "
+            "or give +a= and +rf= explicitly"
+        )
+    a, rf = _ELLPS[name]
+    a = float(toks.get("a", a))
+    rf = float(toks.get("rf", rf))
+    f = 1.0 / rf
+    return a, f * (2.0 - f)
 
 
 # EPSG shortcuts resolved to parameterized families (args match the
@@ -1049,11 +1148,18 @@ def _conic_args(crs: str) -> tuple[str, tuple] | None:
         if abs(lat0) != 90.0:
             raise ValueError(
                 f"proj string {crs!r}: only POLAR stereographic is supported "
-                "analytically (+lat_0=90 or +lat_0=-90)"
+                "analytically (+lat_0=90 or +lat_0=-90); for oblique centers "
+                "use +proj=sterea (the EPSG 9809 double projection)"
             )
         lat_ts = toks.get("lat_ts")
         k0 = toks.get("k", toks.get("k_0")) if lat_ts is None else None
         return "stere", (lat_ts, lon0, fe, fn, k0, lat0 > 0.0)
+    if fam == "sterea":
+        a_, e2_ = _ellps_args(toks)
+        return "sterea", (
+            toks.get("lat_0", 0.0), lon0,
+            toks.get("k", toks.get("k_0", 1.0)), fe, fn, a_, e2_,
+        )
     if fam in ("longlat", "latlong", "lonlat", "latlon"):
         return "longlat", ()
     return None
@@ -1062,12 +1168,12 @@ def _conic_args(crs: str) -> tuple[str, tuple] | None:
 _CONIC_FWD = {
     "lcc": _lcc_fwd, "aea": _aea_fwd, "sinu": _sinu_fwd, "eqc": _eqc_fwd,
     "laea": _laea_fwd, "tmerc": _tmerc_fwd, "merc": _merc_fwd,
-    "stere": _ps_fwd, "longlat": _longlat_fwd,
+    "stere": _ps_fwd, "sterea": _sterea_fwd, "longlat": _longlat_fwd,
 }
 _CONIC_INV = {
     "lcc": _lcc_inv, "aea": _aea_inv, "sinu": _sinu_inv, "eqc": _eqc_inv,
     "laea": _laea_inv, "tmerc": _tmerc_inv, "merc": _merc_inv,
-    "stere": _ps_inv, "longlat": _longlat_fwd,
+    "stere": _ps_inv, "sterea": _sterea_inv, "longlat": _longlat_fwd,
 }
 
 _CRS_SUPPORT_MSG = (
@@ -1075,7 +1181,7 @@ _CRS_SUPPORT_MSG = (
     "3413/3976/3031/3995/3032 + UPS 5041/5042, LAEA 3035, LCC 2154/3347, "
     "Albers 5070/3577, sinusoidal ESRI:54008, eqc EPSG:4087, Mercator "
     "EPSG:3395, and arbitrary-parameter "
-    "+proj=utm/tmerc/lcc/aea/laea/stere(polar)/merc/sinu/eqc/longlat strings"
+    "+proj=utm/tmerc/lcc/aea/laea/stere(polar)/sterea/merc/sinu/eqc/longlat strings"
 )
 
 
