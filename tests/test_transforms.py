@@ -1042,3 +1042,26 @@ def test_oblique_stereographic_wgs84_invariants():
         transforms._fwd(
             "+proj=sterea +lat_0=10 +ellps=airy", np.array([1.0]), np.array([2.0])
         )
+
+
+def test_warp_sterea_roundtrip(spark):
+    """End-to-end warp through the DataFrame API into an oblique
+    stereographic grid centered on the scene and back onto the source
+    grid (target_align): interior pixels survive the nearest
+    round-trip — the projections' correctness is pinned by the anchor/
+    invariant tests; this pins the warp plumbing for the family."""
+    src = datagen.pixels_for(0, 1, 764, 679, "int16", 42)
+    src_t = [datagen.REF_PIXEL_X, 0.0, datagen.REF_ORIGIN[0],
+             0.0, datagen.REF_PIXEL_Y, datagen.REF_ORIGIN[1]]
+    ob = "+proj=sterea +lat_0=51.5 +lon_0=11.9 +k=1"
+    out = transforms.apply_transforms(
+        _img0(spark),
+        [transforms.warp(ob),
+         transforms.warp("EPSG:4326", target_transform=src_t,
+                         target_size=(679, 764))],
+    )
+    row = out.collect()[0]
+    arr = codec.decode(row.bytes)
+    assert arr.shape == (1, 764, 679)
+    interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
+    assert interior_match > 0.93
