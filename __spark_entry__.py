@@ -39,6 +39,7 @@ from ukis_pysat_spark.operators import (
     text,
     tiling,
     transforms,
+    zonal,
 )
 
 
@@ -830,6 +831,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pixel_math_synth"] = pixel_math_synth
 
+    # zonal statistics (round 5): the fused spatial-join -> window ->
+    # center-in-polygon mask -> per-band stats chain over the closed-
+    # form oracle grid.  Footprints are rebuilt from the closed-form
+    # transform so the REAL cell-index spatial join produces the pair
+    # set; AOI boxes sit on the 0.25-deg grid (pixel centers at .125
+    # offsets never touch an edge, so closed-boundary PIP is tie-free)
+    # while the DuckDB twin re-derives every stat from the pixel grid.
+    def zonal_stats_synth(spark, sf_dir):
+        imgs = _oracle_grid_imgs(spark)
+        lon0 = F.element_at("transform", 3)
+        lat0 = F.element_at("transform", 6)
+        lon1 = lon0 + F.col("w").cast("double") * 0.25
+        lat1 = lat0 - F.col("h").cast("double") * 0.25
+        imgs = imgs.withColumns(
+            {
+                "footprint_lon": F.array(lon0, lon1, lon1, lon0, lon0),
+                "footprint_lat": F.array(lat0, lat0, lat1, lat1, lat0),
+            }
+        )
+        k = F.col("id").cast("double")
+        a_lon0 = k * 1.0 - 10.0
+        a_lat1 = F.lit(60.0) - k * 1.0
+        a_lon1 = a_lon0 + 1.75
+        a_lat0 = a_lat1 - 1.75
+        aois = spark.range(8).select(
+            F.concat(F.lit("zaoi"), F.col("id").cast("string")).alias("aoi_id"),
+            F.array(a_lon0, a_lon1, a_lon1, a_lon0, a_lon0).alias("ring_lon"),
+            F.array(a_lat0, a_lat0, a_lat1, a_lat1, a_lat0).alias("ring_lat"),
+            a_lat0.alias("lat_min"),
+            a_lat1.alias("lat_max"),
+        )
+        return zonal.zonal_stats(imgs, aois, res=8)
+
+    q["zonal_stats_synth"] = zonal_stats_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1385,6 +1421,34 @@ def oracle_sql() -> dict[str, str]:
                min(dn * 0.5 + 2.0) AS "min", max(dn * 0.5 + 2.0) AS "max",
                CAST(count(*) AS BIGINT) AS n_valid
         FROM px GROUP BY idx, b
+    """
+
+    # zonal stats: pixel-center-in-box membership + nodata exclusion
+    # over the closed-form grid; AOI edges on the 0.25 grid vs centers
+    # at .125 offsets keep the closed-boundary test tie-free.  Integer
+    # dn values make sum/avg bit-exact in both engines.
+    o["zonal_stats_synth"] = _grid16 + """
+        , aois AS (
+          SELECT k, 'zaoi' || CAST(k AS VARCHAR) AS aoi_id,
+                 k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        inside AS (
+          SELECT p.idx, a.aoi_id, p.b, p.dn
+          FROM px p
+          JOIN imgs i USING (idx)
+          CROSS JOIN aois a
+          WHERE i.cx + (p.c + 0.5) * 0.25 BETWEEN a.alon0 AND a.alon1
+            AND i.fy - (p.r + 0.5) * 0.25 BETWEEN a.alat0 AND a.alat1
+            AND p.dn != 0.0
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               aoi_id, CAST(b AS INTEGER) AS band,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               sum(dn) AS "sum", avg(dn) AS mean,
+               min(dn) AS "min", max(dn) AS "max"
+        FROM inside GROUP BY idx, aoi_id, b
     """
 
     o["ann_topk"] = """
