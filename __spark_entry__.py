@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ukis_pysat_spark import datagen
 from ukis_pysat_spark.functions import bands, scene_meta
+from ukis_pysat_spark.operators import rasterize as rasterize_op
 from ukis_pysat_spark.operators import (
     dedup,
     events as events_ops,
@@ -838,33 +839,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set; AOI boxes sit on the 0.25-deg grid (pixel centers at .125
     # offsets never touch an edge, so closed-boundary PIP is tie-free)
     # while the DuckDB twin re-derives every stat from the pixel grid.
-    def zonal_stats_synth(spark, sf_dir):
-        imgs = _oracle_grid_imgs(spark)
+    def _grid_footprints(imgs):
         lon0 = F.element_at("transform", 3)
         lat0 = F.element_at("transform", 6)
         lon1 = lon0 + F.col("w").cast("double") * 0.25
         lat1 = lat0 - F.col("h").cast("double") * 0.25
-        imgs = imgs.withColumns(
+        return imgs.withColumns(
             {
                 "footprint_lon": F.array(lon0, lon1, lon1, lon0, lon0),
                 "footprint_lat": F.array(lat0, lat0, lat1, lat1, lat0),
             }
         )
+
+    def _grid_aois(spark):
         k = F.col("id").cast("double")
         a_lon0 = k * 1.0 - 10.0
         a_lat1 = F.lit(60.0) - k * 1.0
         a_lon1 = a_lon0 + 1.75
         a_lat0 = a_lat1 - 1.75
-        aois = spark.range(8).select(
+        return spark.range(8).select(
             F.concat(F.lit("zaoi"), F.col("id").cast("string")).alias("aoi_id"),
             F.array(a_lon0, a_lon1, a_lon1, a_lon0, a_lon0).alias("ring_lon"),
             F.array(a_lat0, a_lat0, a_lat1, a_lat1, a_lat0).alias("ring_lat"),
+            (k + 1.0).alias("val"),
             a_lat0.alias("lat_min"),
             a_lat1.alias("lat_max"),
         )
-        return zonal.zonal_stats(imgs, aois, res=8)
+
+    def zonal_stats_synth(spark, sf_dir):
+        imgs = _grid_footprints(_oracle_grid_imgs(spark))
+        return zonal.zonal_stats(imgs, _grid_aois(spark), res=8)
 
     q["zonal_stats_synth"] = zonal_stats_synth
+
+    # rasterize (round 5): the vector->raster burn over the same
+    # closed-form grid/AOI corpus — per-AOI burn values k+1 resolve
+    # overlaps by max; the burned canvas is gated through decode_stats
+    # (integer sums keep avg() bit-exact) plus the burned-pixel count.
+    def rasterize_synth(spark, sf_dir):
+        imgs = _grid_footprints(_oracle_grid_imgs(spark))
+        out = rasterize_op.rasterize(
+            imgs, _grid_aois(spark), res=8, value_col="val"
+        )
+        stats = multimodal.decode_stats(out, nodata=None).select(
+            "image_id", "band", "mean", "min", "max", "n_valid"
+        )
+        return stats.join(out.select("image_id", "burned"), "image_id")
+
+    q["rasterize_synth"] = rasterize_synth
 
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
@@ -1449,6 +1471,43 @@ def oracle_sql() -> dict[str, str]:
                sum(dn) AS "sum", avg(dn) AS mean,
                min(dn) AS "min", max(dn) AS "max"
         FROM inside GROUP BY idx, aoi_id, b
+    """
+
+    # rasterize: per-pixel max burn value over covering AOI boxes (0 =
+    # background), then whole-canvas stats — the decode_stats gate over
+    # the burned raster; targets with no burned center emit no row.
+    o["rasterize_synth"] = _grid16 + """
+        , aois AS (
+          SELECT k, k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        cells AS (
+          SELECT i.idx, r.r, c.c,
+                 i.cx + (c.c + 0.5) * 0.25 AS x, i.fy - (r.r + 0.5) * 0.25 AS y
+          FROM imgs i,
+               LATERAL (SELECT unnest(range(i.nrows)) AS r) r,
+               LATERAL (SELECT unnest(range(i.ncols)) AS c) c
+        ),
+        burn AS (
+          SELECT cl.idx, cl.r, cl.c, max(a.k + 1) AS v
+          FROM cells cl JOIN aois a
+            ON cl.x BETWEEN a.alon0 AND a.alon1
+           AND cl.y BETWEEN a.alat0 AND a.alat1
+          GROUP BY cl.idx, cl.r, cl.c
+        ),
+        canvas AS (
+          SELECT cl.idx, CAST(COALESCE(b.v, 0) AS DOUBLE) AS v
+          FROM cells cl LEFT JOIN burn b
+            ON cl.idx = b.idx AND cl.r = b.r AND cl.c = b.c
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(0 AS INTEGER) AS band,
+               avg(v) AS mean, min(v) AS "min", max(v) AS "max",
+               CAST(count(*) AS BIGINT) AS n_valid,
+               CAST(count(*) FILTER (v != 0.0) AS BIGINT) AS burned
+        FROM canvas GROUP BY idx
+        HAVING count(*) FILTER (v != 0.0) > 0
     """
 
     o["ann_topk"] = """

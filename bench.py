@@ -25,7 +25,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ukis_pysat_spark import datagen  # noqa: E402
-from ukis_pysat_spark.operators import knn, multimodal, spatial_join, tiling, transforms, zonal  # noqa: E402
+from ukis_pysat_spark.operators import knn, multimodal, rasterize, spatial_join, tiling, transforms, zonal  # noqa: E402
 from ukis_pysat_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +127,12 @@ def main() -> None:
     timed(
         "zonal_stats",
         lambda: zonal.zonal_stats(images, aois, res=12).count(),
+    )
+    # vector->raster burn: AOI polygons rasterized into every covered
+    # target grid (canvas born in the Arrow stage; max-combine overlap)
+    timed(
+        "rasterize",
+        lambda: rasterize.rasterize(images, aois, res=12).count(),
     )
     # auto-chosen physical path (broadcast at this scale; the chooser's
     # counts are part of the measured cost)

@@ -226,6 +226,54 @@ def _ring_info(cache: dict, aoi: dict, crs: str | None):
     return info
 
 
+def _aoi_window_mask(info, transform, w: int, h: int, lonlat: bool):
+    """Clip one analyzed ring (`_ring_info` tuple) to an image grid.
+
+    Returns None when the ring's window is empty or holds no inside
+    pixel center, else (c0, c1, r0, r1, inside) where inside is the
+    (r1-r0, c1-c0) closed-boundary center mask — or None for a window
+    that is entirely inside the ring (the all-covered fast path)."""
+    rx, ry, (xmn, xmx, ymn, ymx), kind, orient, crx, cry = info
+    a, _b, c, _d, e, f_ = transform
+    # pixel window: floor/ceil of ring bounds (mask_bbox snap)
+    c0 = max(math.floor((xmn - c) / a), 0)
+    c1 = min(math.ceil((xmx - c) / a), w)
+    r0 = max(math.floor((ymx - f_) / e), 0)
+    r1 = min(math.ceil((ymn - f_) / e), h)
+    if c0 >= c1 or r0 >= r1:
+        return None
+    px = c + (np.arange(c0, c1, dtype=np.float64) + 0.5) * a
+    py = f_ + (np.arange(r0, r1, dtype=np.float64) + 0.5) * e
+    inside = False  # None = all-inside; False = not yet known
+    if kind == "box":
+        in_x = (px >= xmn) & (px <= xmx)
+        in_y = (py >= ymn) & (py <= ymx)
+        if in_x.all() and in_y.all():
+            inside = None
+        else:
+            inside = in_y[:, None] & in_x[None, :]
+    else:
+        # the half-plane fast path needs a frame where longitude
+        # periodicity provably cannot fire
+        nowrap = (not lonlat) or (max(xmx, px[-1]) - min(xmn, px[0]) <= 180.0)
+        if kind == "convex" and nowrap:
+            corners = (
+                np.array([px[0], px[-1], px[0], px[-1]]),
+                np.array([py[0], py[0], py[-1], py[-1]]),
+            )
+            if _convex_contains(*corners, crx, cry, orient):
+                inside = None
+            else:
+                inside = _convex_inside(px, py, crx, cry, orient)
+        else:
+            gx, gy = np.meshgrid(px, py)
+            pip = points_in_polygon if lonlat else _pip_planar
+            inside = pip(gx.ravel(), gy.ravel(), rx, ry).reshape(r1 - r0, c1 - c0)
+    if inside is not None and not inside.any():
+        return None
+    return c0, c1, r0, r1, inside
+
+
 def _stats_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     ring_cache: dict = {}
     for batch in batches:
@@ -239,55 +287,16 @@ def _stats_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         for ri in range(batch.num_rows):
             arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
             nb, h, w = arr.shape
-            a, _b, c, _d, e, f_ = transforms_col[ri]
             nod = nodatas[ri]
             crs = crss[ri]
             lonlat = _is_lonlat(crs)
             full_stats = None  # lazy per-image cache: many AOIs cover it all
             for aoi in aois_col[ri]:
-                rx, ry, (xmn, xmx, ymn, ymx), kind, orient, crx, cry = _ring_info(
-                    ring_cache, aoi, crs
-                )
-                # pixel window: floor/ceil of ring bounds (mask_bbox snap)
-                c0 = max(math.floor((xmn - c) / a), 0)
-                c1 = min(math.ceil((xmx - c) / a), w)
-                r0 = max(math.floor((ymx - f_) / e), 0)
-                r1 = min(math.ceil((ymn - f_) / e), h)
-                if c0 >= c1 or r0 >= r1:
+                info = _ring_info(ring_cache, aoi, crs)
+                win = _aoi_window_mask(info, transforms_col[ri], w, h, lonlat)
+                if win is None:
                     continue
-                px = c + (np.arange(c0, c1, dtype=np.float64) + 0.5) * a
-                py = f_ + (np.arange(r0, r1, dtype=np.float64) + 0.5) * e
-                inside = False  # None = all-inside; False = not yet known
-                if kind == "box":
-                    in_x = (px >= xmn) & (px <= xmx)
-                    in_y = (py >= ymn) & (py <= ymx)
-                    if in_x.all() and in_y.all():
-                        inside = None
-                    else:
-                        inside = in_y[:, None] & in_x[None, :]
-                else:
-                    # the half-plane fast path needs a frame where
-                    # longitude periodicity provably cannot fire
-                    nowrap = (not lonlat) or (
-                        max(xmx, px[-1]) - min(xmn, px[0]) <= 180.0
-                    )
-                    if kind == "convex" and nowrap:
-                        corners = (
-                            np.array([px[0], px[-1], px[0], px[-1]]),
-                            np.array([py[0], py[0], py[-1], py[-1]]),
-                        )
-                        if _convex_contains(*corners, crx, cry, orient):
-                            inside = None
-                        else:
-                            inside = _convex_inside(px, py, crx, cry, orient)
-                    else:
-                        gx, gy = np.meshgrid(px, py)
-                        pip = points_in_polygon if lonlat else _pip_planar
-                        inside = pip(gx.ravel(), gy.ravel(), rx, ry).reshape(
-                            r1 - r0, c1 - c0
-                        )
-                if inside is not None and not inside.any():
-                    continue
+                c0, c1, r0, r1, inside = win
                 if inside is None and c0 == 0 and r0 == 0 and c1 == w and r1 == h:
                     if full_stats is None:
                         full_stats = _window_stats(arr, None, nod)
