@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ukis_pysat_spark import datagen
 from ukis_pysat_spark.functions import bands, scene_meta
+from ukis_pysat_spark.operators import mosaic
 from ukis_pysat_spark.operators import rasterize as rasterize_op
 from ukis_pysat_spark.operators import (
     dedup,
@@ -888,6 +889,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rasterize_synth"] = rasterize_synth
 
+    # mosaic composite (round 5): median-stack the 16 overlapping
+    # closed-form scenes onto a 0.25-aligned 40x40 target grid (3x3
+    # tiles incl. partial edges).  Aligned grids make the inverse-
+    # affine source-cell pick exact; medians of integer dn values are
+    # exact halves, so decode_stats sums stay bit-exact in DuckDB.
+    def mosaic_synth(spark, sf_dir):
+        imgs = _oracle_grid_imgs(spark)
+        out = mosaic.composite(
+            imgs, [0.25, 0.0, -10.0, 0.0, -0.25, 60.0], 40, 40,
+            tile=16, method="median",
+        )
+        stats = multimodal.decode_stats(
+            out.select(
+                F.concat_ws("_", F.lit("t"), "tx", "ty").alias("image_id"),
+                "bytes",
+            ),
+            nodata=None,
+        ).select("image_id", "band", "mean", "min", "max", "n_valid")
+        tiles = out.select(
+            F.concat_ws("_", F.lit("t"), "tx", "ty").alias("image_id"),
+            "w", "h", "n_scenes",
+        )
+        return stats.join(tiles, "image_id")
+
+    q["mosaic_synth"] = mosaic_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1508,6 +1535,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) FILTER (v != 0.0) AS BIGINT) AS burned
         FROM canvas GROUP BY idx
         HAVING count(*) FILTER (v != 0.0) > 0
+    """
+
+    # mosaic composite: per-grid-pixel median over the scenes whose
+    # source cell holds the pixel center (nodata dn=0 dropped; pixels
+    # nobody covers -> 0), tiled 16x16 and reduced to decode_stats.
+    # DuckDB's median interpolates even counts exactly like np.median
+    # (integer dn -> exact halves).
+    o["mosaic_synth"] = _grid16 + """
+        , grid AS (
+          SELECT gr.gr, gc.gc,
+                 -10.0 + (gc.gc + 0.5) * 0.25 AS x,
+                 60.0 - (gr.gr + 0.5) * 0.25 AS y,
+                 CAST(gc.gc // 16 AS INTEGER) AS tx,
+                 CAST(gr.gr // 16 AS INTEGER) AS ty
+          FROM (SELECT unnest(range(40)) AS gr) gr,
+               (SELECT unnest(range(40)) AS gc) gc
+        ),
+        contrib AS (
+          SELECT g.gr, g.gc, g.tx, g.ty, p.idx, p.dn
+          FROM grid g
+          JOIN imgs i
+            ON floor((g.x - i.cx) / 0.25) BETWEEN 0 AND i.ncols - 1
+           AND floor((i.fy - g.y) / 0.25) BETWEEN 0 AND i.nrows - 1
+          JOIN px p
+            ON p.idx = i.idx AND p.b = 0
+           AND p.c = CAST(floor((g.x - i.cx) / 0.25) AS BIGINT)
+           AND p.r = CAST(floor((i.fy - g.y) / 0.25) AS BIGINT)
+          WHERE p.dn != 0.0
+        ),
+        med AS (
+          SELECT gr, gc, tx, ty, median(dn) AS v
+          FROM contrib GROUP BY gr, gc, tx, ty
+        ),
+        scenes AS (
+          SELECT tx, ty, count(DISTINCT idx) AS ns
+          FROM contrib GROUP BY tx, ty
+        ),
+        canvas AS (
+          SELECT g.tx, g.ty, COALESCE(m.v, 0.0) AS v
+          FROM grid g
+          JOIN scenes s ON g.tx = s.tx AND g.ty = s.ty
+          LEFT JOIN med m ON g.gr = m.gr AND g.gc = m.gc
+        )
+        SELECT 't_' || c.tx || '_' || c.ty AS image_id,
+               CAST(0 AS INTEGER) AS band,
+               avg(c.v) AS mean, min(c.v) AS "min", max(c.v) AS "max",
+               CAST(count(*) AS BIGINT) AS n_valid,
+               CAST(least((c.tx + 1) * 16, 40) - c.tx * 16 AS INTEGER) AS w,
+               CAST(least((c.ty + 1) * 16, 40) - c.ty * 16 AS INTEGER) AS h,
+               CAST(any_value(s.ns) AS INTEGER) AS n_scenes
+        FROM canvas c JOIN scenes s ON c.tx = s.tx AND c.ty = s.ty
+        GROUP BY c.tx, c.ty
     """
 
     o["ann_topk"] = """

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ukis_pysat_spark import datagen  # noqa: E402
-from ukis_pysat_spark.operators import knn, multimodal, rasterize, spatial_join, tiling, transforms, zonal  # noqa: E402
+from ukis_pysat_spark.operators import knn, mosaic, multimodal, rasterize, spatial_join, tiling, transforms, zonal  # noqa: E402
 from ukis_pysat_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,6 +133,16 @@ def main() -> None:
     timed(
         "rasterize",
         lambda: rasterize.rasterize(images, aois, res=12).count(),
+    )
+    # median composite of all scenes onto a 0.01-deg continental grid
+    # (cropped COO contributions; the 20%-hotspot stack reduces in one
+    # lexsort)
+    timed(
+        "mosaic_median",
+        lambda: mosaic.composite(
+            images, [0.01, 0.0, -20.0, 0.0, -0.01, 60.0], 6000, 3000,
+            tile=256, method="median", out_dtype="float32",
+        ).count(),
     )
     # auto-chosen physical path (broadcast at this scale; the chooser's
     # counts are part of the measured cost)
