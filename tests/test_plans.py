@@ -161,3 +161,47 @@ def test_sessionize_single_user_exchange(spark):
     hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(hashes) == 1, plan
     assert "user_id" in hashes[0] and "session_idx" not in hashes[0], hashes
+
+
+def test_zonal_rasterize_plan_shape(spark, images_parquet, tmp_path_factory):
+    """Round 5: zonal_stats and rasterize run exactly TWO Arrow stages
+    (the spatial-join exact refine + the stats/burn stage), zero
+    MapInPandas / per-row Python, with the folded AOI side broadcast;
+    the footprint-only scans never read the payload column."""
+    from ukis_pysat_spark.operators import rasterize, zonal
+
+    pa_ = str(tmp_path_factory.mktemp("plans") / "aois")
+    datagen.gen_aois(spark, 10).write.mode("overwrite").parquet(pa_)
+    images = spark.read.parquet(images_parquet)
+    aois = spark.read.parquet(pa_)
+    for df in (
+        zonal.zonal_stats(images, aois, res=8),
+        rasterize.rasterize(images, aois, res=8),
+    ):
+        plan = _plan(df)
+        assert plan.count("MapInArrow") == 2, plan
+        assert "MapInPandas" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+        fp_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan" in ln and "footprint_lon" in ln
+        ]
+        assert fp_scans and all("bytes" not in ln for ln in fp_scans), fp_scans
+
+
+def test_mosaic_plan_shape(spark, images_parquet):
+    """Round 5: the composite is ONE contribution MapInArrow above a
+    pure-relational tile cover, ONE tile-key exchange, and the COO
+    stack as FlatMapGroupsInArrow — no other shuffles, no pandas."""
+    from ukis_pysat_spark.operators import mosaic
+
+    images = spark.read.parquet(images_parquet)
+    plan = _plan(
+        mosaic.composite(images, [0.01, 0.0, -20.0, 0.0, -0.01, 60.0], 6000, 3000)
+    )
+    assert plan.count("MapInArrow") == 1, plan
+    assert "FlatMapGroupsIn" in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
