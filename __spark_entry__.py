@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ukis_pysat_spark import datagen
 from ukis_pysat_spark.functions import bands, scene_meta
+import numpy as np
+
 from ukis_pysat_spark.operators import mosaic
+from ukis_pysat_spark.operators import polygonize as polygonize_op
 from ukis_pysat_spark.operators import rasterize as rasterize_op
 from ukis_pysat_spark.operators import (
     dedup,
@@ -915,6 +918,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mosaic_synth"] = mosaic_synth
 
+    # polygonize (round 5): raster -> vector regions over the
+    # quantized closed-form grid (floor(dn/20) makes non-trivial
+    # 4-connected regions; quantized 0 coincides with nodata and is
+    # dropped by both engines).  region_id = min flat pixel index is
+    # canonical, so the DuckDB twin recomputes it with a recursive
+    # reachability CTE — an independent CC algorithm.
+    def polygonize_synth(spark, sf_dir):
+        imgs = _oracle_grid_imgs(spark)
+        quant = transforms.apply_transforms(
+            imgs,
+            [transforms.pixel_math(lambda a: np.floor(a.astype("float64") / 20.0))],
+            out_fmt="raw",
+        )
+        return polygonize_op.polygonize(quant, band=0)
+
+    q["polygonize_synth"] = polygonize_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1535,6 +1555,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) FILTER (v != 0.0) AS BIGINT) AS burned
         FROM canvas GROUP BY idx
         HAVING count(*) FILTER (v != 0.0) > 0
+    """
+
+    # polygonize: 4-connected equal-value regions of the quantized
+    # grid via RECURSIVE REACHABILITY (an independent CC algorithm:
+    # region id = min reachable flat index); quantized-0 regions
+    # (nodata-coincident) dropped in both engines.
+    o["polygonize_synth"] = _grid16.replace("WITH imgs", "WITH RECURSIVE imgs") + """
+        , qpx AS (
+          SELECT p.idx, p.r, p.c, floor(p.dn / 20.0) AS v,
+                 p.r * i.ncols + p.c AS fid
+          FROM px p JOIN imgs i USING (idx) WHERE p.b = 0
+        ),
+        edges AS (
+          SELECT a.idx, a.fid AS pa, b.fid AS pb
+          FROM qpx a JOIN qpx b
+            ON a.idx = b.idx AND a.v = b.v
+           AND ((abs(a.r - b.r) = 1 AND a.c = b.c)
+             OR (abs(a.c - b.c) = 1 AND a.r = b.r))
+        ),
+        reach AS (
+          SELECT idx, fid AS src, fid AS dst FROM qpx
+          UNION
+          SELECT r.idx, r.src, e.pb
+          FROM reach r JOIN edges e ON r.idx = e.idx AND r.dst = e.pa
+        ),
+        roots AS (
+          SELECT idx, src AS fid, min(dst) AS rid FROM reach GROUP BY idx, src
+        ),
+        regions AS (
+          SELECT ro.idx, ro.rid, min(q.v) AS v, count(*) AS n,
+                 min(q.r) AS r0, min(q.c) AS c0,
+                 max(q.r) AS r1, max(q.c) AS c1
+          FROM roots ro JOIN qpx q ON q.idx = ro.idx AND q.fid = ro.fid
+          GROUP BY ro.idx, ro.rid
+          HAVING min(q.v) != 0.0
+        )
+        SELECT 'img' || lpad(CAST(g.idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(g.rid AS BIGINT) AS region_id, g.v AS value,
+               CAST(g.n AS BIGINT) AS n_pixels,
+               CAST(g.r0 AS INTEGER) AS r0, CAST(g.c0 AS INTEGER) AS c0,
+               CAST(g.r1 AS INTEGER) AS r1, CAST(g.c1 AS INTEGER) AS c1,
+               i.cx + g.c0 * 0.25 AS "left", i.fy - g.r0 * 0.25 AS top,
+               i.cx + (g.c1 + 1) * 0.25 AS "right",
+               i.fy - (g.r1 + 1) * 0.25 AS bottom
+        FROM regions g JOIN imgs i USING (idx)
     """
 
     # mosaic composite: per-grid-pixel median over the scenes whose

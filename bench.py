@@ -25,7 +25,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ukis_pysat_spark import datagen  # noqa: E402
-from ukis_pysat_spark.operators import knn, mosaic, multimodal, rasterize, spatial_join, tiling, transforms, zonal  # noqa: E402
+from ukis_pysat_spark.operators import knn, mosaic, multimodal, polygonize, rasterize, spatial_join, tiling, transforms, zonal  # noqa: E402
 from ukis_pysat_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +143,12 @@ def main() -> None:
             images, [0.01, 0.0, -20.0, 0.0, -0.01, 60.0], 6000, 3000,
             tile=256, method="median", out_dtype="float32",
         ).count(),
+    )
+    # raster -> vector regions: 4-connected CCL per image (in-stage
+    # value binning), one row per region
+    timed(
+        "polygonize",
+        lambda: polygonize.polygonize(images, band=0, quantize=256.0).count(),
     )
     # auto-chosen physical path (broadcast at this scale; the chooser's
     # counts are part of the measured cost)

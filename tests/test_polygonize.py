@@ -1,0 +1,166 @@
+"""Polygonize (raster -> vector regions) vs an independent BFS oracle."""
+
+import numpy as np
+import pytest
+
+from ukis_pysat_spark import codec, datagen
+from ukis_pysat_spark.operators import polygonize, transforms
+
+
+def _bfs_regions(plane, nodata):
+    """Flood-fill oracle: {min_flat_idx: (value, n, r0, c0, r1, c1)}."""
+    h, w = plane.shape
+    seen = np.zeros((h, w), bool)
+    out = {}
+    for r in range(h):
+        for c in range(w):
+            if seen[r, c]:
+                continue
+            stack = [(r, c)]
+            seen[r, c] = True
+            mem = []
+            while stack:
+                y, x = stack.pop()
+                mem.append((y, x))
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    yy, xx = y + dy, x + dx
+                    if (
+                        0 <= yy < h
+                        and 0 <= xx < w
+                        and not seen[yy, xx]
+                        and plane[yy, xx] == plane[r, c]
+                    ):
+                        seen[yy, xx] = True
+                        stack.append((yy, xx))
+            if nodata is not None and plane[r, c] == nodata:
+                continue
+            rid = min(y * w + x for y, x in mem)
+            ys = [y for y, _ in mem]
+            xs = [x for _, x in mem]
+            out[rid] = (
+                float(plane[r, c]),
+                len(mem),
+                min(ys),
+                min(xs),
+                max(ys),
+                max(xs),
+            )
+    return out
+
+
+def test_polygonize_matches_bfs(spark):
+    """Quantized mixed-profile rasters: every region's id, value, count
+    and bbox matches the flood-fill oracle; nodata regions dropped."""
+    imgs = datagen.gen_images(spark, 10, profile="mixed")
+    # quantize so regions are non-trivial (raw pixels are near-unique)
+    q = transforms.apply_transforms(
+        imgs,
+        [transforms.pixel_math(lambda a: np.floor(a.astype("float64") / 400.0))],
+        out_fmt="raw",
+    )
+    rows = polygonize.polygonize(q, band=0).collect()
+    got = {
+        (r["image_id"], r["region_id"]): (
+            r["value"],
+            r["n_pixels"],
+            r["r0"],
+            r["c0"],
+            r["r1"],
+            r["c1"],
+        )
+        for r in rows
+    }
+    pdf = datagen.images_pdf(np.arange(10), profile="mixed")
+    n_regions = 0
+    for _, img in pdf.iterrows():
+        plane = np.floor(
+            codec.decode(img["bytes"]).astype(np.float64)[0] / 400.0
+        )
+        # nodata 0 quantizes to 0.0
+        exp = _bfs_regions(plane, 0.0 if img["nodata"] is not None else None)
+        for rid, tup in exp.items():
+            assert got[(img["image_id"], rid)] == tup
+            n_regions += 1
+        # no extra regions for this image
+        assert sum(1 for k in got if k[0] == img["image_id"]) == len(exp)
+    assert n_regions > 20
+
+
+def test_polygonize_fixture_and_geo_bbox(spark):
+    """Hand-drawn plane: diagonal pixels are NOT connected (4-conn),
+    region ids are min flat indexes, geo bbox follows the transform."""
+    p = np.array(
+        [
+            [1, 1, 0, 2],
+            [0, 1, 2, 0],
+            [0, 1, 1, 0],
+            [2, 0, 1, 1],
+        ],
+        dtype=np.float64,
+    )
+    img = spark.createDataFrame(
+        [
+            (
+                "f0",
+                bytearray(codec.encode(p[None, :, :], "raw")),
+                [0.5, 0.0, 10.0, 0.0, -0.5, 20.0],
+                None,
+            )
+        ],
+        "image_id string, bytes binary, transform array<double>, nodata double",
+    )
+    rows = {r["region_id"]: r for r in polygonize.polygonize(img).collect()}
+    # the big 1-region: pixels (0,0),(0,1),(1,1),(2,1),(2,2),(3,2),(3,3)
+    big = rows[0]
+    assert big["value"] == 1.0 and big["n_pixels"] == 7
+    assert (big["r0"], big["c0"], big["r1"], big["c1"]) == (0, 0, 3, 3)
+    assert (big["left"], big["top"], big["right"], big["bottom"]) == (
+        10.0,
+        20.0,
+        12.0,
+        18.0,
+    )
+    # the 2 at (0,3) and the 2 at (1,2) touch only diagonally: separate
+    assert rows[3]["value"] == 2.0 and rows[3]["n_pixels"] == 1
+    assert rows[6]["value"] == 2.0 and rows[6]["n_pixels"] == 1
+    assert rows[12]["value"] == 2.0 and rows[12]["n_pixels"] == 1
+    # zeros: (0,2) isolated; (1,0),(2,0) vertical pair; (1,3),(2,3) pair; (3,1)
+    assert rows[2]["n_pixels"] == 1 and rows[2]["value"] == 0.0
+    assert rows[4]["n_pixels"] == 2
+    assert rows[7]["n_pixels"] == 2
+    assert rows[13]["n_pixels"] == 1
+    assert len(rows) == 8
+
+
+def test_polygonize_nodata_dropped(spark):
+    p = np.zeros((1, 3, 3), dtype=np.float64)
+    p[0, 1, 1] = 5.0
+    img = spark.createDataFrame(
+        [
+            (
+                "n0",
+                bytearray(codec.encode(p, "raw")),
+                [1.0, 0.0, 0.0, 0.0, -1.0, 3.0],
+                0.0,
+            )
+        ],
+        "image_id string, bytes binary, transform array<double>, nodata double",
+    )
+    rows = polygonize.polygonize(img).collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 5.0 and rows[0]["n_pixels"] == 1
+    assert rows[0]["region_id"] == 4
+
+
+def test_polygonize_quantize_equals_pixel_math_chain(spark):
+    """The in-stage quantize path is row-identical to composing
+    pixel_math(floor(a/q)) -> polygonize."""
+    imgs = datagen.gen_images(spark, 8, profile="mixed")
+    chained = transforms.apply_transforms(
+        imgs,
+        [transforms.pixel_math(lambda a: np.floor(a.astype("float64") / 400.0))],
+        out_fmt="raw",
+    )
+    a = sorted(map(tuple, polygonize.polygonize(chained, band=0).collect()))
+    b = sorted(map(tuple, polygonize.polygonize(imgs, band=0, quantize=400.0).collect()))
+    assert a == b and len(a) > 10
