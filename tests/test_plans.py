@@ -205,3 +205,15 @@ def test_mosaic_plan_shape(spark, images_parquet):
     assert "FlatMapGroupsIn" in plan, plan
     assert "MapInPandas" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_polygonize_plan_single_arrow_stage(spark, images_parquet):
+    """Round 5: polygonize is ONE MapInArrow above the scan — region
+    extraction never shuffles the payload."""
+    from ukis_pysat_spark.operators import polygonize
+
+    images = spark.read.parquet(images_parquet)
+    plan = _plan(polygonize.polygonize(images, band=0, quantize=256.0))
+    assert plan.count("MapInArrow") == 1, plan
+    assert "MapInPandas" not in plan, plan
+    assert "Exchange" not in plan, plan
