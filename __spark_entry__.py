@@ -935,6 +935,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["polygonize_synth"] = polygonize_synth
 
+    # distributed cross-tile polygonize (round 5): the 8 AOI boxes are
+    # rasterized onto 2x2 TILES of one 40x40 grid, then polygonize_grid
+    # stitches per-tile regions across tile boundaries via
+    # connected_components.  The DuckDB twin works on the UNTILED grid
+    # (global max-burn + recursive reachability), so the gate proves
+    # the tiled path equals the global answer, canonical ids included.
+    def polygonize_grid_synth(spark, sf_dir):
+        tile, gw = 20, 40
+        gt = [0.25, 0.0, -10.0, 0.0, -0.25, 60.0]
+        tm = spark.range(4).select(
+            (F.col("id") % 2).cast("int").alias("tx"),
+            F.floor(F.col("id") / 2).cast("int").alias("ty"),
+        )
+        lon0 = F.lit(-10.0) + F.col("tx").cast("double") * 5.0
+        lat0 = F.lit(60.0) - F.col("ty").cast("double") * 5.0
+        lon1 = lon0 + 5.0
+        lat1 = lat0 - 5.0
+        targets = tm.select(
+            F.concat_ws("_", F.lit("t"), "tx", "ty").alias("image_id"),
+            F.lit(tile).alias("w"), F.lit(tile).alias("h"),
+            F.array(
+                F.lit(0.25), F.lit(0.0), lon0, F.lit(0.0), F.lit(-0.25), lat0
+            ).alias("transform"),
+            F.lit("EPSG:4326").alias("crs"),
+            F.array(lon0, lon1, lon1, lon0, lon0).alias("footprint_lon"),
+            F.array(lat0, lat0, lat1, lat1, lat0).alias("footprint_lat"),
+        )
+        burned = rasterize_op.rasterize(
+            targets, _grid_aois(spark), res=8, value_col="val"
+        )
+        return polygonize_op.polygonize_grid(burned, gt, gw, tile=tile)
+
+    q["polygonize_grid_synth"] = polygonize_grid_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1600,6 +1634,54 @@ def oracle_sql() -> dict[str, str]:
                i.cx + (g.c1 + 1) * 0.25 AS "right",
                i.fy - (g.r1 + 1) * 0.25 AS bottom
         FROM regions g JOIN imgs i USING (idx)
+    """
+
+    # distributed polygonize: global per-pixel max-burn canvas ->
+    # recursive-reachability CC on the UNTILED 40x40 grid — the twin
+    # never tiles, so matching ids prove the cross-tile stitch exact.
+    o["polygonize_grid_synth"] = """
+        WITH RECURSIVE aois AS (
+          SELECT k, k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        cells AS (
+          SELECT gr.gr, gc.gc, gr.gr * 40 + gc.gc AS fid,
+                 -10.0 + (gc.gc + 0.5) * 0.25 AS x,
+                 60.0 - (gr.gr + 0.5) * 0.25 AS y
+          FROM (SELECT unnest(range(40)) AS gr) gr,
+               (SELECT unnest(range(40)) AS gc) gc
+        ),
+        burn AS (
+          SELECT cl.gr, cl.gc, cl.fid, CAST(max(a.k + 1) AS DOUBLE) AS v
+          FROM cells cl JOIN aois a
+            ON cl.x BETWEEN a.alon0 AND a.alon1
+           AND cl.y BETWEEN a.alat0 AND a.alat1
+          GROUP BY cl.gr, cl.gc, cl.fid
+        ),
+        edges AS (
+          SELECT a.fid AS pa, b.fid AS pb
+          FROM burn a JOIN burn b
+            ON a.v = b.v
+           AND ((abs(a.gr - b.gr) = 1 AND a.gc = b.gc)
+             OR (abs(a.gc - b.gc) = 1 AND a.gr = b.gr))
+        ),
+        reach AS (
+          SELECT fid AS src, fid AS dst FROM burn
+          UNION
+          SELECT r.src, e.pb FROM reach r JOIN edges e ON r.dst = e.pa
+        ),
+        roots AS (SELECT src AS fid, min(dst) AS rid FROM reach GROUP BY src)
+        SELECT CAST(ro.rid AS BIGINT) AS region_id, min(b.v) AS value,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(min(b.gr) AS BIGINT) AS r0, CAST(min(b.gc) AS BIGINT) AS c0,
+               CAST(max(b.gr) AS BIGINT) AS r1, CAST(max(b.gc) AS BIGINT) AS c1,
+               -10.0 + min(b.gc) * 0.25 AS "left",
+               60.0 - min(b.gr) * 0.25 AS top,
+               -10.0 + (max(b.gc) + 1) * 0.25 AS "right",
+               60.0 - (max(b.gr) + 1) * 0.25 AS bottom
+        FROM roots ro JOIN burn b ON b.fid = ro.fid
+        GROUP BY ro.rid
     """
 
     # mosaic composite: per-grid-pixel median over the scenes whose

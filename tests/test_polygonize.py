@@ -164,3 +164,72 @@ def test_polygonize_quantize_equals_pixel_math_chain(spark):
     a = sorted(map(tuple, polygonize.polygonize(chained, band=0).collect()))
     b = sorted(map(tuple, polygonize.polygonize(imgs, band=0, quantize=400.0).collect()))
     assert a == b and len(a) > 10
+
+
+def test_polygonize_grid_equals_single_image(spark):
+    """Distributed cross-tile polygonize over mosaic tiles is
+    ROW-IDENTICAL (including canonical region ids) to single-image
+    polygonize over the assembled grid — regions spanning tile
+    boundaries merge through the connected-components stitch."""
+    from tests.test_mosaic import _overlap_corpus
+    from ukis_pysat_spark.operators import mosaic
+
+    imgs, _recs = _overlap_corpus(spark)
+    gt = [0.07, 0.0, 5.2, 0.0, -0.07, 8.1]
+    gw, gh, tile = 37, 29, 16
+    tiles = mosaic.composite(imgs, gt, gw, gh, tile=tile, method="count")
+    got = sorted(
+        (
+            r["region_id"],
+            r["value"],
+            r["n_pixels"],
+            r["r0"],
+            r["c0"],
+            r["r1"],
+            r["c1"],
+            r["left"],
+            r["top"],
+            r["right"],
+            r["bottom"],
+        )
+        for r in polygonize.polygonize_grid(tiles, gt, gw, tile=tile).collect()
+    )
+
+    # assemble the same grid into ONE image row
+    full = np.zeros((gh, gw))
+    tile_rows = tiles.collect()
+    for t in tile_rows:
+        c0, r0 = t["tx"] * tile, t["ty"] * tile
+        full[r0 : r0 + t["h"], c0 : c0 + t["w"]] = codec.decode(t["bytes"])[0]
+    single_df = spark.createDataFrame(
+        [
+            (
+                "full",
+                bytearray(codec.encode(full[None, :, :], "raw")),
+                [float(v) for v in gt],
+                0.0,
+            )
+        ],
+        "image_id string, bytes binary, transform array<double>, nodata double",
+    )
+    exp = sorted(
+        (
+            r["region_id"],
+            r["value"],
+            r["n_pixels"],
+            r["r0"],
+            r["c0"],
+            r["r1"],
+            r["c1"],
+            r["left"],
+            r["top"],
+            r["right"],
+            r["bottom"],
+        )
+        for r in polygonize.polygonize(single_df).collect()
+    )
+    assert got == exp
+    assert len(got) > 5
+    # the corpus genuinely exercises cross-tile merges: at least one
+    # region's bbox spans a tile boundary
+    assert any(r[3] // tile != r[5] // tile or r[4] // tile != r[6] // tile for r in got)

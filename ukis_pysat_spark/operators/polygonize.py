@@ -34,6 +34,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
 
 from ukis_pysat_spark import codec
 
@@ -92,6 +93,38 @@ def label_regions(plane: np.ndarray) -> np.ndarray:
             return labels.reshape(h, w)
 
 
+def _quantized(plane: np.ndarray, nod, quantize):
+    """In-stage value binning; nodata bins with the same rule."""
+    if quantize is not None:
+        plane = np.floor(plane / quantize)
+        nod = None if nod is None else float(np.floor(nod / quantize))
+    return plane, nod
+
+
+def _region_table(plane: np.ndarray, nod):
+    """Label + per-region stats: (region_ids, vals, counts, r0, c0,
+    r1, c1, keep-mask) with region_id = min flat row-major index."""
+    h, w = plane.shape
+    labels = label_regions(plane).ravel()
+    flat_v = plane.ravel()
+    order = np.argsort(labels, kind="stable")
+    sl = labels[order]
+    starts = np.flatnonzero(np.concatenate(([True], sl[1:] != sl[:-1])))
+    region_ids = sl[starts]
+    counts = np.diff(np.concatenate((starts, [sl.size])))
+    rr = (order // w).astype(np.int64)
+    cc = (order % w).astype(np.int64)
+    r0 = np.minimum.reduceat(rr, starts)
+    r1 = np.maximum.reduceat(rr, starts)
+    c0 = np.minimum.reduceat(cc, starts)
+    c1 = np.maximum.reduceat(cc, starts)
+    vals = flat_v[region_ids]
+    keep = np.ones(region_ids.size, dtype=bool)
+    if nod is not None:
+        keep = vals != nod
+    return labels, region_ids, vals, counts, r0, c0, r1, c1, keep
+
+
 def _region_batches(band: int, quantize: float | None):
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -105,32 +138,9 @@ def _region_batches(band: int, quantize: float | None):
                 nb, h, w = arr.shape
                 plane = arr[min(band, nb - 1)]
                 a, _b, c, _d, e, f_ = transforms_col[ri]
-                nod = nodatas[ri]
-                if quantize is not None:
-                    # in-stage value binning (one decode instead of a
-                    # re-encoded pixel_math hop); nodata bins with the
-                    # same rule in both the plane and the drop test
-                    plane = np.floor(plane / quantize)
-                    nod = None if nod is None else float(np.floor(nod / quantize))
-                labels = label_regions(plane).ravel()
-                flat_v = plane.ravel()
-                order = np.argsort(labels, kind="stable")
-                sl = labels[order]
-                starts = np.flatnonzero(
-                    np.concatenate(([True], sl[1:] != sl[:-1]))
-                )
-                region_ids = sl[starts]
-                counts = np.diff(np.concatenate((starts, [sl.size])))
-                rr = (order // w).astype(np.int64)
-                cc = (order % w).astype(np.int64)
-                r0 = np.minimum.reduceat(rr, starts)
-                r1 = np.maximum.reduceat(rr, starts)
-                c0 = np.minimum.reduceat(cc, starts)
-                c1 = np.maximum.reduceat(cc, starts)
-                vals = flat_v[region_ids]
-                keep = np.ones(region_ids.size, dtype=bool)
-                if nod is not None:
-                    keep = vals != nod
+                plane, nod = _quantized(plane, nodatas[ri], quantize)
+                (_labels, region_ids, vals, counts,
+                 r0, c0, r1, c1, keep) = _region_table(plane, nod)
                 nk = int(keep.sum())
                 if nk == 0:
                     continue
@@ -172,3 +182,176 @@ def polygonize(
     return images.select(
         "image_id", "bytes", "transform", "nodata"
     ).mapInArrow(_region_batches(band, quantize), schema=POLYGONIZE_SCHEMA)
+
+
+GRID_STAGE_SCHEMA = (
+    "kind int, gid long, value double, n_pixels long, "
+    "g_r0 long, g_c0 long, g_r1 long, g_c1 long, ekey long, pos long"
+)
+
+GRID_REGIONS_SCHEMA = (
+    "region_id long, value double, n_pixels long, "
+    "r0 long, c0 long, r1 long, c1 long, "
+    "left double, top double, right double, bottom double"
+)
+
+
+def _grid_stage(grid_transform, grid_w, tile, band, quantize):
+    """Per-tile labeling for polygonize_grid: emits region rows
+    (kind=0, GLOBAL pixel coords, gid = min global flat index) and
+    boundary-strip rows (kind=1) that pair same-value pixels across
+    tile edges.  ekey identifies one shared boundary: the right edge
+    of (tx, ty) and the left edge of (tx+1, ty) hash to the same key
+    (likewise bottom/top), so a plain equi-join on (ekey, pos, value)
+    yields exactly the cross-tile merge edges."""
+    ga, gc0, ge, gf0 = grid_transform[0], grid_transform[2], grid_transform[4], grid_transform[5]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("kind", pa.int32()),
+                ("gid", pa.int64()),
+                ("value", pa.float64()),
+                ("n_pixels", pa.int64()),
+                ("g_r0", pa.int64()),
+                ("g_c0", pa.int64()),
+                ("g_r1", pa.int64()),
+                ("g_c1", pa.int64()),
+                ("ekey", pa.int64()),
+                ("pos", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            payload = batch.column("bytes")
+            transforms_col = batch.column("transform").to_pylist()
+            nodatas = batch.column("nodata").to_pylist()
+            cols: dict[str, list] = {n: [] for n in schema.names}
+
+            def emit(kind, gid, value, n_pixels=0, g_r0=0, g_c0=0,
+                     g_r1=0, g_c1=0, ekey=0, pos=0):
+                cols["kind"].append(kind)
+                cols["gid"].append(int(gid))
+                cols["value"].append(float(value))
+                cols["n_pixels"].append(int(n_pixels))
+                cols["g_r0"].append(int(g_r0))
+                cols["g_c0"].append(int(g_c0))
+                cols["g_r1"].append(int(g_r1))
+                cols["g_c1"].append(int(g_c1))
+                cols["ekey"].append(int(ekey))
+                cols["pos"].append(int(pos))
+
+            for ri in range(batch.num_rows):
+                arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
+                nb, th, tw = arr.shape
+                plane = arr[min(band, nb - 1)]
+                a, _b, c, _d, e, f_ = transforms_col[ri]
+                # tile indices from the tile's own affine vs the grid's
+                tx = int(round((c - gc0) / (ga * tile)))
+                ty = int(round((f_ - gf0) / (ge * tile)))
+                gr0, gc_0 = ty * tile, tx * tile
+                plane, nod = _quantized(plane, nodatas[ri], quantize)
+                (labels, region_ids, vals, counts,
+                 r0, c0, r1, c1, keep) = _region_table(plane, nod)
+                # local min flat index -> global flat index (the local
+                # row-major order agrees with the global one inside a
+                # tile, so the min converts directly)
+                def to_gid(lab):
+                    return (gr0 + lab // tw) * grid_w + (gc_0 + lab % tw)
+                for i in np.flatnonzero(keep):
+                    emit(
+                        0, to_gid(int(region_ids[i])), vals[i], counts[i],
+                        gr0 + r0[i], gc_0 + c0[i], gr0 + r1[i], gc_0 + c1[i],
+                    )
+                lab2 = labels.reshape(th, tw)
+                valid = (
+                    np.ones_like(plane, dtype=bool)
+                    if nod is None else plane != nod
+                )
+                # boundary strips: ekey packs (orientation, boundary x, y)
+                def strip(lab_line, val_line, ok, ekey, gpos0):
+                    for off in np.flatnonzero(ok):
+                        emit(1, to_gid(int(lab_line[off])), val_line[off],
+                             ekey=ekey, pos=gpos0 + off)
+                vkey = lambda bx, by: ((by * (1 << 24) + bx) << 1)
+                hkey = lambda bx, by: ((by * (1 << 24) + bx) << 1) | 1
+                # right edge -> boundary v(tx, ty); left -> v(tx-1, ty)
+                strip(lab2[:, -1], plane[:, -1], valid[:, -1], vkey(tx, ty), gr0)
+                if tx > 0:
+                    strip(lab2[:, 0], plane[:, 0], valid[:, 0], vkey(tx - 1, ty), gr0)
+                # bottom edge -> boundary h(tx, ty); top -> h(tx, ty-1)
+                strip(lab2[-1, :], plane[-1, :], valid[-1, :], hkey(tx, ty), gc_0)
+                if ty > 0:
+                    strip(lab2[0, :], plane[0, :], valid[0, :], hkey(tx, ty - 1), gc_0)
+            if cols["kind"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[n], type=schema.field(n).type) for n in schema.names],
+                    schema=schema,
+                )
+
+    return run
+
+
+def polygonize_grid(
+    tiles: DataFrame,
+    grid_transform: list[float],
+    grid_w: int,
+    tile: int = 256,
+    band: int = 0,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Distributed polygonize over a TILED raster grid (mosaic /
+    rasterize output): per-tile 4-connected labeling, then cross-tile
+    stitching of same-value boundary runs through
+    graph.connected_components on the (tiny, ids-only) merge-edge
+    list.  Output is row-identical to ``polygonize`` over the
+    assembled grid: region_id is the region's minimum global flat
+    pixel index (row * grid_w + col — numerically identical to
+    ``polygonize`` ids on the same grid), n_pixels and bboxes are
+    merged across tiles.
+
+    tiles: rows with bytes (1-band tile payload), transform (the
+    tile's affine, aligned to `grid_transform`), nodata.  Pixels at
+    the grid's nodata value produce no region.
+
+    Scale: the labeling stage never shuffles payloads; only O(regions)
+    stats rows and O(boundary pixels) strip rows leave it, and the CC
+    iterations run on the merge edges alone."""
+    from ukis_pysat_spark.operators import graph
+
+    staged = tiles.select("bytes", "transform", "nodata").mapInArrow(
+        _grid_stage(grid_transform, grid_w, tile, band, quantize),
+        schema=GRID_STAGE_SCHEMA,
+    ).localCheckpoint()  # one decode+label pass feeds both consumers
+    regions = staged.where(F.col("kind") == 0)
+    strips = staged.where(F.col("kind") == 1).select("ekey", "pos", "value", "gid")
+    pairs = (
+        strips.alias("a")
+        .join(strips.alias("b"), ["ekey", "pos", "value"])
+        .where(F.col("a.gid") < F.col("b.gid"))
+        .select(F.col("a.gid").alias("id_a"), F.col("b.gid").alias("id_b"))
+        .distinct()
+    )
+    comp = graph.connected_components(pairs)
+    merged = (
+        regions.join(comp, regions.gid == comp.node, "left")
+        .withColumn("root", F.coalesce("comp", "gid"))
+        .groupBy("root", "value")
+        .agg(
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("g_r0").alias("r0"),
+            F.min("g_c0").alias("c0"),
+            F.max("g_r1").alias("r1"),
+            F.max("g_c1").alias("c1"),
+        )
+    )
+    ga, gc0, ge, gf0 = grid_transform[0], grid_transform[2], grid_transform[4], grid_transform[5]
+    return merged.select(
+        F.col("root").alias("region_id"),
+        "value",
+        "n_pixels",
+        "r0", "c0", "r1", "c1",
+        (F.lit(gc0) + F.col("c0") * ga).alias("left"),
+        (F.lit(gf0) + F.col("r0") * ge).alias("top"),
+        (F.lit(gc0) + (F.col("c1") + 1) * ga).alias("right"),
+        (F.lit(gf0) + (F.col("r1") + 1) * ge).alias("bottom"),
+    )
