@@ -969,6 +969,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["polygonize_grid_synth"] = polygonize_grid_synth
 
+    # per-band histogram (round 5): 32 width-64 bins over the
+    # closed-form grid — integer dn values sit far from bin edges, so
+    # floor((v - lo)/width) is tie-free in both engines.
+    def band_hist_synth(spark, sf_dir):
+        return multimodal.band_histogram(
+            _oracle_grid_imgs(spark), bins=32, lo=0.0, hi=2048.0
+        )
+
+    q["band_hist_synth"] = band_hist_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1634,6 +1644,18 @@ def oracle_sql() -> dict[str, str]:
                i.cx + (g.c1 + 1) * 0.25 AS "right",
                i.fy - (g.r1 + 1) * 0.25 AS bottom
         FROM regions g JOIN imgs i USING (idx)
+    """
+
+    # band histogram: floor((dn - lo)/width) over valid pixels of the
+    # closed-form grid; only non-empty bins emitted.
+    o["band_hist_synth"] = _grid16 + """
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               CAST(floor((dn - 0.0) / 64.0) AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS "count"
+        FROM px
+        WHERE dn != 0.0 AND floor((dn - 0.0) / 64.0) BETWEEN 0 AND 31
+        GROUP BY idx, b, bin
     """
 
     # distributed polygonize: global per-pixel max-burn canvas ->

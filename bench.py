@@ -159,6 +159,11 @@ def main() -> None:
         "knn_indexed",
         lambda: knn.knn_indexed(images, aois, k=5, res=6, ring=2).count(),
     )
+    # per-band fixed-width histograms (decode + bincount, bins out)
+    timed(
+        "band_hist",
+        lambda: multimodal.band_histogram(images, 32, 0.0, 4096.0).count(),
+    )
     timed(
         "dn2toa_stats",
         lambda: transforms.dn2toa_stats(images, metadata).count(),

@@ -475,3 +475,67 @@ def decode_audio(audio: DataFrame) -> DataFrame:
             ("n_samples", pa.int64()),
         ],
     )
+
+
+HIST_SCHEMA = "image_id string, band int, bin int, count long"
+
+_HIST_PA_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("band", pa.int32()),
+        ("bin", pa.int32()),
+        ("count", pa.int64()),
+    ]
+)
+
+
+def band_histogram(
+    images: DataFrame,
+    bins: int,
+    lo: float,
+    hi: float,
+    nodata: float | None = 0.0,
+) -> DataFrame:
+    """Fixed-width per-band pixel histograms: one row per non-empty
+    bin, ``bin = floor((v - lo) / width)`` for valid pixels with
+    lo <= v < hi (out-of-range and nodata pixels are dropped — GDAL's
+    ``-hist`` default minus the clamp).  One mapInArrow stage; all
+    bands of an image histogram in a single bincount, and only
+    O(non-empty bins) rows leave the executor."""
+    if not (bins > 0 and hi > lo):
+        raise ValueError("need bins > 0 and hi > lo")
+    width = (hi - lo) / bins
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("image_id").to_pylist()
+            payload = batch.column("bytes")
+            cols: dict[str, list] = {n: [] for n in _HIST_PA_SCHEMA.names}
+            for ri in range(batch.num_rows):
+                arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
+                nb = arr.shape[0]
+                flat = arr.reshape(nb, -1)
+                bidx = np.floor((flat - lo) / width)
+                ok = (bidx >= 0) & (bidx < bins)
+                if nodata is not None:
+                    ok &= flat != nodata
+                band_of = np.broadcast_to(
+                    np.arange(nb, dtype=np.int64)[:, None], flat.shape
+                )
+                key = band_of[ok] * bins + bidx[ok].astype(np.int64)
+                counts = np.bincount(key, minlength=nb * bins)
+                nz = np.flatnonzero(counts)
+                cols["image_id"].extend([ids[ri]] * nz.size)
+                cols["band"].extend((nz // bins).tolist())
+                cols["bin"].extend((nz % bins).tolist())
+                cols["count"].extend(counts[nz].tolist())
+            if cols["image_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[f.name], type=f.type)
+                        for f in _HIST_PA_SCHEMA
+                    ],
+                    schema=_HIST_PA_SCHEMA,
+                )
+
+    return images.select("image_id", "bytes").mapInArrow(run, schema=HIST_SCHEMA)
