@@ -75,6 +75,20 @@ def main() -> None:
         "multimodal frame_sample (round 4: 1->N flat emission, single MapInArrow)":
             multimodal.frame_sample(images, every_n=2),
     })
+    from ukis_pysat_spark.operators import mosaic, polygonize, rasterize, zonal
+
+    plans.update({
+        "zonal_stats (round 5: two Arrow stages — spatial-join refine + fused window/mask/stats; broadcast ring fold)":
+            zonal.zonal_stats(images, aois, res=12),
+        "rasterize (round 5: canvas born in the Arrow stage; payload-free footprint scans)":
+            rasterize.rasterize(images, aois, res=12),
+        "mosaic composite (round 5: relational tile cover, one contribution MapInArrow, one tile-key exchange, COO FlatMapGroupsInArrow stack)":
+            mosaic.composite(images, [0.01, 0.0, -20.0, 0.0, -0.01, 60.0], 6000, 3000),
+        "polygonize (round 5: single MapInArrow, zero exchanges; O(regions) rows out)":
+            polygonize.polygonize(images, band=0, quantize=256.0),
+        "band_histogram (round 5: single MapInArrow, bins out)":
+            multimodal.band_histogram(images, 32, 0.0, 4096.0),
+    })
     out = ["# Physical plans of the headline operators",
            "",
            "Regenerate with `python tools/explain_audit.py`.  `*` marks",
