@@ -233,3 +233,51 @@ def test_polygonize_grid_equals_single_image(spark):
     # the corpus genuinely exercises cross-tile merges: at least one
     # region's bbox spans a tile boundary
     assert any(r[3] // tile != r[5] // tile or r[4] // tile != r[6] // tile for r in got)
+
+
+def test_label_regions_kernel_random_and_spiral():
+    """Pure-kernel differential: label_regions vs BFS flood fill on
+    random small planes and a serpentine spiral (the worst case for
+    run-propagation convergence).  No Spark involved."""
+    rng = np.random.default_rng(0)
+
+    def bfs(p):
+        h, w = p.shape
+        lab = -np.ones((h, w), np.int64)
+        for r in range(h):
+            for c in range(w):
+                if lab[r, c] >= 0:
+                    continue
+                stack, mem = [(r, c)], []
+                lab[r, c] = 1
+                while stack:
+                    y, x = stack.pop()
+                    mem.append((y, x))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        yy, xx = y + dy, x + dx
+                        if (
+                            0 <= yy < h and 0 <= xx < w
+                            and lab[yy, xx] < 0
+                            and p[yy, xx] == p[r, c]
+                        ):
+                            lab[yy, xx] = 1
+                            stack.append((yy, xx))
+                m = min(y * w + x for y, x in mem)
+                for y, x in mem:
+                    lab[y, x] = m
+        return lab
+
+    for _ in range(25):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        p = rng.integers(0, 3, size=(h, w)).astype(float)
+        np.testing.assert_array_equal(polygonize.label_regions(p), bfs(p))
+
+    s = np.zeros((15, 15))
+    r, c, dr, dc = 7, 7, 0, 1
+    for step in [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7]:
+        for _ in range(step):
+            s[r, c] = 1
+            r += dr
+            c += dc
+        dr, dc = dc, -dr
+    np.testing.assert_array_equal(polygonize.label_regions(s), bfs(s))
