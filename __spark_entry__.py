@@ -979,6 +979,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["band_hist_synth"] = band_hist_synth
 
+    # grid-level zonal stats (round 5): AOI aggregates over the TILED
+    # burned grid — per-tile partials from the fused zonal stage, then
+    # one merge groupBy (mean re-derived from merged sums).  The twin
+    # recomputes every stat from the untiled per-pixel max-burn canvas.
+    def zonal_grid_synth(spark, sf_dir):
+        tile = 20
+        tm = spark.range(4).select(
+            (F.col("id") % 2).cast("int").alias("tx"),
+            F.floor(F.col("id") / 2).cast("int").alias("ty"),
+        )
+        lon0 = F.lit(-10.0) + F.col("tx").cast("double") * 5.0
+        lat0 = F.lit(60.0) - F.col("ty").cast("double") * 5.0
+        lon1 = lon0 + 5.0
+        lat1 = lat0 - 5.0
+        targets = tm.select(
+            F.concat_ws("_", F.lit("t"), "tx", "ty").alias("image_id"),
+            F.lit(tile).alias("w"), F.lit(tile).alias("h"),
+            F.array(
+                F.lit(0.25), F.lit(0.0), lon0, F.lit(0.0), F.lit(-0.25), lat0
+            ).alias("transform"),
+            F.lit("EPSG:4326").alias("crs"),
+            F.array(lon0, lon1, lon1, lon0, lon0).alias("footprint_lon"),
+            F.array(lat0, lat0, lat1, lat1, lat0).alias("footprint_lat"),
+        )
+        aois = _grid_aois(spark)
+        burned = rasterize_op.rasterize(targets, aois, res=8, value_col="val")
+        return zonal.zonal_stats_grid(burned, aois, res=8)
+
+    q["zonal_grid_synth"] = zonal_grid_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1644,6 +1674,46 @@ def oracle_sql() -> dict[str, str]:
                i.cx + (g.c1 + 1) * 0.25 AS "right",
                i.fy - (g.r1 + 1) * 0.25 AS bottom
         FROM regions g JOIN imgs i USING (idx)
+    """
+
+    # grid zonal stats: untiled per-pixel max-burn canvas -> AOI-box
+    # membership -> exact aggregates; n_tiles counts 20x20 tiles with
+    # >= 1 valid inside pixel (one partial row each).
+    o["zonal_grid_synth"] = """
+        WITH aois AS (
+          SELECT k, 'zaoi' || CAST(k AS VARCHAR) AS aoi_id,
+                 k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        cells AS (
+          SELECT gr.gr, gc.gc,
+                 -10.0 + (gc.gc + 0.5) * 0.25 AS x,
+                 60.0 - (gr.gr + 0.5) * 0.25 AS y,
+                 gr.gr // 20 AS ty, gc.gc // 20 AS tx
+          FROM (SELECT unnest(range(40)) AS gr) gr,
+               (SELECT unnest(range(40)) AS gc) gc
+        ),
+        burn AS (
+          SELECT cl.gr, cl.gc, cl.tx, cl.ty, cl.x, cl.y,
+                 CAST(max(a.k + 1) AS DOUBLE) AS v
+          FROM cells cl JOIN aois a
+            ON cl.x BETWEEN a.alon0 AND a.alon1
+           AND cl.y BETWEEN a.alat0 AND a.alat1
+          GROUP BY ALL
+        ),
+        inside AS (
+          SELECT a.aoi_id, b.v, b.tx, b.ty
+          FROM burn b JOIN aois a
+            ON b.x BETWEEN a.alon0 AND a.alon1
+           AND b.y BETWEEN a.alat0 AND a.alat1
+        )
+        SELECT aoi_id, CAST(0 AS INTEGER) AS band,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               sum(v) AS "sum", sum(v) / count(*) AS mean,
+               min(v) AS "min", max(v) AS "max",
+               CAST(count(DISTINCT (tx, ty)) AS BIGINT) AS n_tiles
+        FROM inside GROUP BY aoi_id
     """
 
     # band histogram: floor((dn - lo)/width) over valid pixels of the

@@ -287,3 +287,60 @@ def test_zonal_empty_and_nodata(spark):
     full = ("f", [0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 4.0, 4.0, 0.0])
     out = zonal.zonal_stats(img, _aoi_df(spark, [sliver, full]), res=6)
     assert out.count() == 0
+
+
+def test_zonal_grid_equals_single_image(spark):
+    """zonal_stats_grid over mosaic tiles matches zonal_stats over the
+    assembled grid exactly (stats merge across tile boundaries)."""
+    from tests.test_mosaic import _overlap_corpus
+    from ukis_pysat_spark.operators import mosaic
+
+    imgs, _ = _overlap_corpus(spark)
+    gt = [0.07, 0.0, 5.2, 0.0, -0.07, 8.1]
+    gw, gh, tile = 37, 29, 16
+    tiles = mosaic.composite(imgs, gt, gw, gh, tile=tile, method="count")
+    aois = _aoi_df(
+        spark,
+        [
+            ("box", [5.5, 7.0, 7.0, 5.5, 5.5], [6.3, 6.3, 7.9, 7.9, 6.3]),
+            ("quad", [5.4, 6.8, 7.3, 5.9, 5.4], [6.5, 6.2, 7.6, 7.9, 6.5]),
+        ],
+    )
+    got = {
+        (r["aoi_id"], r["band"]): (
+            r["n_valid"], r["sum"], r["mean"], r["min"], r["max"]
+        )
+        for r in zonal.zonal_stats_grid(tiles, aois, res=6).collect()
+    }
+
+    full = np.zeros((gh, gw))
+    for t in tiles.collect():
+        c0, r0 = t["tx"] * tile, t["ty"] * tile
+        full[r0 : r0 + t["h"], c0 : c0 + t["w"]] = codec.decode(t["bytes"])[0]
+    single = spark.createDataFrame(
+        [
+            (
+                "full",
+                bytearray(codec.encode(full[None, :, :], "raw")),
+                [float(v) for v in gt],
+                0.0,
+                "EPSG:4326",
+                [gt[2], gt[2] + gw * gt[0], gt[2] + gw * gt[0], gt[2], gt[2]],
+                [gt[5], gt[5], gt[5] + gh * gt[4], gt[5] + gh * gt[4], gt[5]],
+            )
+        ],
+        "image_id string, bytes binary, transform array<double>, nodata double, "
+        "crs string, footprint_lon array<double>, footprint_lat array<double>",
+    )
+    exp = {
+        (r["aoi_id"], r["band"]): (
+            r["n_valid"], r["sum"], r["mean"], r["min"], r["max"]
+        )
+        for r in zonal.zonal_stats(single, aois, res=6).collect()
+    }
+    assert set(got) == set(exp) and len(got) == 2
+    for k, (n, s, m, mn, mx) in exp.items():
+        gn, gs, gm, gmn, gmx = got[k]
+        assert gn == n and (gmn, gmx) == (mn, mx)
+        assert gs == pytest.approx(s, rel=1e-12)
+        assert gm == pytest.approx(m, rel=1e-12)

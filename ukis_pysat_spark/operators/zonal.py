@@ -353,3 +353,63 @@ def zonal_stats(
         "image_id", "bytes", "transform", "nodata", "crs"
     ).join(per_img, "image_id")
     return joined.mapInArrow(_stats_batches, schema=ZONAL_SCHEMA)
+
+
+ZONAL_GRID_SCHEMA = (
+    "aoi_id string, band int, n_valid long, sum double, mean double, "
+    "min double, max double, n_tiles long"
+)
+
+
+def zonal_stats_grid(
+    tiles: DataFrame,
+    aois: DataFrame,
+    res: int | None = sj.DEFAULT_RES,
+) -> DataFrame:
+    """Zonal statistics over a TILED raster grid (mosaic / rasterize
+    output): per-(AOI, band) aggregates of the grid pixels inside each
+    ring, however many tiles the ring spans.
+
+    Every stat is decomposable, so this is plain composition: tiles
+    get bbox footprints from their own affine (closed-form column
+    arithmetic), ``zonal_stats`` produces per-(tile, AOI, band)
+    partials through the usual spatial join + fused Arrow stage, and
+    one small groupBy merges partials (mean re-derived from the merged
+    sums — never averaged across tiles).  The merge shuffle carries
+    O(tile x AOI x band) stat rows, no pixels.
+
+    tiles: rows with bytes, w, h, transform, nodata (tx/ty or
+    image_id — an id is derived from the transform when absent)."""
+    a = F.element_at("transform", 1)
+    c = F.element_at("transform", 3)
+    e = F.element_at("transform", 5)
+    f_ = F.element_at("transform", 6)
+    lon1 = c + F.col("w").cast("double") * a
+    lat1 = f_ + F.col("h").cast("double") * e
+    t = tiles
+    if "image_id" not in t.columns:
+        t = t.withColumn(
+            "image_id",
+            F.concat_ws("_", F.lit("tile"), F.col("tx"), F.col("ty")),
+        )
+    t = t.withColumns(
+        {
+            "footprint_lon": F.array(c, lon1, lon1, c, c),
+            "footprint_lat": F.array(f_, f_, lat1, lat1, f_),
+        }
+    )
+    per_tile = zonal_stats(t, aois, res=res)
+    return (
+        per_tile.groupBy("aoi_id", "band")
+        .agg(
+            F.sum("n_valid").alias("n_valid"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.count("*").alias("n_tiles"),
+        )
+        .withColumn("mean", F.col("sum") / F.col("n_valid"))
+        .select(
+            "aoi_id", "band", "n_valid", "sum", "mean", "min", "max", "n_tiles"
+        )
+    )
