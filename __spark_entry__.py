@@ -31,6 +31,7 @@ from ukis_pysat_spark.functions import bands, scene_meta
 import numpy as np
 
 from ukis_pysat_spark.operators import mosaic
+from ukis_pysat_spark.operators import overviews as overviews_op
 from ukis_pysat_spark.operators import polygonize as polygonize_op
 from ukis_pysat_spark.operators import rasterize as rasterize_op
 from ukis_pysat_spark.operators import (
@@ -1009,6 +1010,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zonal_grid_synth"] = zonal_grid_synth
 
+    # overview pyramids (round 5): factor-2 nodata-aware block means
+    # over the closed-form grid.  Row-striped nodata makes every
+    # block's valid count k in {1,2,4}, so block means are exact
+    # binary fractions and the decode_stats sums are order-independent
+    # (factor 4 can produce k=3 thirds and is gated in pytest instead).
+    def overviews_synth(spark, sf_dir):
+        ov = overviews_op.build_overviews(
+            _oracle_grid_imgs(spark), factors=(2,)
+        )
+        lvl_id = F.concat_ws("_", "image_id", "level").alias("image_id")
+        stats = multimodal.decode_stats(
+            ov.select(lvl_id, "bytes"), nodata=None
+        ).select("image_id", "band", "mean", "min", "max", "n_valid")
+        return stats.join(ov.select(lvl_id, "w", "h"), "image_id")
+
+    q["overviews_synth"] = overviews_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1674,6 +1692,29 @@ def oracle_sql() -> dict[str, str]:
                i.cx + (g.c1 + 1) * 0.25 AS "right",
                i.fy - (g.r1 + 1) * 0.25 AS bottom
         FROM regions g JOIN imgs i USING (idx)
+    """
+
+    # overviews: factor-2 block means with nodata-aware counts; the
+    # ceil-sized level grid re-derived per image.
+    o["overviews_synth"] = _grid16 + """
+        , blocks AS (
+          SELECT idx, b, r // 2 AS br, c // 2 AS bc,
+                 sum(CASE WHEN dn != 0.0 THEN dn END) AS s,
+                 count(CASE WHEN dn != 0.0 THEN 1 END) AS k
+          FROM px GROUP BY idx, b, br, bc
+        ),
+        vals AS (
+          SELECT idx, b, CASE WHEN k > 0 THEN s / k ELSE 0.0 END AS v
+          FROM blocks
+        )
+        SELECT 'img' || lpad(CAST(v.idx AS VARCHAR), 8, '0') || '_2' AS image_id,
+               CAST(v.b AS INTEGER) AS band,
+               avg(v.v) AS mean, min(v.v) AS "min", max(v.v) AS "max",
+               CAST(count(*) AS BIGINT) AS n_valid,
+               CAST((i.ncols + 1) // 2 AS INTEGER) AS w,
+               CAST((i.nrows + 1) // 2 AS INTEGER) AS h
+        FROM vals v JOIN imgs i ON v.idx = i.idx
+        GROUP BY v.idx, v.b, i.ncols, i.nrows
     """
 
     # grid zonal stats: untiled per-pixel max-burn canvas -> AOI-box

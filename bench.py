@@ -159,6 +159,13 @@ def main() -> None:
         "knn_indexed",
         lambda: knn.knn_indexed(images, aois, k=5, res=6, ring=2).count(),
     )
+    # overview pyramid: 1->3 payload-emitting fan-out per image
+    from ukis_pysat_spark.operators import overviews as _ov
+
+    timed(
+        "overviews",
+        lambda: _ov.build_overviews(images, factors=(2, 4, 8)).count(),
+    )
     # per-band fixed-width histograms (decode + bincount, bins out)
     timed(
         "band_hist",
