@@ -30,6 +30,7 @@ from ukis_pysat_spark import datagen
 from ukis_pysat_spark.functions import bands, scene_meta
 import numpy as np
 
+from ukis_pysat_spark.operators import change as change_op
 from ukis_pysat_spark.operators import mosaic
 from ukis_pysat_spark.operators import overviews as overviews_op
 from ukis_pysat_spark.operators import polygonize as polygonize_op
@@ -1027,6 +1028,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["overviews_synth"] = overviews_synth
 
+    # change detection (round 5): epoch B = pixel_math(a*0.5 + 2) of
+    # the closed-form grid, so every diff is the exact half 2 - dn/2
+    # and the |d| > 5 threshold is tie-free on integer dn (dn=14 gives
+    # exactly 5, excluded by the strict compare in both engines).
+    def change_synth(spark, sf_dir):
+        a = _oracle_grid_imgs(spark)
+        b = transforms.apply_transforms(
+            a,
+            [transforms.pixel_math(lambda x: x.astype("float64") * 0.5 + 2.0)],
+            out_fmt="raw",
+        )
+        return change_op.change_stats(a, b, threshold=5.0)
+
+    q["change_synth"] = change_synth
+
     # gap-based sessionization (round 5): one user-key shuffle, exact
     # integer-microsecond gap boundaries
     def events_sessions(spark, sf_dir):
@@ -1692,6 +1708,23 @@ def oracle_sql() -> dict[str, str]:
                i.cx + (g.c1 + 1) * 0.25 AS "right",
                i.fy - (g.r1 + 1) * 0.25 AS bottom
         FROM regions g JOIN imgs i USING (idx)
+    """
+
+    # change detection: d = 2 - dn/2 over valid (dn != 0) pixels —
+    # exact halves keep every aggregate order-independent; rmse's
+    # sqrt is correctly-rounded IEEE in both engines.
+    o["change_synth"] = _grid16 + """
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               avg(2.0 - 0.5 * dn) AS mean_diff,
+               min(2.0 - 0.5 * dn) AS min_diff,
+               max(2.0 - 0.5 * dn) AS max_diff,
+               sqrt(avg((2.0 - 0.5 * dn) * (2.0 - 0.5 * dn))) AS rmse,
+               CAST(count(*) FILTER (abs(2.0 - 0.5 * dn) > 5.0) AS BIGINT)
+                 AS n_changed
+        FROM px WHERE dn != 0.0
+        GROUP BY idx, b
     """
 
     # overviews: factor-2 block means with nodata-aware counts; the

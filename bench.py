@@ -159,6 +159,15 @@ def main() -> None:
         "knn_indexed",
         lambda: knn.knn_indexed(images, aois, k=5, res=6, ring=2).count(),
     )
+    # bi-temporal change stats: payload x payload equi-join + one
+    # Arrow stage (self-diff: epochs identical, so the timing is pure
+    # join/decode/reduce machinery)
+    from ukis_pysat_spark.operators import change as _change
+
+    timed(
+        "change_stats",
+        lambda: _change.change_stats(images, images, threshold=1.0).count(),
+    )
     # overview pyramid: 1->3 payload-emitting fan-out per image
     from ukis_pysat_spark.operators import overviews as _ov
 
