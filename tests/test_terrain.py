@@ -1,0 +1,232 @@
+"""Terrain (slope/aspect/hillshade) and focal stats vs brute-force
+numpy/python oracles, plus the to_pixels materializer."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ukis_pysat_spark import codec
+from ukis_pysat_spark.operators import pixels, terrain, transforms
+
+_T = [0.5, 0.0, -10.0, 0.0, -0.5, 60.0]
+
+
+def _img_df(spark, arr, transform=_T, nodata=0.0, crs="EPSG:4326", iid="t0"):
+    arr = codec.promote_3d(np.asarray(arr))
+    nb, h, w = arr.shape
+    a, _, c, _, e, f_ = transform
+    x1, y1 = c + w * a, f_ + h * e
+    return spark.createDataFrame(
+        [
+            (
+                iid,
+                bytearray(codec.encode(arr, "raw")),
+                w,
+                h,
+                "raw",
+                None,
+                0,
+                nb,
+                str(arr.dtype),
+                crs,
+                [float(v) for v in transform],
+                nodata,
+                [c, x1, x1, c, c],
+                [f_, f_, y1, y1, f_],
+                "Sentinel2",
+            )
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, bands int, dtype string, crs string, "
+        "transform array<double>, nodata double, "
+        "footprint_lon array<double>, footprint_lat array<double>, "
+        "platform string",
+    )
+
+
+def _one(spark, arr, fns, **kw):
+    df = transforms.apply_transforms(_img_df(spark, arr, **kw), fns, out_fmt="raw")
+    row = df.first()
+    return codec.decode(bytes(row["bytes"])), row
+
+
+def _brute_horn(z, xres, yres, nod):
+    """Reference 3x3 loop: nodata neighbors replaced by center, nodata
+    centers and edges -> None."""
+    h, w = z.shape
+    p = np.full((h, w), np.nan)
+    q = np.full((h, w), np.nan)
+    ok = np.zeros((h, w), bool)
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            zc = z[r, c]
+            if nod is not None and zc == nod:
+                continue
+            win = {}
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    v = z[r + dr, c + dc]
+                    if nod is not None and v == nod:
+                        v = zc
+                    win[(dr, dc)] = v
+            p[r, c] = (
+                (win[(-1, 1)] + 2 * win[(0, 1)] + win[(1, 1)])
+                - (win[(-1, -1)] + 2 * win[(0, -1)] + win[(1, -1)])
+            ) / (8 * xres)
+            q[r, c] = (
+                (win[(1, -1)] + 2 * win[(1, 0)] + win[(1, 1)])
+                - (win[(-1, -1)] + 2 * win[(-1, 0)] + win[(-1, 1)])
+            ) / (8 * yres)
+            ok[r, c] = True
+    return p, q, ok
+
+
+def test_slope_aspect_on_planes(spark):
+    h, w = 8, 9
+    a, e = _T[0], _T[4]
+    xs = (np.arange(w) + 0.5) * a
+    ys = (np.arange(h) + 0.5) * e
+    for gx, gy in [(2.0, 0.0), (0.0, 3.0), (2.0, 3.0), (-1.5, 0.5), (0.0, 0.0)]:
+        z = gx * xs[None, :] + gy * ys[:, None] + 100.0
+        out, _ = _one(spark, z, [terrain.slope()], nodata=None)
+        interior = out[0, 1:-1, 1:-1]
+        want = math.degrees(math.atan(math.hypot(gx, gy)))
+        assert np.allclose(interior, want, atol=1e-9)
+        assert np.all(out[0, 0, :] == -9999.0) and np.all(out[0, :, 0] == -9999.0)
+
+        asp, _ = _one(spark, z, [terrain.aspect()], nodata=None)
+        inner = asp[0, 1:-1, 1:-1]
+        if gx == 0.0 and gy == 0.0:
+            assert np.all(inner == -9999.0)
+        else:
+            want_az = math.degrees(math.atan2(-gx, -gy)) % 360.0
+            assert np.allclose(inner, want_az, atol=1e-9)
+
+    # percent mode
+    z = 2.0 * xs[None, :] + 100.0
+    pct, _ = _one(spark, z, [terrain.slope(percent=True)], nodata=None)
+    assert np.allclose(pct[0, 1:-1, 1:-1], 200.0, atol=1e-9)
+
+
+def test_terrain_nodata_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(7)))
+    z = rng.integers(1, 500, size=(10, 12)).astype(np.float64)
+    z[rng.random((10, 12)) < 0.25] = 0.0  # nodata holes
+    a, e = _T[0], _T[4]
+    p, q, ok = _brute_horn(z, a, e, 0.0)
+
+    out, row = _one(spark, z, [terrain.slope()])
+    assert row["nodata"] == -9999.0
+    got = out[0]
+    want = np.where(ok, np.degrees(np.arctan(np.sqrt(p * p + q * q))), -9999.0)
+    want[0, :] = want[-1, :] = -9999.0
+    want[:, 0] = want[:, -1] = -9999.0
+    assert np.allclose(np.where(np.isnan(want), -9999.0, want), got, atol=1e-9)
+
+    asp, _ = _one(spark, z, [terrain.aspect()])
+    d = np.degrees(np.arctan2(-p, -q))
+    d = np.where(d < 0, d + 360.0, d)
+    d = np.where((p == 0) & (q == 0), -9999.0, d)
+    want = np.where(ok, d, -9999.0)
+    want[0, :] = want[-1, :] = -9999.0
+    want[:, 0] = want[:, -1] = -9999.0
+    assert np.allclose(np.where(np.isnan(want), -9999.0, want), asp[0], atol=1e-9)
+
+    hs, hrow = _one(spark, z, [terrain.hillshade()])
+    assert hrow["dtype"] == "uint8" and hrow["nodata"] == 0.0
+    sin_alt, c_east, c_north = terrain.hillshade_constants()
+    cos_i = (sin_alt - p * c_east - q * c_north) / np.sqrt(1.0 + p * p + q * q)
+    shade = np.floor(1.0 + 254.0 * np.maximum(cos_i, 0.0) + 0.5)
+    want = np.where(ok, shade, 0.0)
+    want[0, :] = want[-1, :] = 0.0
+    want[:, 0] = want[:, -1] = 0.0
+    assert np.array_equal(np.where(np.isnan(want), 0.0, want).astype(np.uint8), hs[0])
+    assert hs.min() >= 0 and hs.max() <= 255
+
+
+def test_hillshade_sun_orientation(spark):
+    # NW-facing slope (rises to the SE) should be brighter than the
+    # SE-facing mirror under the default 315-deg sun
+    h, w = 8, 8
+    xs = (np.arange(w) + 0.5) * _T[0]
+    ys = (np.arange(h) + 0.5) * _T[4]
+    # zp: dz/dx=+1, dz/dy=-1 -> downslope (-1, +1) points NW
+    zp = 1.0 * xs[None, :] - 1.0 * ys[:, None]
+    toward, _ = _one(spark, zp, [terrain.hillshade()], nodata=None)
+    away, _ = _one(spark, -zp, [terrain.hillshade()], nodata=None)
+    assert toward[0, 2, 2] > away[0, 2, 2]
+
+
+def test_focal_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(11)))
+    z = rng.integers(1, 100, size=(2, 7, 9)).astype(np.float64)
+    z[rng.random((2, 7, 9)) < 0.3] = 0.0
+    for size in (3, 5):
+        brute = {}
+        nb, h, w = z.shape
+        r = size // 2
+        for b in range(nb):
+            for rr in range(h):
+                for cc in range(w):
+                    win = z[
+                        b,
+                        max(rr - r, 0) : min(rr + r + 1, h),
+                        max(cc - r, 0) : min(cc + r + 1, w),
+                    ]
+                    v = win[win != 0.0]
+                    brute[(b, rr, cc)] = v
+        for stat in ("sum", "count", "min", "max", "mean"):
+            out, _ = _one(spark, z, [terrain.focal(stat, size)])
+            for (b, rr, cc), v in brute.items():
+                got = out[b, rr, cc]
+                if v.size == 0:
+                    want = 0.0 if stat == "count" else -9999.0
+                elif stat == "sum":
+                    want = v.sum()
+                elif stat == "count":
+                    want = v.size
+                elif stat == "min":
+                    want = v.min()
+                elif stat == "max":
+                    want = v.max()
+                else:
+                    want = v.sum() / v.size
+                assert got == pytest.approx(want, rel=1e-12), (stat, size, b, rr, cc)
+
+
+def test_focal_validation():
+    with pytest.raises(ValueError):
+        terrain.focal("mean", 4)
+    with pytest.raises(ValueError):
+        terrain.focal("median", 3)
+
+
+def test_to_pixels_roundtrip(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(3)))
+    arr = rng.integers(0, 200, size=(3, 5, 6)).astype(np.uint16)
+    df = _img_df(spark, arr)
+    rows = pixels.to_pixels(df).collect()
+    assert len(rows) == 3 * 5 * 6
+    a, _, c0, _, e, f0 = _T
+    for r in rows:
+        assert r["val"] == float(arr[r["band"], r["r"], r["c"]])
+        assert r["x"] == pytest.approx(c0 + (r["c"] + 0.5) * a, abs=0)
+        assert r["y"] == pytest.approx(f0 + (r["r"] + 0.5) * e, abs=0)
+
+    kept = pixels.to_pixels(df, drop_nodata=True).collect()
+    assert len(kept) == int((arr != 0).sum())
+    assert all(r["val"] != 0.0 for r in kept)
+
+    b1 = pixels.to_pixels(df, band=1).collect()
+    assert len(b1) == 5 * 6 and all(r["band"] == 1 for r in b1)
+
+
+def test_to_pixels_shear_transform(spark):
+    arr = np.arange(12, dtype=np.float64).reshape(1, 3, 4)
+    t = [2.0, 0.5, 100.0, 0.25, -2.0, 50.0]
+    rows = pixels.to_pixels(_img_df(spark, arr, transform=t, nodata=None)).collect()
+    for r in rows:
+        cf, rf = r["c"] + 0.5, r["r"] + 0.5
+        assert r["x"] == pytest.approx(100.0 + cf * 2.0 + rf * 0.5, abs=0)
+        assert r["y"] == pytest.approx(50.0 + cf * 0.25 + rf * -2.0, abs=0)

@@ -1,0 +1,233 @@
+"""Terrain analysis (the ``gdaldem`` family) and focal statistics as
+fused per-pixel transforms.
+
+The reference hands rasters to GDAL for everything beyond per-band
+arithmetic; EO users chain ``gdaldem slope/aspect/hillshade`` (and
+QGIS/GRASS ``r.neighbors`` focal windows) on the same scenes the
+reference tiles (ukis_pysat/raster.py:84-102 exposes the raw array for
+exactly this kind of follow-up math).  Here each operator is a
+:data:`~ukis_pysat_spark.operators.transforms.TransformFn`, so it runs
+inside the same single-``mapInArrow`` stage as pixel_math / warp /
+dn2toa — one decode + one encode per image however many steps are
+chained, and embarrassingly parallel across images (no shuffle at any
+scale).
+
+Semantics follow the gdaldem documentation (Horn 1981 kernel):
+
+- derivatives come from the 3x3 Horn stencil divided by ``8 * res``;
+- the outermost row/column has no full stencil and emits nodata
+  (gdaldem's default, i.e. without ``-compute_edges``);
+- a nodata CENTER emits nodata; nodata NEIGHBORS are replaced by the
+  center value (gdaldem's interpolation rule), so isolated gaps do not
+  punch 3x3 holes in the output;
+- ``aspect`` is the azimuth of the downslope direction in degrees
+  clockwise from map north, flat cells emit nodata;
+- ``hillshade`` is the classic Lambertian formula quantized to uint8
+  1..255 with 0 reserved for nodata.
+
+``focal`` is a k x k moving-window aggregate (sum/count/min/max/mean)
+over VALID pixels with the window clipped at the image edge — the
+``r.neighbors`` contract.  The box passes are separable (two 1-D
+sweeps), so cost is O(pixels) per axis, independent of window size for
+sum/count and O(k * pixels) for min/max.
+
+Numerical note: expressions are written in the exact operation order
+the driver's DuckDB value-oracles replay (``sqrt(p*p + q*q)`` rather
+than ``hypot``, explicit ``180/pi`` multiplies), so per-pixel outputs
+are bit-comparable after a round(6) guard against libm ulp drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# degrees-per-radian as the literal double both engines multiply by
+_DEG = 180.0 / math.pi
+
+
+def _horn(arr: np.ndarray, xres: float, yres: float, nod):
+    """Horn-kernel derivatives on the interior grid, nodata-aware.
+
+    Returns ``(p, q, ok)``, each shaped (bands, h-2, w-2): ``p`` is
+    dz/dx (map +x axis), ``q`` is dz/dy (map +y axis — with a north-up
+    transform ``yres < 0``, positive q means the surface rises
+    northward), ``ok`` marks valid centers.  Nodata neighbors are
+    replaced by the center value before the stencil is applied.
+    """
+    z = arr.astype(np.float64, copy=False)
+    h, w = z.shape[-2], z.shape[-1]
+    if h < 3 or w < 3:
+        shp = (z.shape[0], max(h - 2, 0), max(w - 2, 0))
+        zero = np.zeros(shp)
+        return zero, zero.copy(), np.zeros(shp, dtype=bool)
+    center = z[:, 1 : h - 1, 1 : w - 1]
+    ok = np.ones(center.shape, dtype=bool) if nod is None else center != nod
+
+    def n(dr: int, dc: int) -> np.ndarray:
+        v = z[:, 1 + dr : h - 1 + dr, 1 + dc : w - 1 + dc]
+        if nod is None:
+            return v
+        return np.where(v == nod, center, v)
+
+    z1, z2, z3 = n(-1, -1), n(-1, 0), n(-1, 1)
+    z4, z6 = n(0, -1), n(0, 1)
+    z7, z8, z9 = n(1, -1), n(1, 0), n(1, 1)
+    p = ((z3 + 2.0 * z6 + z9) - (z1 + 2.0 * z4 + z7)) / (8.0 * xres)
+    q = ((z7 + 2.0 * z8 + z9) - (z1 + 2.0 * z2 + z3)) / (8.0 * yres)
+    return p, q, ok
+
+
+def _frame(vals: np.ndarray, ok: np.ndarray, bands: int, h: int, w: int, fill: float):
+    """Place interior values back into a full-size float64 plane with a
+    nodata frame (the gdaldem no---compute_edges layout)."""
+    out = np.full((bands, h, w), fill, dtype=np.float64)
+    if vals.size:
+        out[:, 1 : h - 1, 1 : w - 1] = np.where(ok, vals, fill)
+    return out
+
+
+def slope(scale: float = 1.0, percent: bool = False, out_nodata: float = -9999.0):
+    """``gdaldem slope``: steepest-descent angle from the Horn
+    derivatives.  ``scale`` is the vertical/horizontal unit ratio
+    (gdaldem ``-s``); ``percent=True`` gives 100*rise/run instead of
+    degrees."""
+
+    def t(arr: np.ndarray, meta: dict):
+        a, _, _, _, e, _ = meta["transform"]
+        nb, h, w = arr.shape
+        p, q, ok = _horn(arr, a, e, meta["nodata"])
+        g = np.sqrt(p * p + q * q) / scale
+        s = 100.0 * g if percent else np.arctan(g) * _DEG
+        out = _frame(s, ok, nb, h, w, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def aspect(out_nodata: float = -9999.0):
+    """``gdaldem aspect``: azimuth of the downslope direction, degrees
+    clockwise from map north in [0, 360); flat cells emit nodata."""
+
+    def t(arr: np.ndarray, meta: dict):
+        a, _, _, _, e, _ = meta["transform"]
+        nb, h, w = arr.shape
+        p, q, ok = _horn(arr, a, e, meta["nodata"])
+        flat = (p == 0.0) & (q == 0.0)
+        d = np.arctan2(-p, -q) * _DEG
+        d = np.where(d < 0.0, d + 360.0, d)
+        out = _frame(np.where(flat, out_nodata, d), ok, nb, h, w, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def hillshade(
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z: float = 1.0,
+    scale: float = 1.0,
+):
+    """``gdaldem hillshade``: Lambertian shading quantized to uint8
+    1..255; 0 is the nodata value (edges and nodata centers)."""
+    sin_alt = math.sin(math.radians(altitude))
+    cos_alt = math.cos(math.radians(altitude))
+    # east / north sun-vector factors folded into python constants so
+    # the SQL twin can inline the identical double literals
+    c_east = math.sin(math.radians(azimuth)) * cos_alt
+    c_north = math.cos(math.radians(azimuth)) * cos_alt
+    zf = z / scale
+
+    def t(arr: np.ndarray, meta: dict):
+        a, _, _, _, e, _ = meta["transform"]
+        nb, h, w = arr.shape
+        p, q, ok = _horn(arr, a, e, meta["nodata"])
+        pz = p * zf
+        qz = q * zf
+        cos_i = (sin_alt - pz * c_east - qz * c_north) / np.sqrt(
+            1.0 + pz * pz + qz * qz
+        )
+        shade = np.floor(1.0 + 254.0 * np.maximum(cos_i, 0.0) + 0.5)
+        out = _frame(shade, ok, nb, h, w, 0.0).astype(np.uint8)
+        return out, dict(meta, nodata=0.0)
+
+    return t
+
+
+def hillshade_constants(azimuth: float = 315.0, altitude: float = 45.0):
+    """(sin_alt, c_east, c_north) as the exact double literals the
+    hillshade kernel multiplies by — for SQL value-oracle twins."""
+    cos_alt = math.cos(math.radians(altitude))
+    return (
+        math.sin(math.radians(altitude)),
+        math.sin(math.radians(azimuth)) * cos_alt,
+        math.cos(math.radians(azimuth)) * cos_alt,
+    )
+
+
+def _box_sum(plane: np.ndarray, k: int) -> np.ndarray:
+    """Separable k x k moving-window sum, window clipped at the edges.
+    plane is (bands, h, w) float64; zeros stand in for excluded cells."""
+    r = k // 2
+    out = plane
+    for axis in (1, 2):
+        n = out.shape[axis]
+        cs = np.cumsum(out, axis=axis)
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 0)
+        cs = np.pad(cs, pad)  # prefix sums with a leading zero
+        hi = np.minimum(np.arange(n) + r + 1, n)
+        lo = np.maximum(np.arange(n) - r, 0)
+        out = np.take(cs, hi, axis=axis) - np.take(cs, lo, axis=axis)
+    return out
+
+
+def _box_ext(plane: np.ndarray, k: int, neutral: float, op) -> np.ndarray:
+    """Separable k x k moving min/max with edge clipping via neutral
+    padding; O(k) elementwise passes per axis."""
+    r = k // 2
+    out = plane
+    for axis in (1, 2):
+        n = out.shape[axis]
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, r)
+        padded = np.pad(out, pad, constant_values=neutral)
+        acc = None
+        for d in range(k):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(d, d + n)
+            v = padded[tuple(sl)]
+            acc = v if acc is None else op(acc, v)
+        out = acc
+    return out
+
+
+def focal(stat: str = "mean", size: int = 3, out_nodata: float = -9999.0):
+    """k x k moving-window aggregate over VALID pixels, window clipped
+    at the image edge (``r.neighbors``-style).  ``stat`` is one of
+    sum / count / min / max / mean; windows with zero valid pixels emit
+    ``out_nodata`` (count emits 0)."""
+    if size < 1 or size % 2 == 0:
+        raise ValueError("focal size must be a positive odd integer")
+    if stat not in ("sum", "count", "min", "max", "mean"):
+        raise ValueError(f"unknown focal stat {stat!r}")
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        cnt = _box_sum(valid.astype(np.float64), size)
+        if stat == "count":
+            return cnt, dict(meta, nodata=out_nodata)
+        if stat in ("sum", "mean"):
+            s = _box_sum(np.where(valid, z, 0.0), size)
+            vals = s if stat == "sum" else s / np.maximum(cnt, 1.0)
+        elif stat == "min":
+            vals = _box_ext(np.where(valid, z, np.inf), size, np.inf, np.minimum)
+        else:
+            vals = _box_ext(np.where(valid, z, -np.inf), size, -np.inf, np.maximum)
+        out = np.where(cnt > 0.0, vals, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
