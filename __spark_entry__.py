@@ -21,6 +21,7 @@ semantics, not a reimplementation of the oracle.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -31,6 +32,8 @@ from ukis_pysat_spark.functions import bands, scene_meta
 import numpy as np
 
 from ukis_pysat_spark.operators import change as change_op
+from ukis_pysat_spark.operators import pixels as pixels_op
+from ukis_pysat_spark.operators import terrain
 from ukis_pysat_spark.operators import mosaic
 from ukis_pysat_spark.operators import overviews as overviews_op
 from ukis_pysat_spark.operators import polygonize as polygonize_op
@@ -1059,6 +1062,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    # raster -> pixel table (round 5, gdal2xyz analog): every pixel of
+    # the closed-form grid as a row with exact pixel-center coords —
+    # all dyadic rationals, so x/y/val are bit-exact in both engines.
+    def pixels_synth(spark, sf_dir):
+        return pixels_op.to_pixels(_oracle_grid_imgs(spark))
+
+    q["pixels_synth"] = pixels_synth
+
+    # gdaldem slope (round 5): Horn-kernel slope over the closed-form
+    # grid, gated PER PIXEL.  The weighted stencil sums are integers
+    # (exact in both engines); only atan rides libm, so val carries a
+    # round(6) guard.  Edges and nodata centers emit -9999.
+    def slope_synth(spark, sf_dir):
+        sl = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.slope()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(sl).select(
+            "image_id", "band", "r", "c", F.round("val", 6).alias("val")
+        )
+
+    q["slope_synth"] = slope_synth
+
+    # gdaldem hillshade (round 5): uint8 1..255 shading — the kernel
+    # and the SQL twin share the exact sun-vector double literals and
+    # the same operation order, so the quantized bytes are bit-exact
+    # (no rounding guard needed).
+    def hillshade_synth(spark, sf_dir):
+        hs = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.hillshade()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(hs).select("image_id", "band", "r", "c", "val")
+
+    q["hillshade_synth"] = hillshade_synth
+
+    # focal mean 3x3 (round 5, r.neighbors analog): integer window sums
+    # over valid pixels / integer counts — one exact IEEE division in
+    # both engines; zero-valid windows emit -9999.
+    def focal_synth(spark, sf_dir):
+        fc = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.focal("mean", 3)], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(fc).select("image_id", "band", "r", "c", "val")
+
+    q["focal_synth"] = focal_synth
+
     return q
 
 
@@ -2000,6 +2048,99 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         FROM t a JOIN t b ON a.image_id < b.image_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+
+    # --- terrain / pixel-table twins (round 5) -----------------------
+    _iid = "'img' || lpad(CAST(idx AS VARCHAR), 8, '0')"
+
+    # gdal2xyz: every (band, r, c) of the closed-form grid with exact
+    # pixel-center coords — all dyadic rationals, bit-exact both sides
+    o["pixels_synth"] = _grid16 + f"""
+        SELECT {_iid} AS image_id,
+               CAST(b AS INTEGER) AS band, CAST(r AS INTEGER) AS r,
+               CAST(c AS INTEGER) AS c,
+               cx + (c + 0.5) * 0.25 AS x,
+               fy - (r + 0.5) * 0.25 AS y,
+               dn AS val
+        FROM px JOIN imgs USING (idx)
+    """
+
+    # Horn 3x3 derivatives recomputed relationally: one 8-way neighbor
+    # join; nodata NEIGHBORS fall back to the center value and nodata
+    # CENTERS / edge pixels are excluded (they surface as NULL after
+    # the LEFT JOIN and emit the -9999 frame).  The weighted stencil
+    # sums are integers, so p and q are exact in both engines.
+    _horn9 = _grid16 + """
+        , d(dr, dc) AS (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+        ),
+        horn AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 SUM((CASE WHEN d.dc = 1 THEN 1.0 WHEN d.dc = -1 THEN -1.0 ELSE 0.0 END)
+                     * (CASE WHEN d.dr = 0 THEN 2.0 ELSE 1.0 END)
+                     * (CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END)) / 2.0 AS p,
+                 SUM((CASE WHEN d.dr = 1 THEN 1.0 WHEN d.dr = -1 THEN -1.0 ELSE 0.0 END)
+                     * (CASE WHEN d.dc = 0 THEN 2.0 ELSE 1.0 END)
+                     * (CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END)) / (-2.0) AS q
+          FROM px z
+          JOIN imgs i USING (idx)
+          JOIN d ON TRUE
+          JOIN px n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          WHERE z.dn <> 0
+            AND z.r BETWEEN 1 AND i.nrows - 2
+            AND z.c BETWEEN 1 AND i.ncols - 2
+          GROUP BY z.idx, z.b, z.r, z.c
+        )
+    """
+
+    _deg = repr(180.0 / math.pi)
+    _iidp = "'img' || lpad(CAST(px.idx AS VARCHAR), 8, '0')"
+    o["slope_synth"] = _horn9 + f"""
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band, CAST(px.r AS INTEGER) AS r,
+               CAST(px.c AS INTEGER) AS c,
+               round(COALESCE(atan(sqrt(h.p * h.p + h.q * h.q)) * {_deg},
+                              -9999.0), 6) AS val
+        FROM px LEFT JOIN horn h
+          ON h.idx = px.idx AND h.b = px.b AND h.r = px.r AND h.c = px.c
+    """
+
+    _sin_alt, _c_east, _c_north = terrain.hillshade_constants()
+    o["hillshade_synth"] = _horn9 + f"""
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band, CAST(px.r AS INTEGER) AS r,
+               CAST(px.c AS INTEGER) AS c,
+               CASE WHEN h.p IS NULL THEN 0.0
+                 ELSE floor(1.0 + 254.0 * GREATEST(
+                   ({_sin_alt!r} - h.p * {_c_east!r} - h.q * {_c_north!r})
+                   / sqrt(1.0 + h.p * h.p + h.q * h.q), 0.0) + 0.5)
+               END AS val
+        FROM px LEFT JOIN horn h
+          ON h.idx = px.idx AND h.b = px.b AND h.r = px.r AND h.c = px.c
+    """
+
+    # focal mean 3x3: clipped window = the neighbor join's natural
+    # reach; integer sums / integer counts -> one exact IEEE division
+    o["focal_synth"] = _grid16 + """
+        , d(dr, dc) AS (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+        ),
+        agg AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 SUM(CASE WHEN n.dn <> 0 THEN n.dn ELSE 0.0 END) AS s,
+                 SUM(CASE WHEN n.dn <> 0 THEN 1.0 ELSE 0.0 END) AS k
+          FROM px z
+          JOIN d ON TRUE
+          JOIN px n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          GROUP BY z.idx, z.b, z.r, z.c
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band, CAST(r AS INTEGER) AS r,
+               CAST(c AS INTEGER) AS c,
+               CASE WHEN k > 0.0 THEN s / k ELSE -9999.0 END AS val
+        FROM agg
     """
 
     return o

@@ -180,6 +180,16 @@ def main() -> None:
         "band_hist",
         lambda: multimodal.band_histogram(images, 32, 0.0, 4096.0).count(),
     )
+    # terrain: Horn hillshade (slope + aspect math fused into one
+    # Lambertian kernel) as a payload-emitting single Arrow stage
+    from ukis_pysat_spark.operators import terrain as _terrain
+
+    timed(
+        "hillshade",
+        lambda: transforms.apply_transforms(
+            images, [_terrain.hillshade()], out_fmt="raw"
+        ).count(),
+    )
     timed(
         "dn2toa_stats",
         lambda: transforms.dn2toa_stats(images, metadata).count(),

@@ -217,3 +217,23 @@ def test_polygonize_plan_single_arrow_stage(spark, images_parquet):
     assert plan.count("MapInArrow") == 1, plan
     assert "MapInPandas" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_terrain_chain_single_arrow_stage(spark, images_parquet):
+    """Round 5: a chained terrain pipeline (slope -> focal in ONE
+    apply_transforms) is a single MapInArrow with zero exchanges, and
+    to_pixels over it adds exactly one more Arrow stage — per-pixel
+    materialization never shuffles payloads."""
+    from ukis_pysat_spark.operators import pixels, terrain
+
+    images = spark.read.parquet(images_parquet)
+    chained = transforms.apply_transforms(
+        images, [terrain.slope(), terrain.focal("mean", 3)], out_fmt="raw"
+    )
+    plan = _plan(chained)
+    assert plan.count("MapInArrow") == 1, plan
+    assert "MapInPandas" not in plan and "Exchange" not in plan, plan
+
+    plan2 = _plan(pixels.to_pixels(chained))
+    assert plan2.count("MapInArrow") == 2, plan2
+    assert "Exchange" not in plan2, plan2
