@@ -1107,6 +1107,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["focal_synth"] = focal_synth
 
+    # gdal_sieve (round 5): isolated specks (size 1 < threshold 2) on a
+    # two-region background, gated per pixel.  Speck placement requires
+    # the pixel ABOVE to be valid, so no speck ever fragments a
+    # single-valid-row base — every speck's absorber is one of the two
+    # halves, whose sizes (and the engine's (size, id) tie rule at the
+    # boundary column) the DuckDB twin recomputes from plain counts.
+    def sieve_synth(spark, sf_dir):
+        def specks(a):
+            nb, h, w = a.shape
+            r = np.arange(h)[None, :, None]
+            c = np.arange(w)[None, None, :]
+            base = np.where(c < w // 2, 10.0, 20.0)
+            above_valid = np.concatenate(
+                [np.zeros((nb, 1, w), bool), a[:, :-1, :] != 0], axis=1
+            )
+            sp = (r % 3 == 1) & (c % 3 == 1) & above_valid
+            out = np.where(sp, 99.0, np.broadcast_to(base, a.shape))
+            return np.where(a == 0, 0.0, out)
+
+        prep = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [transforms.pixel_math(specks), polygonize_op.sieve(2)],
+            out_fmt="raw",
+        )
+        return pixels_op.to_pixels(prep).select("image_id", "band", "r", "c", "val")
+
+    q["sieve_synth"] = sieve_synth
+
     return q
 
 
@@ -2141,6 +2169,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(c AS INTEGER) AS c,
                CASE WHEN k > 0.0 THEN s / k ELSE -9999.0 END AS val
         FROM agg
+    """
+
+    # sieve: every speck is absorbed into a base half; halves' sizes
+    # come from plain counts and the boundary-column speck follows the
+    # engine's (size, id) rule — larger half wins, tie -> the RIGHT
+    # half (its root id, the min flat index, is the larger one).
+    o["sieve_synth"] = _grid16 + """
+        , cls AS (
+          SELECT idx, b, r, c,
+                 CASE WHEN dn = 0 THEN 'n'
+                      WHEN r % 3 = 1 AND c % 3 = 1 AND r - 1 >= nod THEN 's'
+                      WHEN c < ncols // 2 THEN 'L' ELSE 'R' END AS cls,
+                 ncols // 2 AS mid
+          FROM px JOIN imgs USING (idx)
+        ),
+        sz AS (
+          SELECT idx, b,
+                 SUM(CASE WHEN cls = 'L' THEN 1 ELSE 0 END) AS sl,
+                 SUM(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS sr
+          FROM cls GROUP BY idx, b
+        )
+        SELECT 'img' || lpad(CAST(cls.idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(cls.b AS INTEGER) AS band, CAST(cls.r AS INTEGER) AS r,
+               CAST(cls.c AS INTEGER) AS c,
+               CASE cls.cls
+                 WHEN 'n' THEN 0.0
+                 WHEN 'L' THEN 10.0
+                 WHEN 'R' THEN 20.0
+                 ELSE CASE WHEN cls.c < cls.mid THEN 10.0
+                           WHEN cls.c > cls.mid THEN 20.0
+                           WHEN sz.sl > sz.sr THEN 10.0
+                           ELSE 20.0 END
+               END AS val
+        FROM cls JOIN sz ON sz.idx = cls.idx AND sz.b = cls.b
     """
 
     return o

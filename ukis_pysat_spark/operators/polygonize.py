@@ -184,6 +184,98 @@ def polygonize(
     ).mapInArrow(_region_batches(band, quantize), schema=POLYGONIZE_SCHEMA)
 
 
+def _sieve_plane(plane: np.ndarray, nod, threshold: int) -> np.ndarray:
+    """Round-based sieve on one plane: each round, every valid region
+    smaller than `threshold` merges into its largest current neighbor
+    (ties: smaller root id absorbs into larger (size, id) — the merge
+    graph is acyclic because (size, id) strictly increases along every
+    edge).  Sizes, values, and adjacency are maintained through a
+    union-find across rounds; regions with no valid neighbor are left
+    alone.  Returns the plane with merged pixels rewritten to their
+    absorbing region's value."""
+    h, w = plane.shape
+    labels = label_regions(plane)
+    flat = labels.ravel()
+    uniq, inv = np.unique(flat, return_inverse=True)
+    sizes = np.bincount(inv).astype(np.int64)
+    values = plane.ravel()[uniq]
+    valid = np.ones(uniq.size, bool) if nod is None else values != nod
+
+    inv2 = inv.reshape(h, w)
+    eh = np.stack([inv2[:, :-1].ravel(), inv2[:, 1:].ravel()])
+    ev = np.stack([inv2[:-1, :].ravel(), inv2[1:, :].ravel()])
+    edges = np.concatenate([eh, ev], axis=1)
+    edges = edges[:, edges[0] != edges[1]]
+    # both directions, valid endpoints only (nodata never participates)
+    edges = np.concatenate([edges, edges[::-1]], axis=1)
+    edges = edges[:, valid[edges[0]] & valid[edges[1]]]
+    edges = np.unique(edges.T, axis=0).T if edges.size else edges
+
+    parent = np.arange(uniq.size, dtype=np.int64)
+
+    def roots(x):
+        while True:
+            p2 = parent[parent[x]]
+            if np.array_equal(p2, parent[x]):
+                return p2
+            parent[x] = p2
+
+    changed = True
+    while changed and edges.size:
+        changed = False
+        src = roots(edges[0])
+        dst = roots(edges[1])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        edges = edges[:, keep]
+        small = valid & (sizes < threshold) & (parent == np.arange(uniq.size))
+        cand = small[src]
+        if cand.any():
+            s, d = src[cand], dst[cand]
+            # best neighbor per small src: max (size, id) — lexsort
+            # ascending, last occurrence per src wins
+            order = np.lexsort((d, sizes[d], s))
+            s, d = s[order], d[order]
+            last = np.concatenate([s[1:] != s[:-1], [True]])
+            s, d = s[last], d[last]
+            # orient strictly uphill in (size, id) so simultaneous
+            # merges cannot form cycles
+            up = (sizes[d] > sizes[s]) | ((sizes[d] == sizes[s]) & (d > s))
+            s, d = s[up], d[up]
+            if s.size:
+                parent[s] = d
+                changed = True
+        if changed:
+            # sizes live on roots: re-aggregate pixel counts by root
+            final = roots(np.arange(uniq.size, dtype=np.int64))
+            cnt = np.bincount(inv, minlength=uniq.size)
+            sizes = np.bincount(final, weights=cnt, minlength=uniq.size).astype(np.int64)
+    final = roots(np.arange(uniq.size, dtype=np.int64))
+    return values[final][inv].reshape(h, w)
+
+
+def sieve(threshold: int, band: int | None = None):
+    """``gdal_sieve`` analog as a TransformFn for
+    :func:`transforms.apply_transforms`: 4-connected regions smaller
+    than `threshold` pixels are merged into their largest neighbor
+    (see :func:`_sieve_plane` for the exact round/tie spec), per band
+    (``band=k`` restricts to one band, leaving others untouched).
+    nodata pixels are never merged into or out of.  Chains compose:
+    two small neighbors can union above the threshold and survive."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+
+    def t(arr: np.ndarray, meta: dict):
+        out = arr.astype(np.float64, copy=True)
+        nod = meta["nodata"]
+        bs = range(arr.shape[0]) if band is None else [band]
+        for b in bs:
+            out[b] = _sieve_plane(out[b], nod, threshold)
+        return out, meta
+
+    return t
+
+
 GRID_STAGE_SCHEMA = (
     "kind int, gid long, value double, n_pixels long, "
     "g_r0 long, g_c0 long, g_r1 long, g_c1 long, ekey long, pos long"
