@@ -33,6 +33,7 @@ import numpy as np
 
 from ukis_pysat_spark.operators import change as change_op
 from ukis_pysat_spark.operators import pixels as pixels_op
+from ukis_pysat_spark.operators import proximity as proximity_op
 from ukis_pysat_spark.operators import terrain
 from ukis_pysat_spark.operators import mosaic
 from ukis_pysat_spark.operators import overviews as overviews_op
@@ -1135,6 +1136,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sieve_synth"] = sieve_synth
 
+    # gdal_proximity (round 5): exact EDT to sparse closed-form targets,
+    # bounded at maxdist=4 — distances are sqrt of INTEGER squared sums
+    # (correctly-rounded IEEE sqrt both sides), so per-pixel values are
+    # bit-exact with no rounding guard.
+    def proximity_synth(spark, sf_dir):
+        def tplane(a):
+            nb, h, w = a.shape
+            r = np.arange(h)[None, :, None]
+            c = np.arange(w)[None, None, :]
+            pat = (r * 3 + c * 7) % 11 == 3
+            out = np.where(pat, 1.0, 0.0)
+            return np.where(a == 0, 0.0, np.broadcast_to(out, a.shape))
+
+        prox = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [transforms.pixel_math(tplane), proximity_op.proximity(maxdist=4.0)],
+            out_fmt="raw",
+        )
+        return pixels_op.to_pixels(prox).select("image_id", "band", "r", "c", "val")
+
+    q["proximity_synth"] = proximity_synth
+
     return q
 
 
@@ -2203,6 +2226,29 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 20.0 END
                END AS val
         FROM cls JOIN sz ON sz.idx = cls.idx AND sz.b = cls.b
+    """
+
+    # proximity: brute-force nearest-target min per pixel; min(sqrt)
+    # == sqrt(min) under monotone correctly-rounded sqrt, so the twin
+    # is bit-exact against the engine's two-pass EDT
+    o["proximity_synth"] = _grid16 + """
+        , tg AS (
+          SELECT idx, b, r, c FROM px
+          WHERE dn <> 0 AND (r * 3 + c * 7) % 11 = 3
+        ),
+        nearest AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 MIN(sqrt(CAST((z.r - t.r) * (z.r - t.r)
+                               + (z.c - t.c) * (z.c - t.c) AS DOUBLE))) AS d
+          FROM px z JOIN tg t ON t.idx = z.idx AND t.b = z.b
+          GROUP BY z.idx, z.b, z.r, z.c
+        )
+        SELECT 'img' || lpad(CAST(px.idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(px.b AS INTEGER) AS band, CAST(px.r AS INTEGER) AS r,
+               CAST(px.c AS INTEGER) AS c,
+               CASE WHEN n.d IS NULL OR n.d > 4.0 THEN -1.0 ELSE n.d END AS val
+        FROM px LEFT JOIN nearest n
+          ON n.idx = px.idx AND n.b = px.b AND n.r = px.r AND n.c = px.c
     """
 
     return o
