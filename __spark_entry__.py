@@ -1158,6 +1158,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["proximity_synth"] = proximity_synth
 
+    # gdal FillNodata (round 5, nearest-valid variant): the oracle
+    # grid's top nodata strip fills straight down — for a strip pixel
+    # (r, c) the unique nearest valid pixel is (nod, c) (any diagonal
+    # is strictly farther), so the twin states the fill value in
+    # closed form; tie-break semantics are pytest-gated.
+    def fillnodata_synth(spark, sf_dir):
+        filled = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [proximity_op.fillnodata()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(filled).select(
+            "image_id", "band", "r", "c", "val"
+        )
+
+    q["fillnodata_synth"] = fillnodata_synth
+
     return q
 
 
@@ -2249,6 +2264,20 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n.d IS NULL OR n.d > 4.0 THEN -1.0 ELSE n.d END AS val
         FROM px LEFT JOIN nearest n
           ON n.idx = px.idx AND n.b = px.b AND n.r = px.r AND n.c = px.c
+    """
+
+    # fillnodata: the strip pixel (r, c) fills from (nod, c) — its
+    # unique nearest valid pixel; all-nodata images stay nodata
+    o["fillnodata_synth"] = _grid16 + """
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band, CAST(r AS INTEGER) AS r,
+               CAST(c AS INTEGER) AS c,
+               CASE WHEN nod >= nrows THEN 0.0
+                    WHEN r < nod THEN
+                      fmod(nod * 3.0 + c * 5.0 + b * 17.0
+                           + ((nod // 8 + c // 8) % 2) * 50.0, 2000.0) + 1.0
+                    ELSE dn END AS val
+        FROM px JOIN imgs USING (idx)
     """
 
     return o
