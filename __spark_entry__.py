@@ -45,6 +45,7 @@ from ukis_pysat_spark.operators import (
     graph,
     knn,
     multimodal,
+    sampling,
     similarity,
     spatial_join,
     text,
@@ -1173,6 +1174,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fillnodata_synth"] = fillnodata_synth
 
+    # deterministic training-data sampling (round 5): all randomness is
+    # md5-of-id, so the DuckDB twins recompute identical samples
+    def sample_per_key_q(spark, sf_dir):
+        return sampling.sample_per_key(
+            _t(spark, sf_dir, "documents"), "lang", 7, "doc_id"
+        ).select("doc_id", "lang")
+
+    q["sample_per_key"] = sample_per_key_q
+
+    def split_assign_q(spark, sf_dir):
+        return sampling.split_assign(
+            _t(spark, sf_dir, "documents"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            "doc_id",
+        ).select("doc_id", "split")
+
+    q["split_assign"] = split_assign_q
+
+    def take_sample_q(spark, sf_dir):
+        return sampling.take_sample(
+            _t(spark, sf_dir, "documents"), 50, "doc_id"
+        ).select("doc_id", "lang")
+
+    q["take_sample"] = take_sample_q
+
     return q
 
 
@@ -2278,6 +2304,37 @@ def oracle_sql() -> dict[str, str]:
                            + ((nod // 8 + c // 8) % 2) * 50.0, 2000.0) + 1.0
                     ELSE dn END AS val
         FROM px JOIN imgs USING (idx)
+    """
+
+    # deterministic sampling twins: identical md5-of-id randomness
+    o["sample_per_key"] = """
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rn <= 7
+    """
+
+    _ths = sampling.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    _cases = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{bound}' "
+        f"THEN '{name}'"
+        for name, bound in _ths[:-1]
+    )
+    o["split_assign"] = f"""
+        SELECT doc_id,
+               CASE {_cases} ELSE '{_ths[-1][0]}' END AS split
+        FROM documents
+    """
+
+    o["take_sample"] = """
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 50
     """
 
     return o
