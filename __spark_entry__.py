@@ -1199,6 +1199,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["take_sample"] = take_sample_q
 
+    # distributed proximity over TILED grids (round 5): halo-exchange
+    # EDT on the 2x2 burned grid, gated per pixel against an UNTILED
+    # brute-force DuckDB twin — distances are integer-sqrt bit-exact,
+    # and the tiled path must equal the global answer through the halo.
+    def proximity_grid_synth(spark, sf_dir):
+        tile = 20
+        tm = spark.range(4).select(
+            (F.col("id") % 2).cast("int").alias("tx"),
+            F.floor(F.col("id") / 2).cast("int").alias("ty"),
+        )
+        lon0 = F.lit(-10.0) + F.col("tx").cast("double") * 5.0
+        lat0 = F.lit(60.0) - F.col("ty").cast("double") * 5.0
+        lon1 = lon0 + 5.0
+        lat1 = lat0 - 5.0
+        targets = tm.select(
+            F.concat_ws("_", F.lit("t"), "tx", "ty").alias("image_id"),
+            F.lit(tile).alias("w"), F.lit(tile).alias("h"),
+            F.array(
+                F.lit(0.25), F.lit(0.0), lon0, F.lit(0.0), F.lit(-0.25), lat0
+            ).alias("transform"),
+            F.lit("EPSG:4326").alias("crs"),
+            F.array(lon0, lon1, lon1, lon0, lon0).alias("footprint_lon"),
+            F.array(lat0, lat0, lat1, lat1, lat0).alias("footprint_lat"),
+        )
+        burned = rasterize_op.rasterize(
+            targets, _grid_aois(spark), res=8, value_col="val"
+        )
+        prox = proximity_op.proximity_grid(
+            burned, [0.25, 0.0, -10.0, 0.0, -0.25, 60.0], tile=tile, maxdist=6.0
+        )
+        return pixels_op.to_pixels(prox).select("image_id", "r", "c", "val")
+
+    q["proximity_grid_synth"] = proximity_grid_synth
+
     return q
 
 
@@ -2335,6 +2369,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM documents
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         LIMIT 50
+    """
+
+    # tiled proximity vs the UNTILED brute twin on the burned canvas
+    o["proximity_grid_synth"] = """
+        WITH aois AS (
+          SELECT k, k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        cells AS (
+          SELECT gr.gr, gc.gc,
+                 -10.0 + (gc.gc + 0.5) * 0.25 AS x,
+                 60.0 - (gr.gr + 0.5) * 0.25 AS y
+          FROM (SELECT unnest(range(40)) AS gr) gr,
+               (SELECT unnest(range(40)) AS gc) gc
+        ),
+        burn AS (
+          SELECT DISTINCT cl.gr, cl.gc
+          FROM cells cl JOIN aois a
+            ON cl.x BETWEEN a.alon0 AND a.alon1
+           AND cl.y BETWEEN a.alat0 AND a.alat1
+        ),
+        near AS (
+          SELECT p.gr, p.gc,
+                 MIN(sqrt(CAST((p.gr - t.gr) * (p.gr - t.gr)
+                               + (p.gc - t.gc) * (p.gc - t.gc) AS DOUBLE))) AS d
+          FROM cells p JOIN burn t ON TRUE
+          GROUP BY p.gr, p.gc
+        )
+        SELECT 't_' || CAST(p.gc // 20 AS VARCHAR) || '_'
+                    || CAST(p.gr // 20 AS VARCHAR) AS image_id,
+               CAST(p.gr % 20 AS INTEGER) AS r, CAST(p.gc % 20 AS INTEGER) AS c,
+               CASE WHEN n.d IS NULL OR n.d > 6.0 THEN -1.0 ELSE n.d END AS val
+        FROM cells p LEFT JOIN near n ON n.gr = p.gr AND n.gc = p.gc
     """
 
     return o

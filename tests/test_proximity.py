@@ -83,3 +83,67 @@ def test_proximity_geo_units(spark):
 def test_proximity_validation():
     with pytest.raises(ValueError):
         proximity.proximity(units="furlong")
+
+
+def _tiles_df(spark, plane, tile, gt):
+    h, w = plane.shape
+    rows = []
+    for ty in range(h // tile):
+        for tx in range(w // tile):
+            sub = plane[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            t = [
+                gt[0], 0.0, gt[2] + tx * tile * gt[0],
+                0.0, gt[4], gt[5] + ty * tile * gt[4],
+            ]
+            rows.append(
+                (
+                    f"t_{tx}_{ty}",
+                    bytearray(codec.encode(sub[None, :, :], "raw")),
+                    [float(v) for v in t],
+                    0.0,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, transform array<double>, nodata double",
+    )
+
+
+def test_proximity_grid_equals_untiled(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(53)))
+    gt = [0.25, 0.0, -10.0, 0.0, -0.25, 60.0]
+    tile = 20
+    plane = np.zeros((40, 40))
+    # sparse targets, several hugging tile boundaries to force the halo
+    plane[rng.random((40, 40)) < 0.01] = 7.0
+    plane[19, 21] = 7.0
+    plane[20, 5] = 7.0
+    plane[0, 39] = 7.0
+    for maxdist in (3.0, 12.0):
+        tiles = _tiles_df(spark, plane, tile, gt)
+        out = proximity.proximity_grid(tiles, gt, tile=tile, maxdist=maxdist)
+        rows = out.collect()
+        assert len(rows) == 4
+        got = np.full((40, 40), np.nan)
+        for r in rows:
+            tx, ty = int(r["image_id"].split("_")[1]), int(r["image_id"].split("_")[2])
+            got[
+                ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile
+            ] = codec.decode(bytes(r["bytes"]))[0]
+        # untiled reference through the single-image operator
+        df = _img_df(spark, plane, transform=gt)
+        want = codec.decode(
+            bytes(
+                transforms.apply_transforms(
+                    df, [proximity.proximity(maxdist=maxdist)], out_fmt="raw"
+                ).first()["bytes"]
+            )
+        )[0]
+        assert np.array_equal(got, want), maxdist
+
+
+def test_proximity_grid_validation(spark):
+    import pytest as _pytest
+    gt = [0.25, 0.0, -10.0, 0.0, -0.25, 60.0]
+    with _pytest.raises(ValueError):
+        proximity.proximity_grid(None, gt, tile=8, maxdist=9.0)

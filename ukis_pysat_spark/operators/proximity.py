@@ -32,8 +32,34 @@ exploits.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ukis_pysat_spark import codec
+from ukis_pysat_spark.operators import arrowio
+
+
+def _edt_d2(tgt: np.ndarray, md: int) -> np.ndarray:
+    """Exact squared EDT to the True cells of `tgt`, horizontal search
+    bounded at `md` columns (see module docstring)."""
+    h, w = tgt.shape
+    inf = float(h + w + 1)
+    vd = np.where(tgt, 0.0, inf)
+    for r in range(1, h):
+        np.minimum(vd[r], vd[r - 1] + 1.0, out=vd[r])
+    for r in range(h - 2, -1, -1):
+        np.minimum(vd[r], vd[r + 1] + 1.0, out=vd[r])
+    v2 = vd * vd
+    d2 = v2.copy()
+    for d in range(1, min(md, w - 1) + 1):
+        dd = float(d * d)
+        np.minimum(d2[:, d:], v2[:, :-d] + dd, out=d2[:, d:])
+        np.minimum(d2[:, :-d], v2[:, d:] + dd, out=d2[:, :-d])
+    return d2
 
 
 def _nearest_valid(valid: np.ndarray, maxdist_px: float | None):
@@ -143,29 +169,191 @@ def proximity(
         z = arr.astype(np.float64, copy=False)
         nb, h, w = z.shape
         out = np.empty((nb, h, w), dtype=np.float64)
-        inf = float(h + w + 1)
         for b in range(nb):
             plane = z[b]
             if target_values is None:
                 tgt = plane != 0.0
             else:
                 tgt = np.isin(plane, np.asarray(target_values, dtype=np.float64))
-            vd = np.where(tgt, 0.0, inf)
-            for r in range(1, h):
-                np.minimum(vd[r], vd[r - 1] + 1.0, out=vd[r])
-            for r in range(h - 2, -1, -1):
-                np.minimum(vd[r], vd[r + 1] + 1.0, out=vd[r])
-            v2 = vd * vd
-            d2 = v2.copy()
             md = w - 1 if md_px is None else min(int(np.ceil(md_px)), w - 1)
-            for d in range(1, md + 1):
-                dd = float(d * d)
-                np.minimum(d2[:, d:], v2[:, :-d] + dd, out=d2[:, d:])
-                np.minimum(d2[:, :-d], v2[:, d:] + dd, out=d2[:, :-d])
-            dist = np.sqrt(d2) * scale
+            dist = np.sqrt(_edt_d2(tgt, md)) * scale
             # no-target pixels carry the sentinel (> any real distance)
             lim = math.hypot(h, w) * scale if maxdist is None else maxdist
             out[b] = np.where(dist > lim, fill, dist)
         return out, dict(meta, nodata=fill)
 
     return t
+
+
+# --- distributed proximity over tiled grids -------------------------------
+
+PROXIMITY_GRID_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, bands int, "
+    "dtype string, crs string, transform array<double>, nodata double"
+)
+
+_GRID_FIELDS = [
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("fmt", pa.string()),
+    ("bands", pa.int32()),
+    ("dtype", pa.string()),
+    ("crs", pa.string()),
+    ("transform", pa.list_(pa.float64())),
+    ("nodata", pa.float64()),
+]
+
+
+def proximity_grid(
+    tiles: DataFrame,
+    grid_transform: list[float],
+    tile: int = 256,
+    maxdist: float = 32.0,
+    target_values: list[float] | None = None,
+    fill: float = -1.0,
+    band: int = 0,
+) -> DataFrame:
+    """Distributed ``proximity`` over a TILED raster grid (mosaic /
+    rasterize output): exact Euclidean distance (pixel units) to the
+    nearest target pixel anywhere on the GRID, up to `maxdist` —
+    row-identical to running :func:`proximity` on the assembled grid.
+
+    Physical strategy (halo exchange): a first ``mapInArrow`` stage
+    emits each tile's target pixels that fall within ``k =
+    ceil(maxdist)`` of a neighboring tile's edge as (dest tile, global
+    coords) rows — O(perimeter * k * target density) per tile, never
+    the payload.  The strips aggregate per destination (one shuffle of
+    those coordinate rows) and equi-join back onto the tiles, whose
+    payloads STAY IN PLACE on their input partitions.  A second Arrow
+    stage re-runs the exact EDT on the tile extended by the halo
+    margin and crops — any pixel whose true distance is <= maxdist has
+    its nearest target inside the margin, so tiled == untiled exactly;
+    everything farther emits `fill` in both.
+
+    Requires ``maxdist <= tile`` (one neighbor ring).  `tiles` rows
+    need image_id, bytes, transform, nodata aligned to
+    `grid_transform`."""
+    k = int(math.ceil(maxdist))
+    if k > tile:
+        raise ValueError("maxdist must be <= tile (one halo ring)")
+    ga, gc0 = grid_transform[0], grid_transform[2]
+    ge, gf0 = grid_transform[4], grid_transform[5]
+
+    def strips_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("dtx", pa.int32()),
+                ("dty", pa.int32()),
+                ("gr", pa.int64()),
+                ("gc", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            payload = batch.column("bytes")
+            tcol = batch.column("transform").to_pylist()
+            cols = {n: [] for n in schema.names}
+            for ri in range(batch.num_rows):
+                arr = codec.decode(payload[ri].as_buffer())
+                plane = arr[min(band, arr.shape[0] - 1)].astype(np.float64)
+                h, w = plane.shape
+                a, _b, c, _d, e, f_ = tcol[ri]
+                tx = int(round((c - gc0) / (ga * tile)))
+                ty = int(round((f_ - gf0) / (ge * tile)))
+                if target_values is None:
+                    tgt = plane != 0.0
+                else:
+                    tgt = np.isin(plane, np.asarray(target_values, float))
+                tr, tc = np.nonzero(tgt)
+                if tr.size == 0:
+                    continue
+                gr = tr.astype(np.int64) + ty * tile
+                gc = tc.astype(np.int64) + tx * tile
+                for dty in (-1, 0, 1):
+                    for dtx in (-1, 0, 1):
+                        if dtx == 0 and dty == 0:
+                            continue
+                        # neighbor bbox expanded by k, in global coords
+                        r0 = (ty + dty) * tile - k
+                        r1 = (ty + dty) * tile + tile + k
+                        c0 = (tx + dtx) * tile - k
+                        c1 = (tx + dtx) * tile + tile + k
+                        m = (gr >= r0) & (gr < r1) & (gc >= c0) & (gc < c1)
+                        n = int(m.sum())
+                        if not n:
+                            continue
+                        cols["dtx"].extend([tx + dtx] * n)
+                        cols["dty"].extend([ty + dty] * n)
+                        cols["gr"].extend(gr[m].tolist())
+                        cols["gc"].extend(gc[m].tolist())
+            if cols["dtx"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[n], type=schema.field(n).type) for n in schema.names],
+                    schema=schema,
+                )
+
+    strips = (
+        tiles.select("bytes", "transform")
+        .mapInArrow(strips_fn, schema="dtx int, dty int, gr long, gc long")
+        .groupBy("dtx", "dty")
+        .agg(
+            F.collect_list("gr").alias("halo_r"),
+            F.collect_list("gc").alias("halo_c"),
+        )
+    )
+
+    txc = F.round(
+        (F.element_at("transform", 3) - F.lit(gc0)) / F.lit(ga * tile)
+    ).cast("int")
+    tyc = F.round(
+        (F.element_at("transform", 6) - F.lit(gf0)) / F.lit(ge * tile)
+    ).cast("int")
+    joined = (
+        tiles.select("image_id", "bytes", "transform", "nodata")
+        .withColumn("dtx", txc)
+        .withColumn("dty", tyc)
+        .join(strips, ["dtx", "dty"], "left")
+    )
+
+    def rows_fn(row: dict):
+        arr = codec.decode(row["bytes"])
+        plane = arr[min(band, arr.shape[0] - 1)].astype(np.float64)
+        h, w = plane.shape
+        a, _b, c, _d, e, f_ = row["transform"]
+        tx, ty = row["dtx"], row["dty"]
+        if target_values is None:
+            tgt = plane != 0.0
+        else:
+            tgt = np.isin(plane, np.asarray(target_values, float))
+        ext = np.zeros((h + 2 * k, w + 2 * k), dtype=bool)
+        ext[k : k + h, k : k + w] = tgt
+        if row["halo_r"] is not None:
+            hr = np.asarray(row["halo_r"], dtype=np.int64) - ty * tile + k
+            hc = np.asarray(row["halo_c"], dtype=np.int64) - tx * tile + k
+            keep = (hr >= 0) & (hr < h + 2 * k) & (hc >= 0) & (hc < w + 2 * k)
+            ext[hr[keep], hc[keep]] = True
+        dist = np.sqrt(_edt_d2(ext, k))[k : k + h, k : k + w]
+        out = np.where(dist > maxdist, fill, dist)[None, :, :]
+        yield (
+            {
+                "image_id": row["image_id"],
+                "w": w,
+                "h": h,
+                "fmt": "raw",
+                "bands": 1,
+                "dtype": "float64",
+                "crs": "grid",
+                "transform": [a, 0.0, c, 0.0, e, f_],
+                "nodata": fill,
+            },
+            out,
+            "raw",
+        )
+
+    return arrowio.flat_map_payload_rows(
+        joined,
+        ["image_id", "bytes", "transform", "dtx", "dty", "halo_r", "halo_c"],
+        rows_fn,
+        _GRID_FIELDS,
+    )
