@@ -32,6 +32,7 @@ from ukis_pysat_spark.functions import bands, scene_meta
 import numpy as np
 
 from ukis_pysat_spark.operators import change as change_op
+from ukis_pysat_spark.operators import contour as contour_op
 from ukis_pysat_spark.operators import pixels as pixels_op
 from ukis_pysat_spark.operators import proximity as proximity_op
 from ukis_pysat_spark.operators import terrain
@@ -1233,6 +1234,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["proximity_grid_synth"] = proximity_grid_synth
 
+    # gdal_contour (round 5): marching squares over the closed-form
+    # grid at four .5 levels (integer dn -> no corner ever ties a
+    # level).  The DuckDB twin replays the full 16-case table incl.
+    # the center-mean saddle rule; interpolation arithmetic is the
+    # same-order IEEE expression, so endpoints are bit-exact.
+    def contour_synth(spark, sf_dir):
+        return contour_op.contour(
+            _oracle_grid_imgs(spark), levels=[20.5, 60.5, 90.5, 500.5]
+        )
+
+    q["contour_synth"] = contour_synth
+
     return q
 
 
@@ -2403,6 +2416,87 @@ def oracle_sql() -> dict[str, str]:
                CAST(p.gr % 20 AS INTEGER) AS r, CAST(p.gc % 20 AS INTEGER) AS c,
                CASE WHEN n.d IS NULL OR n.d > 6.0 THEN -1.0 ELSE n.d END AS val
         FROM cells p LEFT JOIN near n ON n.gr = p.gr AND n.gc = p.gc
+    """
+
+    # marching-squares twin: the full 16-case table + center-mean
+    # saddle rule, same-order IEEE interpolation expressions
+    o["contour_synth"] = _grid16 + """
+        , cell AS (
+          SELECT z.idx, z.b, z.r, z.c, i.cx, i.fy,
+                 z.dn AS ztl, tr.dn AS ztr, bl.dn AS zbl, br.dn AS zbr
+          FROM px z
+          JOIN imgs i USING (idx)
+          JOIN px tr ON tr.idx = z.idx AND tr.b = z.b
+                    AND tr.r = z.r AND tr.c = z.c + 1
+          JOIN px bl ON bl.idx = z.idx AND bl.b = z.b
+                    AND bl.r = z.r + 1 AND bl.c = z.c
+          JOIN px br ON br.idx = z.idx AND br.b = z.b
+                    AND br.r = z.r + 1 AND br.c = z.c + 1
+          WHERE z.b = 0  -- the operator contours one band
+            AND z.dn <> 0 AND tr.dn <> 0 AND bl.dn <> 0 AND br.dn <> 0
+        ),
+        lv(level) AS (VALUES (20.5), (60.5), (90.5), (500.5)),
+        cc AS (
+          SELECT cell.*, lv.level,
+                 (CASE WHEN ztl > level THEN 8 ELSE 0 END)
+                 + (CASE WHEN ztr > level THEN 4 ELSE 0 END)
+                 + (CASE WHEN zbr > level THEN 2 ELSE 0 END)
+                 + (CASE WHEN zbl > level THEN 1 ELSE 0 END) AS ci,
+                 (ztl + ztr + zbl + zbr) / 4.0 > level AS cab,
+                 cx + (c + 0.5) * 0.25 AS xl,
+                 cx + (c + 1.5) * 0.25 AS xr,
+                 fy - (r + 0.5) * 0.25 AS yt,
+                 fy - (r + 1.5) * 0.25 AS yb
+          FROM cell CROSS JOIN lv
+        ),
+        pts AS (
+          SELECT idx, b, r, c, level, ci, cab,
+                 xl + ((level - ztl) / (ztr - ztl)) * 0.25 AS tx,
+                 yt AS ty,
+                 xr AS rx,
+                 yt + ((level - ztr) / (zbr - ztr)) * (-0.25) AS ry,
+                 xl + ((level - zbl) / (zbr - zbl)) * 0.25 AS bx,
+                 yb AS "by",
+                 xl AS lx,
+                 yt + ((level - ztl) / (zbl - ztl)) * (-0.25) AS ly
+          FROM cc WHERE ci NOT IN (0, 15)
+        ),
+        segs AS (
+          SELECT idx, b, r, c, level,
+                 unnest(CASE
+                   WHEN ci IN (1, 14) THEN
+                     [{'ax': lx, 'ay': ly, 'bx': bx, 'by': "by"}]
+                   WHEN ci IN (2, 13) THEN
+                     [{'ax': bx, 'ay': "by", 'bx': rx, 'by': ry}]
+                   WHEN ci IN (3, 12) THEN
+                     [{'ax': lx, 'ay': ly, 'bx': rx, 'by': ry}]
+                   WHEN ci IN (4, 11) THEN
+                     [{'ax': tx, 'ay': ty, 'bx': rx, 'by': ry}]
+                   WHEN ci IN (6, 9) THEN
+                     [{'ax': tx, 'ay': ty, 'bx': bx, 'by': "by"}]
+                   WHEN ci IN (7, 8) THEN
+                     [{'ax': tx, 'ay': ty, 'bx': lx, 'by': ly}]
+                   WHEN (ci = 5 AND cab) OR (ci = 10 AND NOT cab) THEN
+                     [{'ax': lx, 'ay': ly, 'bx': tx, 'by': ty},
+                      {'ax': rx, 'ay': ry, 'bx': bx, 'by': "by"}]
+                   ELSE
+                     [{'ax': tx, 'ay': ty, 'bx': rx, 'by': ry},
+                      {'ax': bx, 'ay': "by", 'bx': lx, 'by': ly}]
+                 END) AS s
+          FROM pts
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band, level,
+               CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+               CASE WHEN (s.bx < s.ax) OR (s.bx = s.ax AND s.by < s.ay)
+                    THEN s.bx ELSE s.ax END AS x0,
+               CASE WHEN (s.bx < s.ax) OR (s.bx = s.ax AND s.by < s.ay)
+                    THEN s.by ELSE s.ay END AS y0,
+               CASE WHEN (s.bx < s.ax) OR (s.bx = s.ax AND s.by < s.ay)
+                    THEN s.ax ELSE s.bx END AS x1,
+               CASE WHEN (s.bx < s.ax) OR (s.bx = s.ax AND s.by < s.ay)
+                    THEN s.ay ELSE s.by END AS y1
+        FROM segs
     """
 
     return o
