@@ -33,6 +33,7 @@ import numpy as np
 
 from ukis_pysat_spark.operators import change as change_op
 from ukis_pysat_spark.operators import contour as contour_op
+from ukis_pysat_spark.operators import pansharpen as pansharpen_op
 from ukis_pysat_spark.operators import pixels as pixels_op
 from ukis_pysat_spark.operators import proximity as proximity_op
 from ukis_pysat_spark.operators import terrain
@@ -1245,6 +1246,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["contour_synth"] = contour_synth
+
+    # pansharpen (round 5): weighted Brovey on the nb=7 oracle images
+    # with DYADIC weights (0.125 each) — the pseudo-pan sum is exact in
+    # any order, leaving one division and one product per pixel, both
+    # same-order IEEE: out values are bit-exact.  The pan epoch rides
+    # the ms grid (f=1); the f=2 upsample path is pytest-gated.
+    def pansharpen_synth(spark, sf_dir):
+        idx = F.substring("image_id", 4, 8).cast("int")
+        ms = _oracle_grid_imgs(spark).where(idx % 4 == 0)
+
+        def panplane(a):
+            nb, h, w = a.shape
+            r = np.arange(h)[None, :, None]
+            c = np.arange(w)[None, None, :]
+            pan = 64.0 + (r % 8) * 2.0 + (c % 8) * 4.0
+            pan = np.broadcast_to(pan, (1, h, w))
+            return np.where((a[:1] == 0), 0.0, pan)
+
+        pan = transforms.apply_transforms(
+            ms, [transforms.pixel_math(panplane)], out_fmt="raw"
+        )
+        out = pansharpen_op.pansharpen(ms, pan, weights=[0.125] * 7)
+        return pixels_op.to_pixels(out).select("image_id", "band", "r", "c", "val")
+
+    q["pansharpen_synth"] = pansharpen_synth
 
     return q
 
@@ -2497,6 +2523,27 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN (s.bx < s.ax) OR (s.bx = s.ax AND s.by < s.ay)
                     THEN s.ay ELSE s.by END AS y1
         FROM segs
+    """
+
+    # weighted-Brovey twin on the nb=7 images: dyadic-weight pseudo-pan
+    # (order-independent exact sum), then the same one-division,
+    # one-product expression per pixel
+    o["pansharpen_synth"] = _grid16 + """
+        , pseudo AS (
+          SELECT idx, r, c, SUM(dn * 0.125) AS ps,
+                 MIN(dn) AS mn
+          FROM px WHERE idx % 4 = 0
+          GROUP BY idx, r, c
+        )
+        SELECT 'img' || lpad(CAST(px.idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(px.b AS INTEGER) AS band, CAST(px.r AS INTEGER) AS r,
+               CAST(px.c AS INTEGER) AS c,
+               CASE WHEN p.ps = 0 OR p.mn = 0 THEN 0.0
+                    ELSE px.dn * ((64.0 + (px.r % 8) * 2.0 + (px.c % 8) * 4.0)
+                                  / p.ps)
+               END AS val
+        FROM px JOIN pseudo p ON p.idx = px.idx AND p.r = px.r AND p.c = px.c
+        WHERE px.idx % 4 = 0
     """
 
     return o
