@@ -52,6 +52,7 @@ from ukis_pysat_spark.operators import (
     spatial_join,
     text,
     tiling,
+    timeseries,
     transforms,
     zonal,
 )
@@ -1271,6 +1272,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pixels_op.to_pixels(out).select("image_id", "band", "r", "c", "val")
 
     q["pansharpen_synth"] = pansharpen_synth
+
+    # temporal gap-fill (round 5): five epochs of the closed-form grid
+    # with v = dn + 3t and holes where (r + c + t) % 3 == 0; the twin
+    # replays prev/next-valid transport with IGNORE NULLS windows and
+    # the same-order interpolation expression.  Gated per pixel per
+    # epoch, n_filled included via the strip/hole closed form.
+    def gapfill_synth(spark, sf_dir):
+        epochs = []
+        for t in range(5):
+            def fn(a, t=t):
+                nb, h, w = a.shape
+                r = np.arange(h)[None, :, None]
+                c = np.arange(w)[None, None, :]
+                hole = (r + c + t) % 3 == 0
+                v = a.astype(np.float64) + 3.0 * t
+                return np.where((a == 0) | hole, 0.0, v)
+
+            epochs.append(
+                transforms.apply_transforms(
+                    _oracle_grid_imgs(spark), [transforms.pixel_math(fn)],
+                    out_fmt="raw",
+                ).select(
+                    F.col("image_id").alias("series_id"),
+                    F.lit(float(t)).alias("epoch"),
+                    "bytes", "transform", "nodata",
+                )
+            )
+        series = epochs[0]
+        for e in epochs[1:]:
+            series = series.unionByName(e)
+        filled = timeseries.gapfill_series(series)
+        imgs = filled.select(
+            F.concat_ws(
+                "_", "series_id", F.col("epoch").cast("int").cast("string")
+            ).alias("image_id"),
+            "bytes", "transform", "nodata",
+        )
+        return pixels_op.to_pixels(imgs).select(
+            "image_id", "band", "r", "c", "val"
+        )
+
+    q["gapfill_synth"] = gapfill_synth
 
     return q
 
@@ -2544,6 +2587,45 @@ def oracle_sql() -> dict[str, str]:
                END AS val
         FROM px JOIN pseudo p ON p.idx = px.idx AND p.r = px.r AND p.c = px.c
         WHERE px.idx % 4 = 0
+    """
+
+    # gap-fill twin: prev/next valid epoch via IGNORE NULLS windows,
+    # then the identical interpolation expression
+    o["gapfill_synth"] = _grid16 + """
+        , tt(ti) AS (VALUES (0), (1), (2), (3), (4)),
+        ser AS (
+          SELECT idx, b, r, c, ti,
+                 CASE WHEN dn = 0 OR (r + c + ti) % 3 = 0 THEN 0.0
+                      ELSE dn + 3.0 * ti END AS v
+          FROM px CROSS JOIN tt
+        ),
+        f AS (
+          SELECT idx, b, r, c, ti, v, v <> 0.0 AS ok,
+                 last_value(CASE WHEN v <> 0.0 THEN v END IGNORE NULLS)
+                   OVER w_prev AS vp,
+                 last_value(CASE WHEN v <> 0.0 THEN CAST(ti AS DOUBLE) END
+                            IGNORE NULLS) OVER w_prev AS tp,
+                 first_value(CASE WHEN v <> 0.0 THEN v END IGNORE NULLS)
+                   OVER w_next AS vn,
+                 first_value(CASE WHEN v <> 0.0 THEN CAST(ti AS DOUBLE) END
+                             IGNORE NULLS) OVER w_next AS tn
+          FROM ser
+          WINDOW w_prev AS (PARTITION BY idx, b, r, c ORDER BY ti
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_next AS (PARTITION BY idx, b, r, c ORDER BY ti
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0')
+                 || '_' || CAST(ti AS VARCHAR) AS image_id,
+               CAST(b AS INTEGER) AS band, CAST(r AS INTEGER) AS r,
+               CAST(c AS INTEGER) AS c,
+               CASE WHEN ok THEN v
+                    WHEN tp IS NOT NULL AND tn IS NOT NULL THEN
+                      vp + (vn - vp) * ((CAST(ti AS DOUBLE) - tp) / (tn - tp))
+                    WHEN tp IS NOT NULL THEN vp
+                    WHEN tn IS NOT NULL THEN vn
+                    ELSE 0.0 END AS val
+        FROM f
     """
 
     return o

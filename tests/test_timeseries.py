@@ -1,0 +1,106 @@
+"""Temporal gap-fill vs a brute per-pixel python reference."""
+
+import numpy as np
+import pytest
+
+from ukis_pysat_spark import codec
+from ukis_pysat_spark.operators import timeseries
+
+
+def _series_df(spark, stacks, ts, nodata=0.0, sid="s0"):
+    rows = []
+    for k, arr in enumerate(stacks):
+        rows.append(
+            (
+                sid,
+                float(ts[k]),
+                bytearray(codec.encode(arr, "raw")),
+                [0.5, 0.0, -10.0, 0.0, -0.5, 60.0],
+                nodata,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "series_id string, epoch double, bytes binary, "
+        "transform array<double>, nodata double",
+    )
+
+
+def _brute_fill(stacks, ts, nod):
+    T = len(stacks)
+    out = [a.astype(float).copy() for a in stacks]
+    nb, h, w = stacks[0].shape
+    for b in range(nb):
+        for r in range(h):
+            for c in range(w):
+                vals = [stacks[k][b, r, c] for k in range(T)]
+                valid = [k for k in range(T) if vals[k] != nod]
+                for k in range(T):
+                    if vals[k] != nod:
+                        continue
+                    prevs = [j for j in valid if j < k]
+                    nxts = [j for j in valid if j > k]
+                    if prevs and nxts:
+                        p, n = prevs[-1], nxts[0]
+                        frac = (ts[k] - ts[p]) / (ts[n] - ts[p])
+                        out[k][b, r, c] = vals[p] + (vals[n] - vals[p]) * frac
+                    elif prevs:
+                        out[k][b, r, c] = vals[prevs[-1]]
+                    elif nxts:
+                        out[k][b, r, c] = vals[nxts[0]]
+    return out
+
+
+def test_gapfill_differential_random(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(83)))
+    T = 5
+    ts = [0.0, 1.0, 2.5, 4.0, 7.0]
+    stacks = [
+        rng.integers(1, 100, size=(2, 4, 6)).astype(np.float64) for _ in range(T)
+    ]
+    for a in stacks:
+        a[rng.random((2, 4, 6)) < 0.4] = 0.0
+    stacks[2][0, 0, 0] = 0.0
+    df = _series_df(spark, stacks, ts)
+    rows = timeseries.gapfill_series(df).collect()
+    assert len(rows) == T
+    want = _brute_fill(stacks, ts, 0.0)
+    total_filled = 0
+    for r in rows:
+        k = ts.index(r["epoch"])
+        got = codec.decode(bytes(r["bytes"]))
+        assert np.array_equal(got, want[k]), k
+        n_should = int(
+            ((stacks[k] == 0.0) & (got != 0.0)).sum()
+        )
+        assert r["n_filled"] == n_should
+        total_filled += r["n_filled"]
+    assert total_filled > 0
+
+
+def test_gapfill_input_order_irrelevant(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(89)))
+    ts = [0.0, 2.0, 4.0]
+    stacks = [rng.integers(1, 50, size=(1, 3, 3)).astype(float) for _ in ts]
+    stacks[1][0, 1, 1] = 0.0
+    df = _series_df(spark, stacks, ts)
+    shuffled = _series_df(spark, stacks[::-1], ts[::-1])
+    a = {r["epoch"]: bytes(r["bytes"]) for r in timeseries.gapfill_series(df).collect()}
+    b = {r["epoch"]: bytes(r["bytes"]) for r in timeseries.gapfill_series(shuffled).collect()}
+    assert a == b
+
+
+def test_gapfill_mixed_grid_raises(spark):
+    ts = [0.0, 1.0]
+    s = [np.ones((1, 3, 3)), np.ones((1, 4, 4))]
+    with pytest.raises(Exception, match="mixes grids"):
+        timeseries.gapfill_series(_series_df(spark, s, ts)).collect()
+
+
+def test_gapfill_all_nodata_passthrough(spark):
+    ts = [0.0, 1.0]
+    s = [np.zeros((1, 2, 2)), np.zeros((1, 2, 2))]
+    rows = timeseries.gapfill_series(_series_df(spark, s, ts)).collect()
+    for r in rows:
+        assert np.all(codec.decode(bytes(r["bytes"])) == 0.0)
+        assert r["n_filled"] == 0

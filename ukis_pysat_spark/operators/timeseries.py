@@ -1,0 +1,169 @@
+"""Temporal gap-filling over scene time series (harmonized EO stacks).
+
+The reference processes one scene at a time; a cluster-scale training
+pipeline wants harmonized per-pixel TIME SERIES — cloud/nodata gaps at
+epoch t filled by interpolating the nearest valid observations of the
+same pixel (the standard gap-filled NDVI/reflectance stack).
+
+``gapfill_series`` semantics (replayed by the driver's DuckDB twin):
+
+- rows carry (series_id, epoch, payload) — all epochs of one series
+  share a grid;
+- per pixel and band, a nodata value at epoch t becomes
+
+      v_prev + (v_next - v_prev) * ((t - t_prev) / (t_next - t_prev))
+
+  where prev/next are the nearest valid epochs before/after t;
+- before the first valid epoch / after the last, the nearest valid
+  value extends (constant extrapolation);
+- pixels valid at t, and pixels with NO valid epoch at all, pass
+  through unchanged.
+
+Physical strategy: ONE hash exchange on series_id (a temporal operator
+irreducibly needs every epoch of a pixel together — on a real cluster
+the images table would be bucketed by series_id, making this exchange
+a local sort), then one ``applyInArrow`` group stage that stacks the
+series as a (T, bands, h, w) array and fills all gaps with pure
+vectorized index arithmetic (prev/next valid epoch via two
+maximum/minimum.accumulate sweeps — no per-pixel Python).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ukis_pysat_spark import codec
+
+GAPFILL_SCHEMA = (
+    "series_id string, epoch double, bytes binary, w int, h int, "
+    "fmt string, bands int, dtype string, transform array<double>, "
+    "nodata double, n_filled long"
+)
+
+_PA_SCHEMA = pa.schema(
+    [
+        ("series_id", pa.string()),
+        ("epoch", pa.float64()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("bands", pa.int32()),
+        ("dtype", pa.string()),
+        ("transform", pa.list_(pa.float64())),
+        ("nodata", pa.float64()),
+        ("n_filled", pa.int64()),
+    ]
+)
+
+
+def _fill_stack(stack: np.ndarray, ts: np.ndarray, nod: float):
+    """stack (T, nb, h, w) float64; returns (filled stack, per-epoch
+    fill counts).  Vectorized prev/next valid-epoch transport."""
+    T = stack.shape[0]
+    valid = stack != nod
+    idx = np.arange(T, dtype=np.int64).reshape(T, 1, 1, 1)
+    # latest valid epoch index at-or-before t (-1 if none)
+    prev = np.where(valid, idx, -1)
+    np.maximum.accumulate(prev, axis=0, out=prev)
+    # earliest valid epoch index at-or-after t (T if none)
+    nxt = np.where(valid, idx, T)
+    nxt = np.minimum.accumulate(nxt[::-1], axis=0)[::-1]
+    pc = np.clip(prev, 0, T - 1)
+    ncl = np.clip(nxt, 0, T - 1)
+    take = np.take_along_axis
+    v_prev = take(stack, pc, axis=0)
+    v_next = take(stack, ncl, axis=0)
+    t_prev = ts[pc]
+    t_next = ts[ncl]
+    has_prev = prev >= 0
+    has_next = nxt < T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = (ts.reshape(T, 1, 1, 1) - t_prev) / np.where(
+            t_next == t_prev, 1.0, t_next - t_prev
+        )
+        interp = v_prev + (v_next - v_prev) * frac
+    filled = np.where(
+        valid,
+        stack,
+        np.where(
+            has_prev & has_next,
+            interp,
+            np.where(has_prev, v_prev, np.where(has_next, v_next, nod)),
+        ),
+    )
+    counts = ((~valid) & (has_prev | has_next)).sum(axis=(1, 2, 3))
+    return filled, counts
+
+
+def gapfill_series(
+    images: DataFrame,
+    series_col: str = "series_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Linear temporal gap-fill per (series, pixel, band); see the
+    module docstring for the exact interpolation/extrapolation rules.
+    Input rows need (series_col, epoch_col, bytes, transform, nodata);
+    every epoch of a series must share grid and nodata."""
+    sel = images.select(
+        images[series_col].alias("series_id"),
+        images[epoch_col].cast("double").alias("epoch"),
+        "bytes",
+        "transform",
+        "nodata",
+    )
+
+    def fill_group(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        epochs, payloads, transforms_, nodatas, sid = [], [], [], [], None
+        for batch in batches:
+            ids = batch.column("series_id").to_pylist()
+            ep = batch.column("epoch").to_pylist()
+            tc = batch.column("transform").to_pylist()
+            nd = batch.column("nodata").to_pylist()
+            pay = batch.column("bytes")
+            for ri in range(batch.num_rows):
+                sid = ids[ri]
+                epochs.append(ep[ri])
+                payloads.append(pay[ri].as_buffer())
+                transforms_.append(tc[ri])
+                nodatas.append(nd[ri])
+        if sid is None:
+            return
+        order = np.argsort(np.asarray(epochs), kind="stable")
+        ts = np.asarray(epochs, dtype=np.float64)[order]
+        arrs = [codec.decode(payloads[i]).astype(np.float64) for i in order]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"series {sid!r} mixes grids {sorted(shapes)}; warp first"
+            )
+        nod = nodatas[order[0]]
+        stack = np.stack(arrs)
+        if nod is None:
+            filled, counts = stack, np.zeros(len(arrs), dtype=np.int64)
+        else:
+            filled, counts = _fill_stack(stack, ts, nod)
+        nb, h, w = arrs[0].shape
+        cols: dict[str, list] = {n: [] for n in _PA_SCHEMA.names}
+        for k in range(len(arrs)):
+            cols["series_id"].append(sid)
+            cols["epoch"].append(float(ts[k]))
+            cols["bytes"].append(codec.encode(filled[k], "raw"))
+            cols["w"].append(w)
+            cols["h"].append(h)
+            cols["fmt"].append("raw")
+            cols["bands"].append(nb)
+            cols["dtype"].append("float64")
+            cols["transform"].append(transforms_[order[k]])
+            cols["nodata"].append(nod)
+            cols["n_filled"].append(int(counts[k]))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in _PA_SCHEMA],
+            schema=_PA_SCHEMA,
+        )
+
+    return sel.groupBy("series_id").applyInArrow(fill_group, schema=GAPFILL_SCHEMA)
