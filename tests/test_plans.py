@@ -237,3 +237,39 @@ def test_terrain_chain_single_arrow_stage(spark, images_parquet):
     plan2 = _plan(pixels.to_pixels(chained))
     assert plan2.count("MapInArrow") == 2, plan2
     assert "Exchange" not in plan2, plan2
+
+
+def test_proximity_grid_plan_shape(spark, images_parquet):
+    """Round 5: proximity_grid's tile payloads must NOT cross the
+    strip shuffle — only the coordinate-strip rows exchange, and the
+    halo join is a broadcast/left join onto the stationary tiles."""
+    from ukis_pysat_spark.operators import proximity as prox
+
+    images = spark.read.parquet(images_parquet)
+    tiles = images.select("image_id", "bytes", "transform", "nodata")
+    plan = _plan(
+        prox.proximity_grid(
+            tiles, [0.25, 0.0, -10.0, 0.0, -0.25, 60.0], tile=128, maxdist=8.0
+        )
+    )
+    assert plan.count("MapInArrow") == 2, plan
+    assert "MapInPandas" not in plan, plan
+    # every exchange partitions on the strip keys, never on payload rows
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "dtx" in m.group(1) or "dty" in m.group(1), m.group(1)
+
+
+def test_sampling_and_contour_stay_jvm_or_single_stage(spark, images_parquet):
+    from ukis_pysat_spark.operators import contour as ct
+    from ukis_pysat_spark.operators import sampling
+
+    images = spark.read.parquet(images_parquet)
+    plan = _plan(ct.contour(images, [100.5]))
+    assert plan.count("MapInArrow") == 1 and "Exchange" not in plan, plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    splan = _plan(sampling.split_assign(docs, {"a": 0.5, "b": 0.5}, "doc_id"))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"):
+        assert marker not in splan, marker
