@@ -1112,6 +1112,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["focal_synth"] = focal_synth
 
+    # gdaldem TRI / TPI / roughness (round 5, completing the gdaldem
+    # family): 8-neighbor ruggedness over the closed-form grid, gated
+    # PER PIXEL with NO rounding guard — the stencil sums are integers,
+    # so Riley's sqrt and the dyadic /8 are bit-exact in both engines.
+    def _rug_pixels(spark, fn):
+        out = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [fn], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(out).select("image_id", "band", "r", "c", "val")
+
+    def tri_riley_synth(spark, sf_dir):
+        return _rug_pixels(spark, terrain.tri("Riley"))
+
+    q["tri_riley_synth"] = tri_riley_synth
+
+    def tri_wilson_synth(spark, sf_dir):
+        return _rug_pixels(spark, terrain.tri("Wilson"))
+
+    q["tri_wilson_synth"] = tri_wilson_synth
+
+    def tpi_synth(spark, sf_dir):
+        return _rug_pixels(spark, terrain.tpi())
+
+    q["tpi_synth"] = tpi_synth
+
+    def roughness_synth(spark, sf_dir):
+        return _rug_pixels(spark, terrain.roughness())
+
+    q["roughness_synth"] = roughness_synth
+
+    # gdaldem aspect (round 5): azimuth of the downslope direction —
+    # p/q are integer-exact, only atan2 rides libm, so val carries the
+    # same round(6) guard as slope_synth.
+    def aspect_synth(spark, sf_dir):
+        asp = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.aspect()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(asp).select(
+            "image_id", "band", "r", "c", F.round("val", 6).alias("val")
+        )
+
+    q["aspect_synth"] = aspect_synth
+
     # gdal_sieve (round 5): isolated specks (size 1 < threshold 2) on a
     # two-region background, gated per pixel.  Speck placement requires
     # the pixel ABOVE to be valid, so no speck ever fragments a
@@ -1278,7 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replays prev/next-valid transport with IGNORE NULLS windows and
     # the same-order interpolation expression.  Gated per pixel per
     # epoch, n_filled included via the strip/hole closed form.
-    def gapfill_synth(spark, sf_dir):
+    def _holey_epochs(spark):
+        """Five epochs of the closed-form grid with v = dn + 3t and
+        holes where (r + c + t) % 3 == 0 — shared by gapfill_synth and
+        composite_synth (their DuckDB twins replay the same series)."""
         epochs = []
         for t in range(5):
             def fn(a, t=t):
@@ -1302,7 +1348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         series = epochs[0]
         for e in epochs[1:]:
             series = series.unionByName(e)
-        filled = timeseries.gapfill_series(series)
+        return series
+
+    def gapfill_synth(spark, sf_dir):
+        filled = timeseries.gapfill_series(_holey_epochs(spark))
         imgs = filled.select(
             F.concat_ws(
                 "_", "series_id", F.col("epoch").cast("int").cast("string")
@@ -1314,6 +1363,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["gapfill_synth"] = gapfill_synth
+
+    # temporal median composite (round 5): the same holey 5-epoch
+    # series reduced per pixel — every valid-base pixel keeps 3 or 4
+    # valid epochs, so the even-count interpolated median is exercised;
+    # values are integers, so (lo + hi) / 2 is bit-exact against
+    # DuckDB's quantile_cont(0.5) median.  All-nodata pixels emit the
+    # series nodata (0).
+    def composite_synth(spark, sf_dir):
+        comp = timeseries.composite_series(_holey_epochs(spark), stat="median")
+        imgs = comp.select(
+            F.col("series_id").alias("image_id"), "bytes", "transform", "nodata"
+        )
+        return pixels_op.to_pixels(imgs).select(
+            "image_id", "band", "r", "c", "val"
+        )
+
+    q["composite_synth"] = composite_synth
 
     return q
 
@@ -2626,6 +2692,95 @@ def oracle_sql() -> dict[str, str]:
                     WHEN tn IS NOT NULL THEN vn
                     ELSE 0.0 END AS val
         FROM f
+    """
+
+    # temporal median composite: the same holey series reduced per
+    # pixel; DuckDB median == quantile_cont(0.5), whose even-count
+    # interpolation of integer observations is exact, matching the
+    # engine's (lo + hi) / 2 sort-based median.  NULL (no valid epoch)
+    # emits the series nodata 0.
+    o["composite_synth"] = _grid16 + """
+        , tt(ti) AS (VALUES (0), (1), (2), (3), (4)),
+        ser AS (
+          SELECT idx, b, r, c,
+                 CASE WHEN dn = 0 OR (r + c + ti) % 3 = 0 THEN NULL
+                      ELSE dn + 3.0 * ti END AS v
+          FROM px CROSS JOIN tt
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band, CAST(r AS INTEGER) AS r,
+               CAST(c AS INTEGER) AS c,
+               COALESCE(median(v), 0.0) AS val
+        FROM ser
+        GROUP BY idx, b, r, c
+    """
+
+    # gdaldem TRI / TPI / roughness twins: one 8-way neighbor join
+    # (the _horn9 pattern) with nodata NEIGHBORS collapsed to the
+    # center; all stencil sums are integers, so sqrt / the dyadic /8 /
+    # max-min are bit-exact — no rounding guard on any of the three.
+    _rug = _grid16 + """
+        , d(dr, dc) AS (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+        ),
+        rug AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 SUM(((CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END) - z.dn)
+                     * ((CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END) - z.dn)) AS ss,
+                 SUM(ABS((CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END) - z.dn)) AS sa,
+                 SUM(CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END) AS sn,
+                 GREATEST(MAX(CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END),
+                          MAX(z.dn)) AS mx,
+                 LEAST(MIN(CASE WHEN n.dn = 0 THEN z.dn ELSE n.dn END),
+                       MIN(z.dn)) AS mn
+          FROM px z
+          JOIN imgs i USING (idx)
+          JOIN d ON TRUE
+          JOIN px n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          WHERE z.dn <> 0
+            AND z.r BETWEEN 1 AND i.nrows - 2
+            AND z.c BETWEEN 1 AND i.ncols - 2
+          GROUP BY z.idx, z.b, z.r, z.c
+        )
+    """
+    _rug_sel = f"""
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band, CAST(px.r AS INTEGER) AS r,
+               CAST(px.c AS INTEGER) AS c,
+               {{expr}} AS val
+        FROM px LEFT JOIN rug g
+          ON g.idx = px.idx AND g.b = px.b AND g.r = px.r AND g.c = px.c
+    """
+    o["tri_riley_synth"] = _rug + _rug_sel.format(
+        expr="COALESCE(sqrt(g.ss), -9999.0)"
+    )
+    o["tri_wilson_synth"] = _rug + _rug_sel.format(
+        expr="COALESCE(g.sa / 8.0, -9999.0)"
+    )
+    o["tpi_synth"] = _rug + _rug_sel.format(
+        expr="COALESCE(px.dn - g.sn / 8.0, -9999.0)"
+    )
+    o["roughness_synth"] = _rug + _rug_sel.format(
+        expr="COALESCE(g.mx - g.mn, -9999.0)"
+    )
+
+    # gdaldem aspect: atan2 of the integer-exact Horn derivatives,
+    # flat (p = q = 0) cells -> -9999; 0.0 - p never produces -0.0, and
+    # the engine's + 0.0 normalization makes the signs-of-zero agree.
+    o["aspect_synth"] = _horn9 + f"""
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band, CAST(px.r AS INTEGER) AS r,
+               CAST(px.c AS INTEGER) AS c,
+               round(CASE
+                 WHEN h.p IS NULL THEN -9999.0
+                 WHEN h.p = 0.0 AND h.q = 0.0 THEN -9999.0
+                 ELSE (CASE WHEN atan2(0.0 - h.p, 0.0 - h.q) * {_deg} < 0.0
+                       THEN atan2(0.0 - h.p, 0.0 - h.q) * {_deg} + 360.0
+                       ELSE atan2(0.0 - h.p, 0.0 - h.q) * {_deg} END) + 0.0
+               END, 6) AS val
+        FROM px LEFT JOIN horn h
+          ON h.idx = px.idx AND h.b = px.b AND h.r = px.r AND h.c = px.c
     """
 
     return o

@@ -195,6 +195,60 @@ def test_focal_differential(spark):
                 assert got == pytest.approx(want, rel=1e-12), (stat, size, b, rr, cc)
 
 
+def test_tri_tpi_roughness_differential(spark):
+    """TRI (both algs), TPI, roughness vs a brute 3x3 loop with nodata
+    holes — same window rule as the Horn family (nodata neighbor ->
+    center, nodata center / edges -> out nodata)."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(13)))
+    z = rng.integers(1, 500, size=(9, 11)).astype(np.float64)
+    z[rng.random((9, 11)) < 0.25] = 0.0
+    h, w = z.shape
+
+    brute = {k: np.full((h, w), -9999.0) for k in ("riley", "wilson", "tpi", "rough")}
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            zc = z[r, c]
+            if zc == 0.0:
+                continue
+            nb = []
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    v = z[r + dr, c + dc]
+                    nb.append(zc if v == 0.0 else v)
+            brute["riley"][r, c] = math.sqrt(sum((v - zc) ** 2 for v in nb))
+            brute["wilson"][r, c] = sum(abs(v - zc) for v in nb) / 8.0
+            brute["tpi"][r, c] = zc - sum(nb) / 8.0
+            brute["rough"][r, c] = max(nb + [zc]) - min(nb + [zc])
+
+    for key, fn in [
+        ("riley", terrain.tri()),
+        ("wilson", terrain.tri("Wilson")),
+        ("tpi", terrain.tpi()),
+        ("rough", terrain.roughness()),
+    ]:
+        out, row = _one(spark, z, [fn])
+        assert row["nodata"] == -9999.0
+        assert np.array_equal(out[0], brute[key]), key
+
+    with pytest.raises(ValueError, match="TRI algorithm"):
+        terrain.tri("riley")  # case-sensitive, like gdaldem -alg
+
+
+def test_tri_flat_and_step(spark):
+    # flat plane: every ruggedness measure is exactly zero inside
+    flat = np.full((6, 6), 42.0)
+    for fn in (terrain.tri(), terrain.tri("Wilson"), terrain.tpi(), terrain.roughness()):
+        out, _ = _one(spark, flat, [fn], nodata=None)
+        assert np.all(out[0, 1:-1, 1:-1] == 0.0)
+    # unit step along x: closed-form values on the step columns
+    step = np.where(np.arange(6)[None, :] >= 3, 1.0, 0.0) * np.ones((6, 1))
+    out, _ = _one(spark, step, [terrain.roughness()], nodata=None)
+    assert np.all(out[0, 1:-1, 2:4] == 1.0)  # columns adjacent to the step
+    assert np.all(out[0, 1:-1, 1] == 0.0)
+
+
 def test_focal_validation():
     with pytest.raises(ValueError):
         terrain.focal("mean", 4)

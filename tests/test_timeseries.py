@@ -104,3 +104,66 @@ def test_gapfill_all_nodata_passthrough(spark):
     for r in rows:
         assert np.all(codec.decode(bytes(r["bytes"])) == 0.0)
         assert r["n_filled"] == 0
+
+
+def _brute_composite(stacks, nod, stat):
+    nb, h, w = stacks[0].shape
+    out = np.zeros((nb, h, w))
+    for b in range(nb):
+        for r in range(h):
+            for c in range(w):
+                vals = sorted(
+                    a[b, r, c] for a in stacks if nod is None or a[b, r, c] != nod
+                )
+                k = len(vals)
+                if stat == "count":
+                    out[b, r, c] = float(k)
+                elif k == 0:
+                    out[b, r, c] = nod
+                elif stat == "mean":
+                    out[b, r, c] = sum(vals) / k
+                elif stat == "min":
+                    out[b, r, c] = vals[0]
+                elif stat == "max":
+                    out[b, r, c] = vals[-1]
+                else:  # interpolated median
+                    out[b, r, c] = (vals[(k - 1) // 2] + vals[k // 2]) / 2.0
+    return out
+
+
+def test_composite_differential_all_stats(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(97)))
+    ts = [0.0, 1.0, 2.0, 5.0, 6.0, 9.0]
+    stacks = [
+        rng.integers(1, 200, size=(2, 5, 4)).astype(np.float64) for _ in ts
+    ]
+    for a in stacks:
+        a[rng.random((2, 5, 4)) < 0.35] = 0.0
+    # one pixel with NO valid epoch at all
+    for a in stacks:
+        a[1, 4, 3] = 0.0
+    df = _series_df(spark, stacks, ts)
+    for stat in timeseries._COMPOSITE_STATS:
+        row = timeseries.composite_series(df, stat=stat).first()
+        assert row["stat"] == stat and row["n_epochs"] == len(ts)
+        got = codec.decode(bytes(row["bytes"]))
+        want = _brute_composite(stacks, 0.0, stat)
+        assert np.array_equal(got, want), stat
+        assert row["nodata"] == 0.0
+    with pytest.raises(ValueError, match="composite stat"):
+        timeseries.composite_series(df, stat="mode")
+
+
+def test_composite_multi_series_grouping(spark):
+    ts = [0.0, 1.0, 2.0]
+    a = [np.full((1, 2, 2), float(10 + k)) for k in range(3)]
+    b = [np.full((1, 2, 2), float(40 + 2 * k)) for k in range(3)]
+    df = _series_df(spark, a, ts, sid="sA").unionByName(
+        _series_df(spark, b, ts, sid="sB")
+    )
+    rows = {
+        r["series_id"]: codec.decode(bytes(r["bytes"]))
+        for r in timeseries.composite_series(df, stat="median").collect()
+    }
+    assert set(rows) == {"sA", "sB"}
+    assert np.all(rows["sA"] == 11.0) and np.all(rows["sB"] == 42.0)

@@ -47,21 +47,19 @@ import numpy as np
 _DEG = 180.0 / math.pi
 
 
-def _horn(arr: np.ndarray, xres: float, yres: float, nod):
-    """Horn-kernel derivatives on the interior grid, nodata-aware.
-
-    Returns ``(p, q, ok)``, each shaped (bands, h-2, w-2): ``p`` is
-    dz/dx (map +x axis), ``q`` is dz/dy (map +y axis — with a north-up
-    transform ``yres < 0``, positive q means the surface rises
-    northward), ``ok`` marks valid centers.  Nodata neighbors are
-    replaced by the center value before the stencil is applied.
-    """
+def _stencil(arr: np.ndarray, nod):
+    """Interior 3x3 stencil views, nodata-aware (the gdaldem generic
+    rule): returns ``(center, n, ok)`` where ``center`` is the interior
+    plane (bands, h-2, w-2), ``n(dr, dc)`` yields the shifted neighbor
+    plane with nodata NEIGHBORS replaced by the center value, and
+    ``ok`` marks valid centers.  Degenerate (< 3x3) grids return empty
+    interiors."""
     z = arr.astype(np.float64, copy=False)
     h, w = z.shape[-2], z.shape[-1]
     if h < 3 or w < 3:
         shp = (z.shape[0], max(h - 2, 0), max(w - 2, 0))
         zero = np.zeros(shp)
-        return zero, zero.copy(), np.zeros(shp, dtype=bool)
+        return zero, lambda dr, dc: zero, np.zeros(shp, dtype=bool)
     center = z[:, 1 : h - 1, 1 : w - 1]
     ok = np.ones(center.shape, dtype=bool) if nod is None else center != nod
 
@@ -71,6 +69,23 @@ def _horn(arr: np.ndarray, xres: float, yres: float, nod):
             return v
         return np.where(v == nod, center, v)
 
+    return center, n, ok
+
+
+# the 8 neighbor offsets in gdaldem's window order (row-major, no center)
+_NBR8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _horn(arr: np.ndarray, xres: float, yres: float, nod):
+    """Horn-kernel derivatives on the interior grid, nodata-aware.
+
+    Returns ``(p, q, ok)``, each shaped (bands, h-2, w-2): ``p`` is
+    dz/dx (map +x axis), ``q`` is dz/dy (map +y axis — with a north-up
+    transform ``yres < 0``, positive q means the surface rises
+    northward), ``ok`` marks valid centers.  Nodata neighbors are
+    replaced by the center value before the stencil is applied.
+    """
+    _, n, ok = _stencil(arr, nod)
     z1, z2, z3 = n(-1, -1), n(-1, 0), n(-1, 1)
     z4, z6 = n(0, -1), n(0, 1)
     z7, z8, z9 = n(1, -1), n(1, 0), n(1, 1)
@@ -116,7 +131,11 @@ def aspect(out_nodata: float = -9999.0):
         p, q, ok = _horn(arr, a, e, meta["nodata"])
         flat = (p == 0.0) & (q == 0.0)
         d = np.arctan2(-p, -q) * _DEG
-        d = np.where(d < 0.0, d + 360.0, d)
+        # + 0.0 normalizes the one negative-zero case (p == 0, q < 0
+        # gives atan2(-0.0, +x) = -0.0, which the < 0 branch keeps) so
+        # outputs are sign-of-zero comparable with SQL twins computing
+        # atan2(0.0 - p, 0.0 - q)
+        d = np.where(d < 0.0, d + 360.0, d) + 0.0
         out = _frame(np.where(flat, out_nodata, d), ok, nb, h, w, out_nodata)
         return out, dict(meta, nodata=out_nodata)
 
@@ -164,6 +183,79 @@ def hillshade_constants(azimuth: float = 315.0, altitude: float = 45.0):
         math.sin(math.radians(azimuth)) * cos_alt,
         math.cos(math.radians(azimuth)) * cos_alt,
     )
+
+
+def tri(alg: str = "Riley", out_nodata: float = -9999.0):
+    """``gdaldem TRI``: terrain ruggedness index over the 8-neighbor
+    window.  ``alg='Riley'`` (the gdaldem default since 3.3) is the
+    square root of the sum of squared center-neighbor differences
+    (Riley et al. 1999); ``alg='Wilson'`` is the mean absolute
+    center-neighbor difference (Wilson et al. 2007, the bathymetry
+    variant).  Nodata neighbors collapse to the center (contributing
+    zero difference), matching the family rule in the module
+    docstring.  With integer DNs both variants are bit-reproducible:
+    the sums are exact integers and IEEE sqrt / the dyadic /8 are
+    correctly rounded."""
+    if alg not in ("Riley", "Wilson"):
+        raise ValueError(f"unknown TRI algorithm {alg!r}")
+
+    def t(arr: np.ndarray, meta: dict):
+        nb, h, w = arr.shape
+        center, n, ok = _stencil(arr, meta["nodata"])
+        if alg == "Riley":
+            ss = np.zeros(center.shape)
+            for dr, dc in _NBR8:
+                d = n(dr, dc) - center
+                ss += d * d
+            v = np.sqrt(ss)
+        else:
+            sa = np.zeros(center.shape)
+            for dr, dc in _NBR8:
+                sa += np.abs(n(dr, dc) - center)
+            v = sa / 8.0
+        out = _frame(v, ok, nb, h, w, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def tpi(out_nodata: float = -9999.0):
+    """``gdaldem TPI``: topographic position index — center elevation
+    minus the mean of its 8 neighbors (positive on ridges, negative in
+    valleys).  Integer DNs make it bit-reproducible (integer neighbor
+    sum, one dyadic /8, one subtraction)."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nb, h, w = arr.shape
+        center, n, ok = _stencil(arr, meta["nodata"])
+        s = np.zeros(center.shape)
+        for dr, dc in _NBR8:
+            s += n(dr, dc)
+        out = _frame(center - s / 8.0, ok, nb, h, w, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def roughness(out_nodata: float = -9999.0):
+    """``gdaldem roughness``: largest inter-cell elevation difference
+    in the 3x3 window (max over the 9 cells minus min, nodata
+    neighbors collapsed to the center).  Pure integer arithmetic on
+    integer DNs."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nb, h, w = arr.shape
+        center, n, ok = _stencil(arr, meta["nodata"])
+        mx = center.copy()
+        mn = center.copy()
+        for dr, dc in _NBR8:
+            v = n(dr, dc)
+            np.maximum(mx, v, out=mx)
+            np.minimum(mn, v, out=mn)
+        out = _frame(mx - mn, ok, nb, h, w, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
 
 
 def _box_sum(plane: np.ndarray, k: int) -> np.ndarray:

@@ -61,6 +61,38 @@ _PA_SCHEMA = pa.schema(
 )
 
 
+def _load_series(batches: Iterator[pa.RecordBatch]):
+    """Collect one series' epochs from ``applyInArrow`` group batches.
+
+    Returns ``(sid, ts, stack, transforms_sorted, nod)`` with epochs
+    sorted ascending and the payloads decoded into one (T, bands, h, w)
+    float64 stack, or ``None`` for an empty group.  Raises if the
+    series mixes grids (warp first)."""
+    epochs, payloads, transforms_, nodatas, sid = [], [], [], [], None
+    for batch in batches:
+        ids = batch.column("series_id").to_pylist()
+        ep = batch.column("epoch").to_pylist()
+        tc = batch.column("transform").to_pylist()
+        nd = batch.column("nodata").to_pylist()
+        pay = batch.column("bytes")
+        for ri in range(batch.num_rows):
+            sid = ids[ri]
+            epochs.append(ep[ri])
+            payloads.append(pay[ri].as_buffer())
+            transforms_.append(tc[ri])
+            nodatas.append(nd[ri])
+    if sid is None:
+        return None
+    order = np.argsort(np.asarray(epochs), kind="stable")
+    ts = np.asarray(epochs, dtype=np.float64)[order]
+    arrs = [codec.decode(payloads[i]).astype(np.float64) for i in order]
+    shapes = {a.shape for a in arrs}
+    if len(shapes) != 1:
+        raise ValueError(f"series {sid!r} mixes grids {sorted(shapes)}; warp first")
+    nod = nodatas[order[0]]
+    return sid, ts, np.stack(arrs), [transforms_[i] for i in order], nod
+
+
 def _fill_stack(stack: np.ndarray, ts: np.ndarray, nod: float):
     """stack (T, nb, h, w) float64; returns (filled stack, per-epoch
     fill counts).  Vectorized prev/next valid-epoch transport."""
@@ -118,38 +150,17 @@ def gapfill_series(
     )
 
     def fill_group(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        epochs, payloads, transforms_, nodatas, sid = [], [], [], [], None
-        for batch in batches:
-            ids = batch.column("series_id").to_pylist()
-            ep = batch.column("epoch").to_pylist()
-            tc = batch.column("transform").to_pylist()
-            nd = batch.column("nodata").to_pylist()
-            pay = batch.column("bytes")
-            for ri in range(batch.num_rows):
-                sid = ids[ri]
-                epochs.append(ep[ri])
-                payloads.append(pay[ri].as_buffer())
-                transforms_.append(tc[ri])
-                nodatas.append(nd[ri])
-        if sid is None:
+        loaded = _load_series(batches)
+        if loaded is None:
             return
-        order = np.argsort(np.asarray(epochs), kind="stable")
-        ts = np.asarray(epochs, dtype=np.float64)[order]
-        arrs = [codec.decode(payloads[i]).astype(np.float64) for i in order]
-        shapes = {a.shape for a in arrs}
-        if len(shapes) != 1:
-            raise ValueError(
-                f"series {sid!r} mixes grids {sorted(shapes)}; warp first"
-            )
-        nod = nodatas[order[0]]
-        stack = np.stack(arrs)
+        sid, ts, stack, transforms_, nod = loaded
         if nod is None:
-            filled, counts = stack, np.zeros(len(arrs), dtype=np.int64)
+            filled, counts = stack, np.zeros(stack.shape[0], dtype=np.int64)
         else:
             filled, counts = _fill_stack(stack, ts, nod)
-        nb, h, w = arrs[0].shape
+        _, nb, h, w = stack.shape
         cols: dict[str, list] = {n: [] for n in _PA_SCHEMA.names}
-        for k in range(len(arrs)):
+        for k in range(stack.shape[0]):
             cols["series_id"].append(sid)
             cols["epoch"].append(float(ts[k]))
             cols["bytes"].append(codec.encode(filled[k], "raw"))
@@ -158,7 +169,7 @@ def gapfill_series(
             cols["fmt"].append("raw")
             cols["bands"].append(nb)
             cols["dtype"].append("float64")
-            cols["transform"].append(transforms_[order[k]])
+            cols["transform"].append(transforms_[k])
             cols["nodata"].append(nod)
             cols["n_filled"].append(int(counts[k]))
         yield pa.RecordBatch.from_arrays(
@@ -167,3 +178,107 @@ def gapfill_series(
         )
 
     return sel.groupBy("series_id").applyInArrow(fill_group, schema=GAPFILL_SCHEMA)
+
+
+COMPOSITE_SCHEMA = (
+    "series_id string, stat string, n_epochs int, bytes binary, w int, "
+    "h int, fmt string, bands int, dtype string, transform array<double>, "
+    "nodata double"
+)
+
+_COMPOSITE_PA = pa.schema(
+    [
+        ("series_id", pa.string()),
+        ("stat", pa.string()),
+        ("n_epochs", pa.int32()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("bands", pa.int32()),
+        ("dtype", pa.string()),
+        ("transform", pa.list_(pa.float64())),
+        ("nodata", pa.float64()),
+    ]
+)
+
+_COMPOSITE_STATS = ("median", "mean", "min", "max", "count")
+
+
+def _composite_stack(stack: np.ndarray, nod, stat: str) -> np.ndarray:
+    """One (bands, h, w) composite plane from a (T, bands, h, w) stack,
+    ignoring nodata observations; all-nodata pixels emit ``nod``
+    (``count`` emits 0).  ``median`` is the interpolated (quantile_cont
+    0.5) median — exact for integer-valued observations, matching the
+    SQL ``median`` the driver oracles replay."""
+    valid = np.ones(stack.shape, dtype=bool) if nod is None else stack != nod
+    cnt = valid.sum(axis=0)
+    if stat == "count":
+        return cnt.astype(np.float64)
+    if stat == "mean":
+        s = np.where(valid, stack, 0.0).sum(axis=0)
+        vals = s / np.maximum(cnt, 1)
+    elif stat == "min":
+        vals = np.where(valid, stack, np.inf).min(axis=0)
+    elif stat == "max":
+        vals = np.where(valid, stack, -np.inf).max(axis=0)
+    else:  # median
+        s = np.sort(np.where(valid, stack, np.inf), axis=0)
+        k = np.maximum(cnt, 1)
+        lo = np.take_along_axis(s, ((k - 1) // 2)[None], axis=0)[0]
+        hi = np.take_along_axis(s, (k // 2)[None], axis=0)[0]
+        vals = (lo + hi) / 2.0
+    if nod is None:
+        return vals
+    return np.where(cnt > 0, vals, nod)
+
+
+def composite_series(
+    images: DataFrame,
+    stat: str = "median",
+    series_col: str = "series_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-pixel temporal composite over a scene time series (the
+    classic seasonal/annual median-composite): reduces every pixel and
+    band across a series' epochs with ``stat`` in median / mean / min /
+    max / count, skipping nodata observations.  Same physical plan as
+    :func:`gapfill_series` — ONE series_id exchange, one
+    ``applyInArrow`` stack stage, fully vectorized reduction — and the
+    same shared-grid contract.  Output: one row per series with the
+    composite payload, ``n_epochs``, and the earliest epoch's
+    transform."""
+    if stat not in _COMPOSITE_STATS:
+        raise ValueError(f"unknown composite stat {stat!r}")
+    sel = images.select(
+        images[series_col].alias("series_id"),
+        images[epoch_col].cast("double").alias("epoch"),
+        "bytes",
+        "transform",
+        "nodata",
+    )
+
+    def comp_group(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        loaded = _load_series(batches)
+        if loaded is None:
+            return
+        sid, ts, stack, transforms_, nod = loaded
+        vals = _composite_stack(stack, nod, stat)
+        nb, h, w = vals.shape
+        out_nod = 0.0 if stat == "count" else nod
+        cols = [
+            pa.array([sid], type=pa.string()),
+            pa.array([stat], type=pa.string()),
+            pa.array([stack.shape[0]], type=pa.int32()),
+            pa.array([codec.encode(vals, "raw")], type=pa.binary()),
+            pa.array([w], type=pa.int32()),
+            pa.array([h], type=pa.int32()),
+            pa.array(["raw"], type=pa.string()),
+            pa.array([nb], type=pa.int32()),
+            pa.array(["float64"], type=pa.string()),
+            pa.array([transforms_[0]], type=pa.list_(pa.float64())),
+            pa.array([out_nod], type=pa.float64()),
+        ]
+        yield pa.RecordBatch.from_arrays(cols, schema=_COMPOSITE_PA)
+
+    return sel.groupBy("series_id").applyInArrow(comp_group, schema=COMPOSITE_SCHEMA)
