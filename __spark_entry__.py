@@ -455,6 +455,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_profile"] = doc_profile
 
+    # document chunking (round 5, RAG/embedding pre-pass): fixed-size
+    # overlapping character chunks, pure JVM sequence/explode/substring
+    # — the DuckDB twin replays the same ceil arithmetic and substr.
+    def doc_chunks(spark, sf_dir):
+        return text.chunk_documents(_t(spark, sf_dir, "documents"), 200, 50)
+
+    q["doc_chunks"] = doc_chunks
+
     # exact dedup
     def exact_dedup_q(spark, sf_dir):
         return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
@@ -1155,6 +1163,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["aspect_synth"] = aspect_synth
 
+    # gdaldem color-relief (round 5): band 1 through a 4-entry RGB ramp
+    # to 3 uint8 bands; segment spans and color deltas are integers, so
+    # the floor(lo_c + (v - lo) * dc / span + 0.5) interpolation is
+    # bit-exact against the SQL CASE chain.  Nodata -> nv (0,0,0).
+    def color_relief_synth(spark, sf_dir):
+        out = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [terrain.color_relief(_CR_RAMP)],
+            out_fmt="raw",
+        )
+        return pixels_op.to_pixels(out).select("image_id", "band", "r", "c", "val")
+
+    q["color_relief_synth"] = color_relief_synth
+
+    # percentile stretch (round 5, gdal_translate -scale analog) at
+    # p = 0/100, where the percentiles are exact order statistics
+    # (min/max) in both engines; the linear-interpolation quantile path
+    # is pytest-gated.  Valid pixels map through the shared floor
+    # expression; nodata stays 0 (uint8 convention).
+    def stretch_synth(spark, sf_dir):
+        out = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [transforms.stretch(0.0, 100.0)],
+            out_fmt="raw",
+        )
+        return pixels_op.to_pixels(out).select("image_id", "band", "r", "c", "val")
+
+    q["stretch_synth"] = stretch_synth
+
     # gdal_sieve (round 5): isolated specks (size 1 < threshold 2) on a
     # two-region background, gated per pixel.  Speck placement requires
     # the pixel ABOVE to be valid, so no speck ever fragments a
@@ -1389,6 +1426,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and is deliberately NOT aligned to the 0.25-deg pixel grid so the
 # floor/ceil window snap is exercised on both axes
 _MASK_BBOX = (-9.93, 51.3, -0.61, 59.9)
+
+# color-relief oracle ramp: 4 entries spanning the grid's 1..2000 DN
+# range; integer colors/spans keep the interpolation bit-exact
+_CR_RAMP = [
+    (0.0, 0, 0, 255),
+    (500.0, 64, 128, 32),
+    (1000.0, 255, 200, 100),
+    (2000.0, 16, 8, 240),
+]
+
+
+def _cr_channel_sql(k: int) -> str:
+    """The SQL CASE chain replaying color_relief's interpolation for
+    channel k over the closed-form grid (dn = 0 is nodata -> nv 0)."""
+    segs = []
+    for lo, hi in zip(_CR_RAMP[:-1], _CR_RAMP[1:]):
+        lov, hiv = lo[0], hi[0]
+        lc, dc = float(lo[1 + k]), float(hi[1 + k] - lo[1 + k])
+        segs.append(
+            f"WHEN dn < {hiv!r} THEN "
+            f"floor({lc!r} + (dn - {lov!r}) * {dc!r} / {hiv - lov!r} + 0.5)"
+        )
+    return (
+        "CASE WHEN dn = 0 THEN 0.0 "
+        f"WHEN dn <= {_CR_RAMP[0][0]!r} THEN {float(_CR_RAMP[0][1 + k])!r} "
+        + " ".join(segs)
+        + f" ELSE {float(_CR_RAMP[-1][1 + k])!r} END"
+    )
 
 
 def _oracle_grid_imgs(spark):
@@ -2781,6 +2846,53 @@ def oracle_sql() -> dict[str, str]:
                END, 6) AS val
         FROM px LEFT JOIN horn h
           ON h.idx = px.idx AND h.b = px.b AND h.r = px.r AND h.c = px.c
+    """
+
+    # gdaldem color-relief: band 0 of the grid through the fixed ramp,
+    # one output row per channel; the CASE chain replays the engine's
+    # segment lookup + floor interpolation with identical literals.
+    o["color_relief_synth"] = _grid16 + f"""
+        SELECT {_iid} AS image_id,
+               CAST(ch.k AS INTEGER) AS band,
+               CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+               CASE ch.k WHEN 0 THEN ({_cr_channel_sql(0)})
+                         WHEN 1 THEN ({_cr_channel_sql(1)})
+                         ELSE ({_cr_channel_sql(2)}) END AS val
+        FROM px CROSS JOIN (VALUES (0), (1), (2)) ch(k)
+        WHERE px.b = 0
+    """
+
+    # percentile stretch at p = 0/100: per-band min/max of VALID pixels
+    # (exact order statistics), then the shared floor mapping; nodata
+    # and degenerate (constant / all-nodata) bands emit 0.
+    o["stretch_synth"] = _grid16 + f"""
+        , mm AS (
+          SELECT idx, b,
+                 min(dn) FILTER (WHERE dn <> 0) AS qlo,
+                 max(dn) FILTER (WHERE dn <> 0) AS qhi
+          FROM px GROUP BY idx, b
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN 0.0
+                    WHEN mm.qhi = mm.qlo THEN 0.0
+                    ELSE LEAST(GREATEST(
+                      floor(0.0 + (px.dn - mm.qlo) * 255.0 / (mm.qhi - mm.qlo) + 0.5),
+                      0.0), 255.0)
+               END AS val
+        FROM px JOIN mm ON mm.idx = px.idx AND mm.b = px.b
+    """
+
+    # document chunking: the same ceil arithmetic and char-based substr
+    o["doc_chunks"] = """
+        SELECT doc_id AS id,
+               CAST(t.k AS BIGINT) AS chunk_id,
+               CAST(t.k * 150 AS BIGINT) AS chunk_start,
+               substr(text, CAST(t.k * 150 + 1 AS INTEGER), 200) AS chunk
+        FROM documents,
+             LATERAL unnest(generate_series(
+               0, (greatest(length(text) - 50, 1) + 149) // 150 - 1)) t(k)
     """
 
     return o

@@ -793,3 +793,60 @@ def test_frame_neardup_finds_shared_frames(spark):
         src_a = a[int(fr_a)][None] if vid_a == "vidA" else b[int(fr_a)][None]
         src_b = a[int(fr_b)][None] if vid_b == "vidA" else b[int(fr_b)][None]
         assert multimodal.phash64_arr(src_a) == multimodal.phash64_arr(src_b)
+
+
+def _brute_chunks(text, size, overlap, by):
+    units = text if by == "chars" else [w for w in __import__("re").split(r"\s+", text) if w]
+    step = size - overlap
+    n = len(units)
+    out = []
+    k = 0
+    while True:
+        start = k * step
+        if start >= n and k > 0:
+            break
+        piece = units[start : start + size]
+        out.append((k, start, piece if by == "chars" else " ".join(piece)))
+        k += 1
+        if start + size >= n:
+            break
+    return out
+
+
+def test_chunk_documents_differential(spark):
+    from ukis_pysat_spark.operators import text as text_ops
+
+    docs = [
+        ("d0", "abcdefghij"),            # 10 chars
+        ("d1", "abcde"),                 # exactly one chunk at size 5
+        ("d2", ""),                      # empty -> one empty chunk
+        ("d3", "  two  words   here "),  # whitespace runs
+        ("d4", "x" * 17),                # ragged tail
+        ("d5", "ünïcödé tèxt wörds and more words beyond"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for size, overlap, by in [(5, 0, "chars"), (5, 2, "chars"), (3, 1, "words"), (2, 0, "words")]:
+        got = {
+            (r["id"], r["chunk_id"]): (r["chunk_start"], r["chunk"])
+            for r in text_ops.chunk_documents(df, size, overlap, by=by).collect()
+        }
+        want = {}
+        for did, t in docs:
+            for k, start, piece in _brute_chunks(t, size, overlap, by):
+                want[(did, k)] = (start, piece)
+        assert got == want, (size, overlap, by)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text_ops.chunk_documents(df, 5, 5)
+    with _pt.raises(ValueError):
+        text_ops.chunk_documents(df, 5, 1, by="tokens")
+
+
+def test_chunk_documents_stays_jvm(spark):
+    from ukis_pysat_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([("d0", "hello world")], "doc_id string, text string")
+    plan = text_ops.chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
+        assert marker not in plan, marker

@@ -284,3 +284,92 @@ def test_to_pixels_shear_transform(spark):
         cf, rf = r["c"] + 0.5, r["r"] + 0.5
         assert r["x"] == pytest.approx(100.0 + cf * 2.0 + rf * 0.5, abs=0)
         assert r["y"] == pytest.approx(50.0 + cf * 0.25 + rf * -2.0, abs=0)
+
+
+def test_color_relief_differential(spark):
+    """interp + nearest modes vs a brute per-pixel loop, nodata -> nv."""
+    ramp = [(0.0, 0, 0, 255), (100.0, 64, 128, 32), (300.0, 255, 200, 100)]
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(17)))
+    z = rng.integers(1, 350, size=(6, 7)).astype(np.float64)
+    z[rng.random((6, 7)) < 0.2] = 0.0
+    z[0, 1] = 100.0  # exact breakpoint
+    z[0, 2] = 340.0  # above last -> clamp
+
+    def brute(v, mode):
+        vs = [e[0] for e in ramp]
+        if mode == "nearest":
+            best = min(range(len(vs)), key=lambda i: (abs(v - vs[i]), i))
+            return tuple(ramp[best][1:])
+        if v <= vs[0]:
+            return tuple(ramp[0][1:])
+        if v >= vs[-1]:
+            return tuple(ramp[-1][1:])
+        hi = next(i for i in range(len(vs)) if vs[i] >= v)
+        lo = hi - 1
+        out = []
+        for k in range(3):
+            lc, hc = float(ramp[lo][1 + k]), float(ramp[hi][1 + k])
+            out.append(
+                math.floor(lc + (v - vs[lo]) * (hc - lc) / (vs[hi] - vs[lo]) + 0.5)
+            )
+        return tuple(out)
+
+    for mode in ("interp", "nearest"):
+        out, row = _one(
+            spark, z, [terrain.color_relief(ramp, nv_color=(1, 2, 3), mode=mode)]
+        )
+        assert row["dtype"] == "uint8" and row["bands"] == 3
+        assert row["nodata"] is None
+        for r in range(6):
+            for c in range(7):
+                want = (1, 2, 3) if z[r, c] == 0.0 else brute(z[r, c], mode)
+                assert tuple(out[:, r, c]) == want, (mode, r, c, z[r, c])
+
+    with pytest.raises(ValueError, match="sorted"):
+        terrain.color_relief([(10, 0, 0, 0), (5, 1, 1, 1)])
+    with pytest.raises(ValueError, match="mode"):
+        terrain.color_relief(ramp, mode="exact")
+
+
+def test_stretch_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(19)))
+    z = rng.integers(1, 1000, size=(2, 8, 9)).astype(np.float64)
+    z[rng.random((2, 8, 9)) < 0.2] = 0.0
+    out, row = _one(spark, z, [transforms.stretch(2.0, 98.0)])
+    assert row["dtype"] == "uint8" and row["nodata"] == 0.0
+    for b in range(2):
+        valid = np.sort(z[b][z[b] != 0.0])
+        n = valid.size
+        for q, name in ((0.02, "qlo"), (0.98, "qhi")):
+            pass
+        pos = (n - 1) * 0.02
+        i = int(pos)
+        qlo = valid[i] + (valid[i + 1] - valid[i]) * (pos - i)
+        pos = (n - 1) * 0.98
+        i = int(pos)
+        f = pos - i
+        qhi = valid[i] if f == 0.0 else valid[i] + (valid[i + 1] - valid[i]) * f
+        want = np.floor(0.0 + (z[b] - qlo) * 255.0 / (qhi - qlo) + 0.5)
+        want = np.clip(want, 0.0, 255.0)
+        want = np.where(z[b] == 0.0, 0.0, want).astype(np.uint8)
+        assert np.array_equal(out[b], want), b
+    # numpy's own linear quantile agrees to float tolerance
+    valid = z[0][z[0] != 0.0]
+    assert np.isclose(
+        transforms._quantile_linear(np.sort(valid), 0.37),
+        np.quantile(valid, 0.37, method="linear"),
+        rtol=1e-12,
+    )
+    # min/max stretch: endpoints map exactly to dst ends
+    mm, _ = _one(spark, z, [transforms.stretch(0.0, 100.0)])
+    for b in range(2):
+        valid = z[b][z[b] != 0.0]
+        got_at_max = mm[b][z[b] == valid.max()]
+        got_at_min = mm[b][z[b] == valid.min()]
+        assert np.all(got_at_max == 255) and np.all(got_at_min == 0)
+    # constant band -> d0 everywhere (degenerate range)
+    const = np.full((1, 4, 4), 7.0)
+    cc, _ = _one(spark, const, [transforms.stretch(0.0, 100.0)], nodata=None)
+    assert np.all(cc == 0)
+    with pytest.raises(ValueError):
+        transforms.stretch(50.0, 50.0)

@@ -258,6 +258,70 @@ def roughness(out_nodata: float = -9999.0):
     return t
 
 
+def color_relief(ramp, nv_color=(0, 0, 0), mode: str = "interp"):
+    """``gdaldem color-relief``: map band 1's values through an
+    elevation->RGB ramp to a 3-band uint8 raster.
+
+    ``ramp`` is a sorted list of ``(value, r, g, b)`` entries.  With
+    ``mode='interp'`` (gdaldem's default) colors between entries are
+    linearly interpolated channel-wise and rounded half-up as
+    ``floor(lo_c + (v - lo) * (hi_c - lo_c) / (hi - lo) + 0.5)`` — the
+    exact operation order the driver's SQL twin replays; values below
+    the first / above the last entry clamp to the end colors.
+    ``mode='nearest'`` (gdaldem ``-nearest_color_entry``) snaps to the
+    entry with the smallest absolute distance, lower entry winning
+    ties.  Nodata pixels emit ``nv_color`` (the ``nv`` ramp line);
+    output nodata metadata is cleared (colors are data everywhere,
+    GDAL's behavior without an alpha band)."""
+    if len(ramp) < 1:
+        raise ValueError("color_relief needs at least one ramp entry")
+    vals = [float(e[0]) for e in ramp]
+    if sorted(vals) != vals:
+        raise ValueError("ramp entries must be sorted by value")
+    if mode not in ("interp", "nearest"):
+        raise ValueError(f"unknown color_relief mode {mode!r}")
+    v_arr = np.asarray(vals)
+    c_arr = np.asarray([[float(e[1 + k]) for e in ramp] for k in range(3)])
+    nv = np.asarray(nv_color, dtype=np.float64)
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr[0].astype(np.float64, copy=False)
+        h, w = z.shape
+        ok = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        out = np.empty((3, h, w), dtype=np.float64)
+        if mode == "nearest":
+            # lower entry wins ties: searchsorted on midpoints, left side
+            mids = (v_arr[:-1] + v_arr[1:]) / 2.0
+            idx = np.searchsorted(mids, z, side="left")
+            for k in range(3):
+                out[k] = c_arr[k][idx]
+        else:
+            hi = np.clip(np.searchsorted(v_arr, z, side="left"), 1, len(vals) - 1)
+            lo = hi - 1
+            span = v_arr[hi] - v_arr[lo]
+            ratio_num = z - v_arr[lo]
+            for k in range(3):
+                lo_c = c_arr[k][lo]
+                dc = c_arr[k][hi] - c_arr[k][lo]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    interp = np.floor(
+                        lo_c + ratio_num * dc / np.where(span == 0.0, 1.0, span)
+                        + 0.5
+                    )
+                below = z <= v_arr[0]
+                above = z >= v_arr[-1]
+                out[k] = np.where(
+                    below, c_arr[k][0], np.where(above, c_arr[k][-1], interp)
+                )
+        for k in range(3):
+            out[k] = np.where(ok, out[k], nv[k])
+        out8 = np.clip(out, 0.0, 255.0).astype(np.uint8)
+        return out8, dict(meta, nodata=None)
+
+    return t
+
+
 def _box_sum(plane: np.ndarray, k: int) -> np.ndarray:
     """Separable k x k moving-window sum, window clipped at the edges.
     plane is (bands, h, w) float64; zeros stand in for excluded cells."""

@@ -91,3 +91,60 @@ def document_profile(documents: DataFrame) -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    size: int,
+    overlap: int = 0,
+    by: str = "chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping chunks — the
+    standard RAG/embedding pre-pass.  ``by='chars'`` slices the raw
+    string; ``by='words'`` splits on whitespace runs and rejoins each
+    chunk with single spaces.  Chunk k starts at offset
+    ``k * (size - overlap)``; starts past the end emit nothing, and a
+    document shorter than ``size`` yields exactly one chunk (empty
+    documents yield one empty chunk).
+
+    Stays entirely JVM-side — ``sequence``/``explode`` fan-out with
+    ``substring``/``slice``, no Python UDF, no shuffle — so it scales
+    as a pure map over the documents table.  Output: (id, chunk_id,
+    chunk_start, chunk) with chunk_start in the unit of ``by``
+    (0-based)."""
+    if size < 1 or overlap < 0 or overlap >= size:
+        raise ValueError("need size >= 1 and 0 <= overlap < size")
+    if by not in ("chars", "words"):
+        raise ValueError(f"unknown chunk unit {by!r}")
+    step = size - overlap
+    t = F.col(text_col)
+    if by == "chars":
+        n = F.length(t)
+        units = t
+    else:
+        # split on whitespace runs; a leading empty token appears when
+        # the text starts with whitespace — filter like ws_token_count
+        units = F.filter(F.split(t, "\\s+"), lambda w: w != "")
+        n = F.size(units)
+    # number of chunks: ceil(max(n - overlap, 1) / step)
+    n_chunks = F.floor(
+        (F.greatest(n - overlap, F.lit(1)) + (step - 1)) / F.lit(step)
+    ).cast("long")
+    k = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    start = (F.col("k") * step).cast("long")
+    if by == "chars":
+        chunk = F.substring(t, (start + 1).cast("int"), size)
+    else:
+        chunk = F.array_join(F.slice(units, (start + 1).cast("int"), size), " ")
+    return (
+        documents.select(F.col(id_col).alias("id"), t.alias(text_col))
+        .withColumn("k", k)
+        .select(
+            "id",
+            F.col("k").cast("long").alias("chunk_id"),
+            start.alias("chunk_start"),
+            chunk.alias("chunk"),
+        )
+    )

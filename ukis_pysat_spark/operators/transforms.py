@@ -137,6 +137,74 @@ def pixel_math(fn: Callable[[np.ndarray], np.ndarray]) -> TransformFn:
     return t
 
 
+def _quantile_linear(sorted_vals: np.ndarray, q: float) -> float:
+    """Interpolated quantile over a SORTED 1-D array with the
+    ``lo + (hi - lo) * frac`` expression at position ``(n - 1) * q``
+    (numpy's 'linear' / SQL quantile_cont definition).  At integer
+    positions (q = 0, 1, or (n-1)*q integral) no interpolation happens,
+    so the result is an exact order statistic in every engine."""
+    n = sorted_vals.size
+    pos = (n - 1) * q
+    i = int(math.floor(pos))
+    frac = pos - i
+    lo = float(sorted_vals[i])
+    if frac == 0.0 or i + 1 >= n:
+        return lo
+    return lo + (float(sorted_vals[i + 1]) - lo) * frac
+
+
+def stretch(
+    p_lo: float = 2.0,
+    p_hi: float = 98.0,
+    dst: tuple = (0.0, 255.0),
+    out_dtype: str = "uint8",
+) -> TransformFn:
+    """Percentile contrast stretch (the ``gdal_translate -scale`` /
+    QGIS "cumulative count cut" enhancement): per band, map the
+    [p_lo, p_hi] percentile range of VALID pixels linearly onto
+    ``dst``, clip, and round half-up —
+
+        floor(d0 + (v - qlo) * (d1 - d0) / (qhi - qlo) + 0.5)
+
+    in exactly that operation order (the driver's SQL twin replays it
+    verbatim at p = 0/100, where the percentiles are exact order
+    statistics).  Degenerate bands (qhi == qlo, e.g. constant or
+    all-nodata) map everything to d0.  Nodata pixels stay nodata
+    (mapped to 0 for unsigned outputs — the GDAL convention of leaving
+    the nodata DN outside the stretch)."""
+    if not 0.0 <= p_lo < p_hi <= 100.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 100")
+    d0, d1 = float(dst[0]), float(dst[1])
+
+    def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        nb = z.shape[0]
+        out = np.empty_like(z)
+        for b in range(nb):
+            plane = z[b]
+            valid = plane[plane != nod] if nod is not None else plane.ravel()
+            if valid.size == 0:
+                out[b] = d0
+                continue
+            sv = np.sort(valid)
+            qlo = _quantile_linear(sv, p_lo / 100.0)
+            qhi = _quantile_linear(sv, p_hi / 100.0)
+            if qhi == qlo:
+                out[b] = d0
+                continue
+            mapped = np.floor(d0 + (plane - qlo) * (d1 - d0) / (qhi - qlo) + 0.5)
+            out[b] = np.clip(mapped, min(d0, d1), max(d0, d1))
+        new_nod = nod
+        if nod is not None:
+            new_nod = 0.0 if out_dtype.startswith("u") else nod
+            mask = z != nod
+            out = np.where(mask, out, new_nod)
+        return out.astype(np.dtype(out_dtype)), dict(meta, nodata=new_nod)
+
+    return t
+
+
 # --- P4: valid-data bbox ---------------------------------------------------
 
 
