@@ -1192,6 +1192,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stretch_synth"] = stretch_synth
 
+    # gdal_viewshed (round 5): R3 exact line-of-sight from pixel (3,4)
+    # at oh=1 over band 1 of the grid — the DuckDB twin replays every
+    # ray crossing with the same integer rational geometry and the
+    # same-order IEEE interpolation/comparison, so the uint8 mask is
+    # bit-exact PER PIXEL.  Half the oracle images put the observer on
+    # nodata (nod >= 4), gating the all-zero path too.
+    def viewshed_synth(spark, sf_dir):
+        vs = transforms.apply_transforms(
+            _oracle_grid_imgs(spark),
+            [terrain.viewshed((3, 4), oh=1.0)],
+            out_fmt="raw",
+        )
+        return pixels_op.to_pixels(vs).select("image_id", "band", "r", "c", "val")
+
+    q["viewshed_synth"] = viewshed_synth
+
+    # D8 flow direction (round 5, hydrology): steepest positive
+    # distance-weighted drop with ESRI codes and a smallest-code tie
+    # rule; the diagonal weight 1/sqrt(2) is the shared double literal,
+    # so scores compare identically in both engines — bit-exact.
+    def flow_dir_synth(spark, sf_dir):
+        fd = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.flow_dir()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(fd).select("image_id", "band", "r", "c", "val")
+
+    q["flow_dir_synth"] = flow_dir_synth
+
     # gdal_sieve (round 5): isolated specks (size 1 < threshold 2) on a
     # two-region background, gated per pixel.  Speck placement requires
     # the pixel ABOVE to be valid, so no speck ever fragments a
@@ -2882,6 +2910,115 @@ def oracle_sql() -> dict[str, str]:
                       0.0), 255.0)
                END AS val
         FROM px JOIN mm ON mm.idx = px.idx AND mm.b = px.b
+    """
+
+    # gdal_viewshed: full SQL replay of the R3 line-of-sight — one row
+    # per (target, crossing k), the crossing's minor coordinate as the
+    # exact rational floor(num / d) + rem, interpolation and the
+    # blocking comparison in the engine's operation order, bool_or per
+    # target.  Observer (3,4), oh = 1.0; images with nodata at the
+    # observer emit all zeros.
+    o["viewshed_synth"] = _grid16 + f"""
+        , p AS (SELECT px.idx, px.r, px.c, px.dn FROM px WHERE px.b = 0),
+        ob AS (SELECT idx, dn AS zob FROM p WHERE r = 3 AND c = 4),
+        t AS (
+          SELECT p.idx, p.r, p.c, p.dn,
+                 p.r - 3 AS dr, p.c - 4 AS dc,
+                 greatest(abs(p.r - 3), abs(p.c - 4)) AS d
+          FROM p
+        ),
+        crs AS (
+          SELECT t.idx, t.r, t.c, t.dn, t.dr, t.dc, t.d, ob.zob, k.k,
+                 CASE WHEN abs(t.dr) >= abs(t.dc)
+                      THEN t.dc * k.k ELSE t.dr * k.k END AS num
+          FROM t JOIN ob USING (idx),
+               LATERAL unnest(generate_series(1, CAST(t.d - 1 AS BIGINT))) k(k)
+          WHERE t.d >= 2 AND ob.zob <> 0 AND t.dn <> 0
+        ),
+        geom AS (
+          SELECT crs.*, i.nrows, i.ncols,
+                 CAST(floor(CAST(num AS DOUBLE) / d) AS BIGINT) AS off0
+          FROM crs JOIN imgs i USING (idx)
+        ),
+        xing AS (
+          SELECT idx, r, c, dn, d, k, zob,
+                 num - off0 * d AS rem,
+                 CASE WHEN abs(dr) >= abs(dc)
+                      THEN 3 + (CASE WHEN dr > 0 THEN 1 ELSE -1 END) * k
+                      ELSE 3 + off0 END AS r0,
+                 CASE WHEN abs(dr) >= abs(dc)
+                      THEN 4 + off0
+                      ELSE 4 + (CASE WHEN dc > 0 THEN 1 ELSE -1 END) * k
+                 END AS c0,
+                 abs(dr) >= abs(dc) AS rowmajor,
+                 nrows, ncols
+          FROM geom
+        ),
+        blockers AS (
+          SELECT x.idx, x.r, x.c,
+                 bool_or(
+                   NOT (p0.dn = 0 OR (x.rem <> 0 AND p1.dn = 0))
+                   AND ((p0.dn + (p1.dn - p0.dn) * x.rem / x.d
+                         - (x.zob + 1.0)) * x.d
+                        > (x.dn - (x.zob + 1.0)) * x.k)
+                 ) AS blocked
+          FROM xing x
+          JOIN p p0 ON p0.idx = x.idx AND p0.r = x.r0 AND p0.c = x.c0
+          JOIN p p1 ON p1.idx = x.idx
+                   AND p1.r = CASE WHEN x.rowmajor THEN x.r0
+                              ELSE least(x.r0 + 1, x.nrows - 1) END
+                   AND p1.c = CASE WHEN x.rowmajor
+                              THEN least(x.c0 + 1, x.ncols - 1) ELSE x.c0 END
+          GROUP BY x.idx, x.r, x.c
+        )
+        SELECT 'img' || lpad(CAST(p.idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(0 AS INTEGER) AS band,
+               CAST(p.r AS INTEGER) AS r, CAST(p.c AS INTEGER) AS c,
+               CASE WHEN ob.zob IS NULL OR ob.zob = 0 THEN 0.0
+                    WHEN p.dn = 0 THEN 0.0
+                    WHEN COALESCE(b.blocked, FALSE) THEN 0.0
+                    ELSE 255.0 END AS val
+        FROM p
+        LEFT JOIN ob ON ob.idx = p.idx
+        LEFT JOIN blockers b ON b.idx = p.idx AND b.r = p.r AND b.c = p.c
+    """
+
+    # D8 flow direction: 8-neighbor join scored with the shared
+    # 1/sqrt(2) literal, row_number() replaying the smallest-code tie
+    # rule; pits/flats -> 0, isolated cells -> 0, nodata -> -9999
+    _invd = repr(1.0 / math.sqrt(2.0))
+    o["flow_dir_synth"] = _grid16 + f"""
+        , d(dr, dc, code, inv) AS (
+          VALUES (0, 1, 1, 1.0), (1, 1, 2, {_invd}), (1, 0, 4, 1.0),
+                 (1, -1, 8, {_invd}), (0, -1, 16, 1.0),
+                 (-1, -1, 32, {_invd}), (-1, 0, 64, 1.0),
+                 (-1, 1, 128, {_invd})
+        ),
+        nb AS (
+          SELECT z.idx, z.b, z.r, z.c, d.code,
+                 (z.dn - n.dn) * d.inv AS score
+          FROM px z
+          JOIN d ON TRUE
+          JOIN px n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          WHERE z.dn <> 0 AND n.dn <> 0
+        ),
+        pick AS (
+          SELECT idx, b, r, c, code, score,
+                 row_number() OVER (PARTITION BY idx, b, r, c
+                                    ORDER BY score DESC, code ASC) AS rn
+          FROM nb
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN -9999.0
+                    WHEN p.score IS NULL THEN 0.0
+                    WHEN p.score > 0.0 THEN CAST(p.code AS DOUBLE)
+                    ELSE 0.0 END AS val
+        FROM px
+        LEFT JOIN pick p ON p.idx = px.idx AND p.b = px.b
+                        AND p.r = px.r AND p.c = px.c AND p.rn = 1
     """
 
     # document chunking: the same ceil arithmetic and char-based substr

@@ -373,3 +373,138 @@ def test_stretch_differential(spark):
     assert np.all(cc == 0)
     with pytest.raises(ValueError):
         transforms.stretch(50.0, 50.0)
+
+
+def _brute_viewshed(z, orow, ocol, oh, nod, tz=0.0, maxdist=None):
+    """Per-target python LOS replay with the same rational crossings."""
+    h, w = z.shape
+    out = np.zeros((h, w), dtype=np.uint8)
+    if nod is not None and z[orow, ocol] == nod:
+        return out
+    zo = z[orow, ocol] + oh
+    for r in range(h):
+        for c in range(w):
+            if nod is not None and z[r, c] == nod:
+                continue
+            dr, dc = r - orow, c - ocol
+            d = max(abs(dr), abs(dc))
+            if maxdist is not None and d > maxdist:
+                continue
+            vis = True
+            for k in range(1, d):
+                if abs(dr) >= abs(dc):
+                    num = dc * k
+                    off0 = num // d
+                    rem = num - off0 * d
+                    r0 = orow + (1 if dr > 0 else -1) * k
+                    c0 = ocol + off0
+                    r1, c1 = r0, min(c0 + 1, w - 1)
+                else:
+                    num = dr * k
+                    off0 = num // d
+                    rem = num - off0 * d
+                    c0 = ocol + (1 if dc > 0 else -1) * k
+                    r0 = orow + off0
+                    r1, c1 = min(r0 + 1, h - 1), c0
+                z0, z1 = z[r0, c0], z[r1, c1]
+                if nod is not None and (z0 == nod or (rem != 0 and z1 == nod)):
+                    continue
+                zk = z0 + (z1 - z0) * rem / d
+                if (zk - zo) * d > (z[r, c] + tz - zo) * k:
+                    vis = False
+                    break
+            out[r, c] = 255 if vis else 0
+    if maxdist is not None:
+        for r in range(h):
+            for c in range(w):
+                if max(abs(r - orow), abs(c - ocol)) > maxdist:
+                    out[r, c] = 0
+    return out
+
+
+def test_viewshed_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(23)))
+    z = rng.integers(1, 60, size=(11, 13)).astype(np.float64)
+    z[rng.random((11, 13)) < 0.15] = 0.0
+    z[5, 6] = 10.0  # valid observer cell
+    out, row = _one(spark, z, [terrain.viewshed((5, 6), oh=2.0)])
+    assert row["dtype"] == "uint8" and row["bands"] == 1 and row["nodata"] is None
+    want = _brute_viewshed(z, 5, 6, 2.0, 0.0)
+    assert np.array_equal(out[0], want)
+    assert out[0, 5, 6] == 255  # observer sees itself
+    # blocked and visible cells both occur
+    valid = z != 0.0
+    assert (out[0][valid] == 0).any() and (out[0][valid] == 255).any()
+
+    # maxdist bounds the radius
+    md, _ = _one(spark, z, [terrain.viewshed((5, 6), oh=2.0, maxdist=3)])
+    assert np.array_equal(md[0], _brute_viewshed(z, 5, 6, 2.0, 0.0, maxdist=3))
+
+    # observer on nodata -> all-zero mask
+    z2 = z.copy()
+    z2[5, 6] = 0.0
+    nul, _ = _one(spark, z2, [terrain.viewshed((5, 6))])
+    assert np.all(nul == 0)
+
+    with pytest.raises(Exception, match="outside"):
+        _one(spark, z, [terrain.viewshed((50, 6))])
+
+
+def test_viewshed_geo_and_closed_form(spark):
+    # ramp rising away from the observer: everything visible
+    h, w = 7, 9
+    ramp_up = np.add.outer(np.zeros(h), np.arange(w, dtype=float)) + 1.0
+    out, _ = _one(spark, ramp_up, [terrain.viewshed((3, 0), oh=1.0)], nodata=None)
+    assert np.all(out[0] == 255)
+    # a wall hides the cells straight behind it (same row, beyond wall)
+    flat = np.full((7, 9), 5.0)
+    flat[3, 4] = 50.0
+    out2, _ = _one(spark, flat, [terrain.viewshed((3, 0), oh=1.0)], nodata=None)
+    assert np.all(out2[0, 3, 5:] == 0) and out2[0, 3, 4] == 255
+    want = _brute_viewshed(flat, 3, 0, 1.0, None)
+    assert np.array_equal(out2[0], want)
+    # geo mode: observer at the pixel-center geo coords of (3, 0)
+    a, _, c0, _, e, f0 = _T
+    gx, gy = c0 + 0.5 * a, f0 + 3.5 * e
+    geo_out, _ = _one(
+        spark, flat, [terrain.viewshed((gx, gy), oh=1.0, geo=True)], nodata=None
+    )
+    assert np.array_equal(geo_out[0], out2[0])
+
+
+def test_flow_dir_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(29)))
+    z = rng.integers(1, 40, size=(2, 8, 10)).astype(np.float64)
+    z[rng.random((2, 8, 10)) < 0.2] = 0.0
+    z[0, 2, 2:5] = 7.0  # flats with ties
+    out, row = _one(spark, z, [terrain.flow_dir()])
+    assert row["nodata"] == -9999.0
+    codes = [(0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+             (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)]
+    inv = 1.0 / math.sqrt(2.0)
+    nb_, h, w = z.shape
+    for b in range(nb_):
+        for r in range(h):
+            for c in range(w):
+                if z[b, r, c] == 0.0:
+                    assert out[b, r, c] == -9999.0, (b, r, c)
+                    continue
+                best, bcode = -math.inf, 0.0
+                for dr, dc, code in codes:
+                    rr2, cc2 = r + dr, c + dc
+                    if not (0 <= rr2 < h and 0 <= cc2 < w):
+                        continue
+                    if z[b, rr2, cc2] == 0.0:
+                        continue
+                    s = (z[b, r, c] - z[b, rr2, cc2]) * (inv if dr and dc else 1.0)
+                    if s > best:
+                        best, bcode = s, float(code)
+                want = bcode if best > 0.0 else 0.0
+                assert out[b, r, c] == want, (b, r, c, want, out[b, r, c])
+    # a strict bowl flows outward from the rim, the center is a pit
+    yy, xx = np.mgrid[0:7, 0:7]
+    bowl = ((yy - 3) ** 2 + (xx - 3) ** 2).astype(np.float64) + 1.0
+    fd, _ = _one(spark, bowl, [terrain.flow_dir()], nodata=None)
+    assert fd[0, 3, 3] == 0.0          # the minimum is a pit
+    assert fd[0, 3, 2] == 1.0          # west of center flows E, downhill
+    assert fd[0, 2, 3] == 4.0          # north of center flows S, downhill

@@ -322,6 +322,164 @@ def color_relief(ramp, nv_color=(0, 0, 0), mode: str = "interp"):
     return t
 
 
+def viewshed(
+    obs,
+    oh: float = 2.0,
+    tz: float = 0.0,
+    geo: bool = False,
+    maxdist: int | None = None,
+    visible: int = 255,
+    invisible: int = 0,
+    out_value: int = 0,
+):
+    """``gdal_viewshed`` analog: uint8 visibility mask of band 1 from
+    an observer ``oh`` above the surface (R3 exact line-of-sight, the
+    brute algorithm gdal_viewshed's Wang DP approximates).
+
+    Semantics (replayed verbatim by the driver's SQL twin):
+
+    - the ray to a target at Chebyshev distance ``d`` is sampled at
+      the ``d - 1`` integer crossings of its MAJOR axis; the minor
+      coordinate there is the exact rational ``offset * k / d``,
+      interpolated between the two adjacent cells as
+      ``z0 + (z1 - z0) * rem / d`` with integer ``rem = num - d *
+      floor(num / d)`` — every engine computes the identical IEEE
+      expression;
+    - the target (+ ``tz``) is visible iff no crossing's slope beats
+      its own: blocked when ``(zk - zo) * d > (zt + tz - zo) * k``
+      (grazing sight lines count visible);
+    - nodata crossings never block (``z0`` nodata, or ``z1`` nodata
+      when the interpolation actually uses it); nodata targets emit 0;
+      an observer on nodata yields an all-zero mask (gdal errors —
+      a Spark stage must not);
+    - ``maxdist`` bounds the Chebyshev radius (gdal ``-md``); beyond
+      it cells emit ``out_value``.  Cost is O(pixels * min(diameter,
+      maxdist)) — bound maxdist on large scenes, as with gdal.
+
+    ``obs`` is (row, col) pixel coords, or (x, y) georeferenced when
+    ``geo=True`` (inverse affine, floor to the containing pixel).
+    Output: 1 band uint8, visible/invisible/out_value, nodata cleared.
+    """
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr[0].astype(np.float64, copy=False)
+        h, w = z.shape
+        if geo:
+            a, bb, c_, dd, e, f_ = meta["transform"]
+            ox, oy = float(obs[0]), float(obs[1])
+            det = a * e - bb * dd
+            colf = (e * (ox - c_) - bb * (oy - f_)) / det
+            rowf = (-dd * (ox - c_) + a * (oy - f_)) / det
+            orow, ocol = int(math.floor(rowf)), int(math.floor(colf))
+        else:
+            orow, ocol = int(obs[0]), int(obs[1])
+        if not (0 <= orow < h and 0 <= ocol < w):
+            raise ValueError(f"observer ({orow}, {ocol}) outside the {h}x{w} raster")
+        out = np.zeros((1, h, w), dtype=np.uint8)
+        if nod is not None and z[orow, ocol] == nod:
+            return out, dict(meta, nodata=None)
+        zo = z[orow, ocol] + oh
+        rr = np.arange(h, dtype=np.int64)[:, None]
+        cc = np.arange(w, dtype=np.int64)[None, :]
+        drr = rr - orow
+        dcc = cc - ocol
+        d = np.maximum(np.abs(drr), np.abs(dcc))
+        valid_t = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        zt_num = z + tz - zo
+        blocked = np.zeros(z.shape, dtype=bool)
+        kmax = int(d.max()) if maxdist is None else min(int(d.max()), int(maxdist))
+        for k in range(1, kmax):
+            rs, cs = np.nonzero((d > k) & ~blocked & valid_t)
+            if rs.size == 0:
+                break
+            dr_s = rs - orow
+            dc_s = cs - ocol
+            dsel = np.maximum(np.abs(dr_s), np.abs(dc_s))
+            row_major = np.abs(dr_s) >= np.abs(dc_s)
+            num = np.where(row_major, dc_s, dr_s) * k
+            off0 = num // dsel  # floor division, matching SQL floor(num / d)
+            rem = num - off0 * dsel
+            maj = np.where(row_major, orow + np.sign(dr_s) * k,
+                           ocol + np.sign(dc_s) * k)
+            mino = np.where(row_major, ocol, orow) + off0
+            r0 = np.where(row_major, maj, mino)
+            c0 = np.where(row_major, mino, maj)
+            r1 = np.where(row_major, r0, np.minimum(r0 + 1, h - 1))
+            c1 = np.where(row_major, np.minimum(c0 + 1, w - 1), c0)
+            z0 = z[r0, c0]
+            z1 = z[r1, c1]
+            zk = z0 + (z1 - z0) * rem / dsel
+            if nod is None:
+                skip = np.zeros(rs.shape, dtype=bool)
+            else:
+                skip = (z0 == nod) | ((rem != 0) & (z1 == nod))
+            blk = ~skip & ((zk - zo) * dsel > zt_num[rs, cs] * k)
+            blocked[rs[blk], cs[blk]] = True
+        vis = np.where(blocked, invisible, visible)
+        res = np.where(valid_t, vis, 0)
+        if maxdist is not None:
+            res = np.where(d > maxdist, out_value, res)
+        out[0] = res.astype(np.uint8)
+        return out, dict(meta, nodata=None)
+
+    return t
+
+
+# D8 neighbors in ESRI code order (E, SE, S, SW, W, NW, N, NE); the
+# diagonal distance weight is the shared double literal both engines
+# multiply by (see flow_dir)
+_D8 = (
+    ((0, 1), 1.0), ((1, 1), 2.0), ((1, 0), 4.0), ((1, -1), 8.0),
+    ((0, -1), 16.0), ((-1, -1), 32.0), ((-1, 0), 64.0), ((-1, 1), 128.0),
+)
+_INV_DIAG = 1.0 / math.sqrt(2.0)
+
+
+def flow_dir(out_nodata: float = -9999.0):
+    """D8 flow direction (ESRI/ArcGIS ``FlowDirection`` convention):
+    each cell flows to the neighbor with the steepest positive
+    distance-weighted drop ``(z - z_n) * inv_dist`` (diagonals weighted
+    by 1/sqrt(2)); codes are E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64,
+    NE=128.  Ties pick the SMALLEST code (scan order with a strict
+    comparison — total and partitioning-independent); pits and flats
+    (no positive drop) emit 0; nodata neighbors and cells beyond the
+    edge never receive flow; nodata centers emit ``out_nodata``.
+    Applies per band, edges included (computed from the neighbors that
+    exist, the richdem convention — not the gdaldem nodata frame)."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        nb, h, w = z.shape
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        best = np.full(z.shape, -np.inf)
+        out = np.zeros(z.shape)
+
+        def shifted(plane, dr, dc, fill):
+            s = np.full(plane.shape, fill, dtype=plane.dtype)
+            rs_dst = slice(max(-dr, 0), h - max(dr, 0))
+            cs_dst = slice(max(-dc, 0), w - max(dc, 0))
+            rs_src = slice(max(dr, 0), h - max(-dr, 0))
+            cs_src = slice(max(dc, 0), w - max(-dc, 0))
+            s[:, rs_dst, cs_dst] = plane[:, rs_src, cs_src]
+            return s
+
+        for (dr, dc), code in _D8:
+            zn = shifted(z, dr, dc, 0.0)
+            vn = shifted(valid, dr, dc, False)
+            inv = _INV_DIAG if dr != 0 and dc != 0 else 1.0
+            score = (z - zn) * inv
+            cand = vn & (score > best)
+            best = np.where(cand, score, best)
+            out = np.where(cand, code, out)
+        out = np.where(best > 0.0, out, 0.0)
+        out = np.where(valid, out, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
 def _box_sum(plane: np.ndarray, k: int) -> np.ndarray:
     """Separable k x k moving-window sum, window clipped at the edges.
     plane is (bands, h, w) float64; zeros stand in for excluded cells."""
