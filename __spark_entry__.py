@@ -463,6 +463,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_chunks"] = doc_chunks
 
+    # BM25 top-k retrieval (round 5): inverted-index-shaped lexical
+    # ranking — postings filtered to the query terms before any
+    # exchange, idf float32-rounded and contributions snapped to the
+    # 2^-20 dyadic grid so the per-doc sum is order-independent and
+    # the DuckDB twin matches bit-for-bit.
+    def bm25_topk_q(spark, sf_dir):
+        return text.bm25_topk(
+            _t(spark, sf_dir, "documents"), "spark join fast query", k=25
+        )
+
+    q["bm25_topk"] = bm25_topk_q
+
     # exact dedup
     def exact_dedup_q(spark, sf_dir):
         return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
@@ -1219,6 +1231,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pixels_op.to_pixels(fd).select("image_id", "band", "r", "c", "val")
 
     q["flow_dir_synth"] = flow_dir_synth
+
+    # drainage basins (round 5): D8 pointer-chase to the terminal
+    # pit/flat, labels = the pit's flat index (canonical, partitioning-
+    # independent); the engine resolves paths by pointer doubling, the
+    # DuckDB twin by an INDEPENDENT recursive walk over the same
+    # steepest-descent steps — bit-exact (integer labels).
+    def basins_synth(spark, sf_dir):
+        bs = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.basins()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(bs).select("image_id", "band", "r", "c", "val")
+
+    q["basins_synth"] = basins_synth
+
+    # flow accumulation (round 5): visits-per-node over the same D8
+    # steps — engine resolves by vectorized Kahn peeling, the DuckDB
+    # twin counts rows of the recursive walk; bit-exact integer counts.
+    def flow_accum_synth(spark, sf_dir):
+        fa = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.flow_accum()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(fa).select("image_id", "band", "r", "c", "val")
+
+    q["flow_accum_synth"] = flow_accum_synth
 
     # gdal_sieve (round 5): isolated specks (size 1 < threshold 2) on a
     # two-region background, gated per pixel.  Speck placement requires
@@ -3021,6 +3057,92 @@ def oracle_sql() -> dict[str, str]:
                         AND p.r = px.r AND p.c = px.c AND p.rn = 1
     """
 
+    # shared D8 walk: the flow_dir pick CTE plus a RECURSIVE walk
+    # following each cell's steepest-descent step; walk(idx,b,r0,c0,r,c)
+    # enumerates every node (r,c) on the path of origin (r0,c0), the
+    # origin itself included — basins read the terminal, accumulation
+    # counts visits
+    _d8walk = _grid16.replace("WITH imgs", "WITH RECURSIVE imgs") + f"""
+        , d(dr, dc, code, inv) AS (
+          VALUES (0, 1, 1, 1.0), (1, 1, 2, {_invd}), (1, 0, 4, 1.0),
+                 (1, -1, 8, {_invd}), (0, -1, 16, 1.0),
+                 (-1, -1, 32, {_invd}), (-1, 0, 64, 1.0),
+                 (-1, 1, 128, {_invd})
+        ),
+        nb AS (
+          SELECT z.idx, z.b, z.r, z.c, d.code,
+                 (z.dn - n.dn) * d.inv AS score
+          FROM px z
+          JOIN d ON TRUE
+          JOIN px n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          WHERE z.dn <> 0 AND n.dn <> 0
+        ),
+        pick AS (
+          SELECT idx, b, r, c, code, score,
+                 row_number() OVER (PARTITION BY idx, b, r, c
+                                    ORDER BY score DESC, code ASC) AS rn
+          FROM nb
+        ),
+        step AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 CASE WHEN p.score > 0.0 THEN z.r + dd.dr ELSE z.r END AS nr,
+                 CASE WHEN p.score > 0.0 THEN z.c + dd.dc ELSE z.c END AS nc
+          FROM px z
+          LEFT JOIN pick p ON p.idx = z.idx AND p.b = z.b
+                          AND p.r = z.r AND p.c = z.c AND p.rn = 1
+          LEFT JOIN d dd ON dd.code = p.code
+          WHERE z.dn <> 0
+        ),
+        walk(idx, b, r0, c0, r, c) AS (
+          SELECT idx, b, r, c, r, c FROM step
+          UNION ALL
+          SELECT w.idx, w.b, w.r0, w.c0, s.nr, s.nc
+          FROM walk w
+          JOIN step s ON s.idx = w.idx AND s.b = w.b
+                     AND s.r = w.r AND s.c = w.c
+          WHERE s.nr <> w.r OR s.nc <> w.c
+        )"""
+
+    # drainage basins: label = terminal (self-step) flat index
+    o["basins_synth"] = _d8walk + f"""
+        , term AS (
+          SELECT w.idx, w.b, w.r0, w.c0, w.r AS tr, w.c AS tc
+          FROM walk w
+          JOIN step s ON s.idx = w.idx AND s.b = w.b
+                     AND s.r = w.r AND s.c = w.c
+          WHERE s.nr = w.r AND s.nc = w.c
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN -1.0
+                    ELSE CAST(t.tr * i.ncols + t.tc AS DOUBLE) END AS val
+        FROM px
+        JOIN imgs i ON i.idx = px.idx
+        LEFT JOIN term t ON t.idx = px.idx AND t.b = px.b
+                        AND t.r0 = px.r AND t.c0 = px.c
+    """
+
+    # flow accumulation: visits per node across all walks — every
+    # origin contributes 1 to each node on its path (itself included),
+    # so COUNT(*) grouped by the visited node IS richdem's weight=1
+    # accumulation; strictly-downhill paths never revisit a node
+    o["flow_accum_synth"] = _d8walk + f"""
+        , acc AS (
+          SELECT idx, b, r, c, COUNT(*) AS cnt
+          FROM walk GROUP BY idx, b, r, c
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN -1.0
+                    ELSE CAST(a.cnt AS DOUBLE) END AS val
+        FROM px
+        LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
+                       AND a.r = px.r AND a.c = px.c
+    """
+
     # document chunking: the same ceil arithmetic and char-based substr
     o["doc_chunks"] = """
         SELECT doc_id AS id,
@@ -3030,6 +3152,45 @@ def oracle_sql() -> dict[str, str]:
         FROM documents,
              LATERAL unnest(generate_series(
                0, (greatest(length(text) - 50, 1) + 149) // 150 - 1)) t(k)
+    """
+
+    # BM25 top-k: identical expression tree to text.bm25_topk —
+    # Python repr() literals shared with the Spark side, idf through
+    # FLOAT, contributions floored onto the 2^-20 grid (exact sums)
+    _k1, _b = 1.2, 0.75
+    o["bm25_topk"] = f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, toks, len(toks) AS dl FROM docs2),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        tf AS (
+          SELECT doc_id, dl, t.term, COUNT(*) AS tf
+          FROM dl, UNNEST(toks) AS t(term)
+          WHERE t.term IN ('fast', 'join', 'query', 'spark')
+          GROUP BY doc_id, dl, t.term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 floor(
+                   CAST(CAST(ln(1.0 + (s.n_docs - df.df + 0.5)
+                                      / (df.df + 0.5)) AS FLOAT) AS DOUBLE)
+                   * ((tf.tf * {_k1 + 1.0!r})
+                      / (tf.tf + {_k1!r} * ({1.0 - _b!r}
+                          + ({_b!r} * tf.dl)
+                            / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+                   * 1048576.0) / 1048576.0 AS contrib
+          FROM tf
+          JOIN df USING (term)
+          CROSS JOIN stats s
+        )
+        SELECT doc_id, SUM(contrib) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 25
     """
 
     return o

@@ -190,6 +190,16 @@ def main() -> None:
             images, [_terrain.hillshade()], out_fmt="raw"
         ).count(),
     )
+    # viewshed: R3 exact line-of-sight from the scene center, maxdist-
+    # bounded as on any large DEM (cost O(px * md)); payload-emitting
+    # single Arrow stage like hillshade
+    timed(
+        "viewshed",
+        lambda: transforms.apply_transforms(
+            images, [_terrain.viewshed((64, 64), oh=2.0, maxdist=24)],
+            out_fmt="raw",
+        ).count(),
+    )
     timed(
         "dn2toa_stats",
         lambda: transforms.dn2toa_stats(images, metadata).count(),
@@ -219,6 +229,7 @@ def main() -> None:
         "pip_points_in_boxes",
         "knn_points",
         "events_sessions",
+        "doc_chunks",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 

@@ -843,6 +843,68 @@ def test_chunk_documents_differential(spark):
         text_ops.chunk_documents(df, 5, 1, by="tokens")
 
 
+def test_bm25_topk_differential(spark):
+    """Brute-force BM25 in Python with the same idf-float32 +
+    dyadic-floor contract; scores and ranking must match exactly."""
+    import math
+
+    docs = [
+        (0, "spark join fast fast fast query"),
+        (1, "slow table scan scan scan scan scan scan"),
+        (2, "join join join join spark"),
+        (3, "query"),
+        (4, "unrelated words only here"),
+        (5, "fast query fast query spark spark join extra padding tokens"),
+        (6, ""),
+        (7, "  spark   "),  # whitespace runs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k1, b = 1.2, 0.75
+    got = [
+        (r["doc_id"], r["score"])
+        for r in text.bm25_topk(df, "spark join fast query", k=5).collect()
+    ]
+
+    toks = {d: [w for w in t.lower().split() if w] for d, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    terms = sorted({"spark", "join", "fast", "query"})
+    scores = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            dfc = sum(1 for v in toks.values() if term in v)
+            idf = np.float64(np.float32(math.log(
+                1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))))
+            part = (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + (b * len(tk)) / avgdl))
+            s += math.floor(idf * part * 1048576.0) / 1048576.0
+        if s > 0.0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+    # the all-terms doc must beat the no-term docs; absent docs score 0
+    ids = [d for d, _ in got]
+    assert 0 in ids and 4 not in ids and 6 not in ids
+
+
+def test_bm25_stays_jvm_and_filters_before_exchange(spark):
+    df = spark.createDataFrame([(0, "spark join")], "doc_id long, text string")
+    q = text.bm25_topk(df, "spark", k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "MapInArrow"):
+        assert marker not in plan, marker
+    assert "TakeOrderedAndProject" in plan
+    # postings filter must sit below the tf aggregation's exchange:
+    # the optimized plan filters the exploded terms before any shuffle
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "spark" in opt  # the isin literal survived pushdown
+
+
 def test_chunk_documents_stays_jvm(spark):
     from ukis_pysat_spark.operators import text as text_ops
 

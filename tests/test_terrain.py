@@ -508,3 +508,80 @@ def test_flow_dir_differential(spark):
     assert fd[0, 3, 3] == 0.0          # the minimum is a pit
     assert fd[0, 3, 2] == 1.0          # west of center flows E, downhill
     assert fd[0, 2, 3] == 4.0          # north of center flows S, downhill
+
+
+def test_basins_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(31)))
+    z = rng.integers(1, 80, size=(2, 9, 11)).astype(np.float64)
+    z[rng.random((2, 9, 11)) < 0.15] = 0.0
+    out, row = _one(spark, z, [terrain.basins()])
+    assert row["nodata"] == -1.0
+    codes = [(0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+             (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128)]
+    inv = 1.0 / math.sqrt(2.0)
+    nb_, h, w = z.shape
+    for b in range(nb_):
+        for r in range(h):
+            for c in range(w):
+                if z[b, r, c] == 0.0:
+                    assert out[b, r, c] == -1.0
+                    continue
+                cr, cc2 = r, c
+                while True:  # brute pointer chase
+                    best, bd = -math.inf, None
+                    for dr, dc, _code in codes:
+                        r2, c2 = cr + dr, cc2 + dc
+                        if not (0 <= r2 < h and 0 <= c2 < w) or z[b, r2, c2] == 0.0:
+                            continue
+                        s = (z[b, cr, cc2] - z[b, r2, c2]) * (inv if dr and dc else 1.0)
+                        if s > best:
+                            best, bd = s, (dr, dc)
+                    if best <= 0.0:
+                        break
+                    cr, cc2 = cr + bd[0], cc2 + bd[1]
+                assert out[b, r, c] == float(cr * w + cc2), (b, r, c)
+    # every label is a pit/flat of its own basin (self-labeling terminal)
+    fd, _ = _one(spark, z, [terrain.flow_dir()])
+    for b in range(nb_):
+        for lab in np.unique(out[b][out[b] >= 0]):
+            lr, lc = int(lab) // w, int(lab) % w
+            assert fd[b, lr, lc] == 0.0
+
+
+def test_flow_accum_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(37)))
+    z = rng.integers(1, 60, size=(2, 8, 12)).astype(np.float64)
+    z[rng.random((2, 8, 12)) < 0.15] = 0.0
+    out, row = _one(spark, z, [terrain.flow_accum()])
+    assert row["nodata"] == -1.0
+    codes = [(0, 1), (1, 1), (1, 0), (1, -1),
+             (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    inv = 1.0 / math.sqrt(2.0)
+    nb_, h, w = z.shape
+    # brute: chase every cell's path, +1 every node it visits
+    acc = np.zeros((nb_, h, w))
+    for b in range(nb_):
+        for r in range(h):
+            for c in range(w):
+                if z[b, r, c] == 0.0:
+                    continue
+                cr, cc2 = r, c
+                acc[b, cr, cc2] += 1
+                while True:
+                    best, bd = -math.inf, None
+                    for dr, dc in codes:
+                        r2, c2 = cr + dr, cc2 + dc
+                        if not (0 <= r2 < h and 0 <= c2 < w) or z[b, r2, c2] == 0.0:
+                            continue
+                        s = (z[b, cr, cc2] - z[b, r2, c2]) * (inv if dr and dc else 1.0)
+                        if s > best:
+                            best, bd = s, (dr, dc)
+                    if best <= 0.0:
+                        break
+                    cr, cc2 = cr + bd[0], cc2 + bd[1]
+                    acc[b, cr, cc2] += 1
+    exp = np.where(z != 0.0, acc, -1.0)
+    assert np.array_equal(out, exp)
+    # conservation: total accumulation == sum of path lengths; every
+    # valid cell counts at least itself
+    assert np.all(out[z != 0.0] >= 1.0)

@@ -451,31 +451,119 @@ def flow_dir(out_nodata: float = -9999.0):
     def t(arr: np.ndarray, meta: dict):
         nod = meta["nodata"]
         z = arr.astype(np.float64, copy=False)
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        code, _, _ = _d8_best(z, valid)
+        out = np.where(valid, code, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def _d8_best(z: np.ndarray, valid: np.ndarray):
+    """Shared D8 steepest-descent scan over (bands, h, w): returns
+    ``(code, dnr, dnc)`` — the winning ESRI code (0 for pits/flats)
+    and the winning neighbor's row/col offsets (0 where code is 0).
+    Tie rule: smallest code (strict > in ESRI scan order)."""
+    _, h, w = z.shape
+    best = np.full(z.shape, -np.inf)
+    code = np.zeros(z.shape)
+    dnr = np.zeros(z.shape, dtype=np.int64)
+    dnc = np.zeros(z.shape, dtype=np.int64)
+
+    def shifted(plane, dr, dc, fill):
+        s = np.full(plane.shape, fill, dtype=plane.dtype)
+        rs_dst = slice(max(-dr, 0), h - max(dr, 0))
+        cs_dst = slice(max(-dc, 0), w - max(dc, 0))
+        rs_src = slice(max(dr, 0), h - max(-dr, 0))
+        cs_src = slice(max(dc, 0), w - max(-dc, 0))
+        s[:, rs_dst, cs_dst] = plane[:, rs_src, cs_src]
+        return s
+
+    for (dr, dc), cd in _D8:
+        zn = shifted(z, dr, dc, 0.0)
+        vn = shifted(valid, dr, dc, False)
+        inv = _INV_DIAG if dr != 0 and dc != 0 else 1.0
+        score = (z - zn) * inv
+        cand = vn & (score > best)
+        best = np.where(cand, score, best)
+        code = np.where(cand, cd, code)
+        dnr = np.where(cand, dr, dnr)
+        dnc = np.where(cand, dc, dnc)
+    downhill = best > 0.0
+    code = np.where(downhill, code, 0.0)
+    dnr = np.where(downhill, dnr, 0)
+    dnc = np.where(downhill, dnc, 0)
+    return code, dnr, dnc
+
+
+def basins(out_nodata: float = -1.0):
+    """Drainage basins from D8 flow: every cell is labeled with the
+    FLAT INDEX (r * w + c) of the pit/flat cell its steepest-descent
+    path terminates at — a canonical, partitioning-independent basin
+    id (the same min-flat-index idea as polygonize labels).  Paths are
+    strictly downhill (a positive-drop D8 step always decreases z), so
+    they are acyclic and finite; pointer doubling resolves every path
+    in O(log(h*w)) vectorized passes.  Pits label themselves; nodata
+    cells emit ``out_nodata``.  Applies per band."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
         nb, h, w = z.shape
         valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
-        best = np.full(z.shape, -np.inf)
-        out = np.zeros(z.shape)
-
-        def shifted(plane, dr, dc, fill):
-            s = np.full(plane.shape, fill, dtype=plane.dtype)
-            rs_dst = slice(max(-dr, 0), h - max(dr, 0))
-            cs_dst = slice(max(-dc, 0), w - max(dc, 0))
-            rs_src = slice(max(dr, 0), h - max(-dr, 0))
-            cs_src = slice(max(dc, 0), w - max(-dc, 0))
-            s[:, rs_dst, cs_dst] = plane[:, rs_src, cs_src]
-            return s
-
-        for (dr, dc), code in _D8:
-            zn = shifted(z, dr, dc, 0.0)
-            vn = shifted(valid, dr, dc, False)
-            inv = _INV_DIAG if dr != 0 and dc != 0 else 1.0
-            score = (z - zn) * inv
-            cand = vn & (score > best)
-            best = np.where(cand, score, best)
-            out = np.where(cand, code, out)
-        out = np.where(best > 0.0, out, 0.0)
+        _, dnr, dnc = _d8_best(z, valid)
+        flat = np.arange(h * w, dtype=np.int64).reshape(1, h, w)
+        nxt = (flat + dnr * w + dnc).reshape(nb, h * w)
+        steps = max(int(np.ceil(np.log2(max(h * w, 2)))) + 1, 1)
+        for _ in range(steps):
+            nxt = np.take_along_axis(nxt, nxt, axis=1)
+        out = nxt.reshape(nb, h, w).astype(np.float64)
         out = np.where(valid, out, out_nodata)
         return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def flow_accum(out_nodata: float = -1.0):
+    """D8 flow accumulation: for every cell, the number of cells whose
+    steepest-descent path passes through it, the cell itself included
+    (richdem's weight=1 convention; subtract 1 for ESRI's
+    upstream-only count).  Flow edges come from the same ``_d8_best``
+    scan as flow_dir/basins, so the three operators agree on every
+    tie and nodata rule.
+
+    The in-forest is resolved by vectorized Kahn peeling: cells with
+    no remaining inflow push their (final) count into their receiver
+    via ``np.add.at``; a receiver joins the frontier when its inflow
+    degree hits zero.  Each cell is pushed exactly once, so total work
+    is O(pixels) regardless of drainage-path length — no per-pixel
+    Python, no O(longest path) full-plane sweeps.  Nodata cells emit
+    ``out_nodata`` and never send or receive flow.  Applies per band."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        nb, h, w = z.shape
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        _, dnr, dnc = _d8_best(z, valid)
+        flat = np.arange(h * w, dtype=np.int64)
+        nxt = (flat.reshape(1, h, w) + dnr * w + dnc).reshape(nb, h * w)
+        out = np.empty((nb, h * w))
+        for b in range(nb):
+            vb = valid[b].ravel()
+            nx = nxt[b]
+            move = vb & (nx != flat)
+            acc = vb.astype(np.int64)
+            indeg = np.bincount(nx[move], minlength=h * w)
+            frontier = np.nonzero(move & (indeg == 0))[0]
+            while frontier.size:
+                recv = nx[frontier]
+                np.add.at(acc, recv, acc[frontier])
+                indeg -= np.bincount(recv, minlength=h * w)
+                cand = np.unique(recv)
+                frontier = cand[(indeg[cand] == 0) & move[cand]]
+            out[b] = np.where(vb, acc, out_nodata)
+        return out.reshape(nb, h, w), dict(meta, nodata=out_nodata)
 
     return t
 

