@@ -1256,6 +1256,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accum_synth"] = flow_accum_synth
 
+    # point sampling (round 5): gdallocationinfo at scale — PIP join of
+    # closed-form diagonal points (odd 2^-5 offsets, never on a 0.25
+    # grid line, so boundary semantics can't bite) into the oracle
+    # grid, decode-once gather of every band; the DuckDB twin replays
+    # the floor inverse-affine over the same closed-form pixel field.
+    def point_sample_synth(spark, sf_dir):
+        from ukis_pysat_spark.operators import pointsample
+
+        imgs = _oracle_grid_imgs(spark)
+        a = F.element_at("transform", 1)
+        c = F.element_at("transform", 3)
+        e = F.element_at("transform", 5)
+        f_ = F.element_at("transform", 6)
+        lon1 = c + F.col("w").cast("double") * a
+        lat1 = f_ + F.col("h").cast("double") * e
+        imgs = imgs.withColumns(
+            {
+                "footprint_lon": F.array(c, lon1, lon1, c, c),
+                "footprint_lat": F.array(f_, f_, lat1, lat1, f_),
+            }
+        )
+        pts = spark.range(128).select(
+            F.col("id").cast("string").alias("point_id"),
+            (F.col("id") * F.lit(0.0625) - F.lit(10.0) + F.lit(0.03125)).alias("lon"),
+            (F.lit(60.0) - F.col("id") * F.lit(0.0625) - F.lit(0.03125)).alias("lat"),
+        )
+        return pointsample.sample_points(imgs, pts)
+
+    q["point_sample_synth"] = point_sample_synth
+
     # gdal_sieve (round 5): isolated specks (size 1 < threshold 2) on a
     # two-region background, gated per pixel.  Speck placement requires
     # the pixel ABOVE to be valid, so no speck ever fragments a
@@ -3141,6 +3171,33 @@ def oracle_sql() -> dict[str, str]:
         FROM px
         LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
                        AND a.r = px.r AND a.c = px.c
+    """
+
+    # point sampling: closed containment + floor inverse-affine over
+    # the closed-form grid; every coordinate dyadic, values = raw dn
+    # (nodata rows reported, gdallocationinfo behavior)
+    o["point_sample_synth"] = _grid16 + f"""
+        , pts AS (
+          SELECT CAST(k AS VARCHAR) AS point_id,
+                 k * 0.0625 - 10.0 + 0.03125 AS plon,
+                 60.0 - k * 0.0625 - 0.03125 AS plat
+          FROM range(128) t(k)
+        ),
+        hits AS (
+          SELECT i.idx, p.point_id,
+                 CAST(floor((p.plon - i.cx) / 0.25) AS BIGINT) AS c,
+                 CAST(floor((p.plat - i.fy) / -0.25) AS BIGINT) AS r
+          FROM imgs i JOIN pts p
+            ON p.plon >= i.cx AND p.plon <= i.cx + i.ncols * 0.25
+           AND p.plat <= i.fy AND p.plat >= i.fy - i.nrows * 0.25
+        )
+        SELECT h.point_id,
+               {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               px.dn AS val
+        FROM hits h
+        JOIN px ON px.idx = h.idx AND px.r = h.r AND px.c = h.c
     """
 
     # document chunking: the same ceil arithmetic and char-based substr

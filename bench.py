@@ -200,6 +200,20 @@ def main() -> None:
             out_fmt="raw",
         ).count(),
     )
+    # point sampling: one point per scene center (closed-form from the
+    # footprint columns, metadata-only scan) PIP-joined and gathered —
+    # the training-label-extraction hot path
+    from ukis_pysat_spark.operators import pointsample as _psamp
+
+    bench_pts = images.select(
+        F.concat(F.lit("pt"), F.col("image_id")).alias("point_id"),
+        ((F.array_min("footprint_lon") + F.array_max("footprint_lon")) / 2).alias("lon"),
+        ((F.array_min("footprint_lat") + F.array_max("footprint_lat")) / 2).alias("lat"),
+    )
+    timed(
+        "point_sample",
+        lambda: _psamp.sample_points(images, bench_pts, res=12).count(),
+    )
     timed(
         "dn2toa_stats",
         lambda: transforms.dn2toa_stats(images, metadata).count(),
