@@ -1512,6 +1512,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["composite_synth"] = composite_synth
 
+    # per-pixel OLS trend (round 5): five epochs with v = dn + 3*t*s,
+    # s = (r + 2c) % 5 + 1 (slopes vary per pixel, intercept = dn) and
+    # the same (r+c+t)%3 hole pattern (3 or 4 valid epochs per pixel);
+    # integer sums make slope/intercept bit-exact against the DuckDB
+    # twin's replayed sum formula.
+    def _trend_epochs(spark):
+        epochs = []
+        for t in range(5):
+            def fn(a, t=t):
+                nb, h, w = a.shape
+                r = np.arange(h)[None, :, None]
+                c = np.arange(w)[None, None, :]
+                hole = (r + c + t) % 3 == 0
+                s = (r + 2 * c) % 5 + 1
+                v = a.astype(np.float64) + 3.0 * t * s
+                return np.where((a == 0) | hole, 0.0, v)
+
+            epochs.append(
+                transforms.apply_transforms(
+                    _oracle_grid_imgs(spark), [transforms.pixel_math(fn)],
+                    out_fmt="raw",
+                ).select(
+                    F.col("image_id").alias("series_id"),
+                    F.lit(float(t)).alias("epoch"),
+                    "bytes", "transform", "nodata",
+                )
+            )
+        series = epochs[0]
+        for e in epochs[1:]:
+            series = series.unionByName(e)
+        return series
+
+    def trend_synth(spark, sf_dir):
+        tr = timeseries.trend_series(_trend_epochs(spark))
+        imgs = tr.select(
+            F.concat_ws("_", "series_id", "stat").alias("image_id"),
+            "bytes", "transform", "nodata",
+        )
+        return pixels_op.to_pixels(imgs).select(
+            "image_id", "band", "r", "c", "val"
+        )
+
+    q["trend_synth"] = trend_synth
+
     return q
 
 
@@ -3171,6 +3215,52 @@ def oracle_sql() -> dict[str, str]:
         FROM px
         LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
                        AND a.r = px.r AND a.c = px.c
+    """
+
+    # per-pixel OLS trend: the same five-epoch closed-form series, sums
+    # replayed as SQL aggregates (exact integers), identical expression
+    # order for slope and intercept
+    o["trend_synth"] = _grid16 + """
+        , ep AS (SELECT unnest(range(5)) AS t),
+        obs AS (
+          SELECT px.idx, px.b, px.r, px.c, CAST(ep.t AS DOUBLE) AS t,
+                 px.dn + 3.0 * ep.t * ((px.r + 2 * px.c) % 5 + 1) AS v
+          FROM px JOIN ep ON TRUE
+          WHERE px.dn <> 0 AND (px.r + px.c + ep.t) % 3 <> 0
+        ),
+        agg AS (
+          SELECT idx, b, r, c,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(t) AS st, SUM(v) AS sv,
+                 SUM(t * t) AS stt, SUM(t * v) AS stv
+          FROM obs GROUP BY idx, b, r, c
+        ),
+        fit AS (
+          SELECT idx, b, r, c, n,
+                 (n >= 2.0 AND (n * stt - st * st) > 0.0) AS ok,
+                 CASE WHEN n >= 2.0 AND (n * stt - st * st) > 0.0
+                      THEN (n * stv - st * sv) / (n * stt - st * st)
+                      ELSE 0.0 END AS slope,
+                 st, sv
+          FROM agg
+        ),
+        fit2 AS (
+          SELECT idx, b, r, c, n, slope,
+                 CASE WHEN ok THEN (sv - slope * st) / n
+                      ELSE 0.0 END AS intercept
+          FROM fit
+        )
+        SELECT 'img' || lpad(CAST(px.idx AS VARCHAR), 8, '0')
+                 || '_' || s.stat AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE s.stat WHEN 'slope' THEN coalesce(f.slope, 0.0)
+                    WHEN 'intercept' THEN coalesce(f.intercept, 0.0)
+                    ELSE coalesce(f.n, 0.0) END AS val
+        FROM px
+        CROSS JOIN (VALUES ('slope'), ('intercept'), ('n_valid')) s(stat)
+        LEFT JOIN fit2 f ON f.idx = px.idx AND f.b = px.b
+                        AND f.r = px.r AND f.c = px.c
     """
 
     # point sampling: closed containment + floor inverse-affine over

@@ -167,3 +167,76 @@ def test_composite_multi_series_grouping(spark):
     }
     assert set(rows) == {"sA", "sB"}
     assert np.all(rows["sA"] == 11.0) and np.all(rows["sB"] == 42.0)
+
+
+def _brute_trend(stacks, ts, nod):
+    T = len(stacks)
+    nb, h, w = stacks[0].shape
+    slope = np.full((nb, h, w), nod)
+    intercept = np.full((nb, h, w), nod)
+    nval = np.zeros((nb, h, w))
+    for b in range(nb):
+        for r in range(h):
+            for c in range(w):
+                obs = [(ts[k], stacks[k][b, r, c]) for k in range(T)
+                       if stacks[k][b, r, c] != nod]
+                nval[b, r, c] = len(obs)
+                if len(obs) < 2:
+                    continue
+                n = float(len(obs))
+                st = sum(t for t, _ in obs)
+                sv = sum(v for _, v in obs)
+                stt = sum(t * t for t, _ in obs)
+                stv = sum(t * v for t, v in obs)
+                den = n * stt - st * st
+                if den <= 0.0:
+                    continue
+                s = (n * stv - st * sv) / den
+                slope[b, r, c] = s
+                intercept[b, r, c] = (sv - s * st) / n
+    return slope, intercept, nval
+
+
+def test_trend_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(53)))
+    ts = [0.0, 1.0, 3.0, 4.0, 7.0]
+    stacks = [
+        rng.integers(1, 50, size=(2, 4, 5)).astype(np.float64) for _ in ts
+    ]
+    for a in stacks:
+        a[rng.random((2, 4, 5)) < 0.3] = 0.0
+    # a pixel with zero valid epochs and one with exactly one
+    for a in stacks:
+        a[0, 3, 4] = 0.0
+        a[1, 0, 0] = 0.0
+    stacks[2][1, 0, 0] = 17.0
+    df = _series_df(spark, stacks, ts)
+    rows = {r["stat"]: r for r in timeseries.trend_series(df).collect()}
+    assert set(rows) == {"slope", "intercept", "n_valid"}
+    bs, bi, bn = _brute_trend(stacks, ts, 0.0)
+    # sums are integer-exact here, so equality is exact
+    assert np.array_equal(codec.decode(bytes(rows["slope"]["bytes"])), bs)
+    assert np.array_equal(codec.decode(bytes(rows["intercept"]["bytes"])), bi)
+    assert np.array_equal(codec.decode(bytes(rows["n_valid"]["bytes"])), bn)
+    assert rows["n_valid"]["nodata"] == 0.0
+    # the single-obs pixel reports its count but nodata fit
+    assert codec.decode(bytes(rows["n_valid"]["bytes"]))[1, 0, 0] == 1.0
+    assert codec.decode(bytes(rows["slope"]["bytes"]))[1, 0, 0] == 0.0
+
+
+def test_trend_matches_polyfit(spark):
+    """Float-valued series: the sum formula agrees with np.polyfit to
+    fp tolerance on a fully-valid series."""
+    ts = [0.0, 2.0, 3.0, 5.0, 8.0, 13.0]
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(59)))
+    stacks = [rng.uniform(1.0, 9.0, size=(1, 3, 3)) for _ in ts]
+    df = _series_df(spark, stacks, ts, nodata=-1.0)
+    rows = {r["stat"]: codec.decode(bytes(r["bytes"]))
+            for r in timeseries.trend_series(df).collect()}
+    arr = np.stack(stacks)  # (T, 1, 3, 3)
+    for r in range(3):
+        for c in range(3):
+            b1, b0 = np.polyfit(ts, arr[:, 0, r, c], 1)
+            assert rows["slope"][0, r, c] == pytest.approx(b1, rel=1e-10)
+            assert rows["intercept"][0, r, c] == pytest.approx(b0, rel=1e-10)
+    assert np.all(rows["n_valid"] == len(ts))

@@ -233,6 +233,90 @@ def _composite_stack(stack: np.ndarray, nod, stat: str) -> np.ndarray:
     return np.where(cnt > 0, vals, nod)
 
 
+TREND_STATS = ("slope", "intercept", "n_valid")
+
+
+def trend_series(
+    images: DataFrame,
+    series_col: str = "series_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-pixel ordinary-least-squares linear trend across a scene
+    time series — the NDVI/reflectance trend map (greening/browning,
+    subsidence-rate style analytics).  For each (series, pixel, band)
+    the valid observations (value != nodata) fit ``v ~ a + b * t``:
+
+        slope     b = (n*Stv - St*Sv) / (n*Stt - St*St)
+        intercept a = (Sv - b*St) / n
+
+    computed from plain sums, in exactly this expression order — for
+    integer-valued observations and epochs every sum is exact, so the
+    result is bit-reproducible in any engine (the driver's DuckDB twin
+    replays the same sums).  Pixels with fewer than 2 valid epochs or a
+    degenerate denominator (all valid epochs equal) emit the series
+    nodata in the slope/intercept planes; the ``n_valid`` plane always
+    reports the count.
+
+    Same physical plan as :func:`gapfill_series` — ONE series_id
+    exchange, one ``applyInArrow`` stack stage, vectorized sums.
+    Output: three rows per series (stat in slope / intercept /
+    n_valid), each a (bands, h, w) payload."""
+    sel = images.select(
+        images[series_col].alias("series_id"),
+        images[epoch_col].cast("double").alias("epoch"),
+        "bytes",
+        "transform",
+        "nodata",
+    )
+
+    def trend_group(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        loaded = _load_series(batches)
+        if loaded is None:
+            return
+        sid, ts, stack, transforms_, nod = loaded
+        T = stack.shape[0]
+        valid = np.ones(stack.shape, dtype=bool) if nod is None else stack != nod
+        t4 = ts.reshape(T, 1, 1, 1)
+        n = valid.sum(axis=0).astype(np.float64)
+        st = np.where(valid, t4, 0.0).sum(axis=0)
+        sv = np.where(valid, stack, 0.0).sum(axis=0)
+        stt = np.where(valid, t4 * t4, 0.0).sum(axis=0)
+        stv = np.where(valid, t4 * stack, 0.0).sum(axis=0)
+        den = n * stt - st * st
+        ok = (n >= 2.0) & (den > 0.0)
+        out_nod = 0.0 if nod is None else nod
+        slope = np.where(
+            ok, (n * stv - st * sv) / np.where(ok, den, 1.0), out_nod
+        )
+        intercept = np.where(
+            ok, (sv - slope * st) / np.maximum(n, 1.0), out_nod
+        )
+        nb, h, w = n.shape
+        cols: dict[str, list] = {f.name: [] for f in _COMPOSITE_PA}
+        for stat, plane, pn in (
+            ("slope", slope, out_nod),
+            ("intercept", intercept, out_nod),
+            ("n_valid", n, 0.0),
+        ):
+            cols["series_id"].append(sid)
+            cols["stat"].append(stat)
+            cols["n_epochs"].append(T)
+            cols["bytes"].append(codec.encode(plane, "raw"))
+            cols["w"].append(w)
+            cols["h"].append(h)
+            cols["fmt"].append("raw")
+            cols["bands"].append(nb)
+            cols["dtype"].append("float64")
+            cols["transform"].append(transforms_[0])
+            cols["nodata"].append(pn)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in _COMPOSITE_PA],
+            schema=_COMPOSITE_PA,
+        )
+
+    return sel.groupBy("series_id").applyInArrow(trend_group, schema=COMPOSITE_SCHEMA)
+
+
 def composite_series(
     images: DataFrame,
     stat: str = "median",
