@@ -1256,6 +1256,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accum_synth"] = flow_accum_synth
 
+    # Strahler stream order (round 5): the engine finalizes each cell
+    # once in a Kahn peel; the DuckDB twin iterates a MONOTONE fixpoint
+    # (64 rounds >= the longest drainage path) with the count-at-max
+    # encoded as SUM(1 << 4*order) >= 2 << 4*max — bit-exact integers.
+    def stream_order_synth(spark, sf_dir):
+        so = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.stream_order()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(so).select("image_id", "band", "r", "c", "val")
+
+    q["stream_order_synth"] = stream_order_synth
+
     # point sampling (round 5): gdallocationinfo at scale — PIP join of
     # closed-form diagonal points (odd 2^-5 offsets, never on a 0.25
     # grid line, so boundary semantics can't bite) into the oracle
@@ -3215,6 +3227,49 @@ def oracle_sql() -> dict[str, str]:
         FROM px
         LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
                        AND a.r = px.r AND a.c = px.c
+    """
+
+    # Strahler stream order: monotone fixpoint over the D8 edge set —
+    # every round recomputes every cell's order from its inflows' last-
+    # round orders (orders start at 1 <= truth and f is monotone, so 64
+    # rounds >= longest path reaches the exact fixpoint); count-at-max
+    # rides a base-16 shift encoding (<= 8 inflows, orders <= 7 here)
+    o["stream_order_synth"] = _d8walk + f"""
+        , eedge AS (
+          SELECT idx, b, r AS fr, c AS fc, nr AS tr, nc AS tc
+          FROM step WHERE nr <> r OR nc <> c
+        ),
+        it(round, idx, b, r, c, o) AS (
+          SELECT 0, idx, b, r, c, CAST(1 AS BIGINT) FROM step
+          UNION ALL
+          SELECT prev.round + 1, prev.idx, prev.b, prev.r, prev.c,
+                 CASE WHEN agg.mx IS NULL THEN CAST(1 AS BIGINT)
+                      WHEN agg.s >= (CAST(2 AS BIGINT)
+                                     << CAST(4 * agg.mx AS INTEGER))
+                           THEN agg.mx + 1
+                      ELSE agg.mx END
+          FROM it prev
+          LEFT JOIN (
+            SELECT it.round AS round, e.idx, e.b, e.tr, e.tc,
+                   MAX(it.o) AS mx,
+                   SUM(CAST(1 AS BIGINT)
+                       << CAST(4 * it.o AS INTEGER)) AS s
+            FROM it JOIN eedge e ON e.idx = it.idx AND e.b = it.b
+                                AND e.fr = it.r AND e.fc = it.c
+            GROUP BY it.round, e.idx, e.b, e.tr, e.tc
+          ) agg ON agg.idx = prev.idx AND agg.b = prev.b
+               AND agg.tr = prev.r AND agg.tc = prev.c
+               AND agg.round = prev.round
+          WHERE prev.round < 64
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN -1.0
+                    ELSE CAST(f.o AS DOUBLE) END AS val
+        FROM px
+        LEFT JOIN (SELECT * FROM it WHERE round = 64) f
+          ON f.idx = px.idx AND f.b = px.b AND f.r = px.r AND f.c = px.c
     """
 
     # per-pixel OLS trend: the same five-epoch closed-form series, sums

@@ -548,6 +548,66 @@ def test_basins_differential(spark):
             assert fd[b, lr, lc] == 0.0
 
 
+def test_stream_order_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(43)))
+    z = rng.integers(1, 70, size=(2, 9, 10)).astype(np.float64)
+    z[rng.random((2, 9, 10)) < 0.15] = 0.0
+    out, row = _one(spark, z, [terrain.stream_order()])
+    assert row["nodata"] == -1.0
+    codes = [(0, 1), (1, 1), (1, 0), (1, -1),
+             (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    inv = 1.0 / math.sqrt(2.0)
+    nb_, h, w = z.shape
+
+    def recv(b, r, c):
+        best, bd = -math.inf, None
+        for dr, dc in codes:
+            r2, c2 = r + dr, c + dc
+            if not (0 <= r2 < h and 0 <= c2 < w) or z[b, r2, c2] == 0.0:
+                continue
+            s = (z[b, r, c] - z[b, r2, c2]) * (inv if dr and dc else 1.0)
+            if s > best:
+                best, bd = s, (r2, c2)
+        return bd if best > 0.0 else None
+
+    import functools
+
+    for b in range(nb_):
+        inflows: dict = {}
+        for r in range(h):
+            for c in range(w):
+                if z[b, r, c] == 0.0:
+                    continue
+                t = recv(b, r, c)
+                if t is not None:
+                    inflows.setdefault(t, []).append((r, c))
+
+        @functools.lru_cache(maxsize=None)
+        def order(rc):
+            ins = inflows.get(rc, [])
+            if not ins:
+                return 1
+            os_ = [order(u) for u in ins]
+            m = max(os_)
+            return m + 1 if os_.count(m) >= 2 else m
+
+        for r in range(h):
+            for c in range(w):
+                want = -1.0 if z[b, r, c] == 0.0 else float(order((r, c)))
+                assert out[b, r, c] == want, (b, r, c, out[b, r, c], want)
+        order.cache_clear()
+
+
+def test_stream_order_bowl(spark):
+    """A radial bowl: every rim cell flows inward; the center pit
+    collects >= 2 order-1 inflows and must be order 2; rim cells 1."""
+    yy, xx = np.mgrid[0:7, 0:7]
+    z = ((xx - 3) ** 2 + (yy - 3) ** 2).astype(np.float64)[None] + 1.0
+    out, _ = _one(spark, z, [terrain.stream_order()])
+    assert out[0, 3, 3] >= 2.0
+    assert out[0, 0, 0] == 1.0
+
+
 def test_flow_accum_differential(spark):
     rng = np.random.Generator(np.random.Philox(key=np.uint64(37)))
     z = rng.integers(1, 60, size=(2, 8, 12)).astype(np.float64)

@@ -568,6 +568,66 @@ def flow_accum(out_nodata: float = -1.0):
     return t
 
 
+def stream_order(out_nodata: float = -1.0):
+    """Strahler stream order over the D8 flow forest (the richdem /
+    ArcGIS StreamOrder convention applied to every cell): cells with no
+    inflow are order 1; a cell whose inflows' maximum order m is
+    achieved by >= 2 inflows is m + 1, else m.  Flow edges come from
+    the shared ``_d8_best`` scan, so orders agree with
+    flow_dir/basins/flow_accum on every tie and nodata rule.
+
+    Resolved by the same vectorized Kahn peel as :func:`flow_accum`,
+    tracking per receiver the running inflow maximum and the count of
+    inflows achieving it (reset when the maximum grows) — each cell is
+    finalized and pushed exactly once, O(pixels) total work.  Nodata
+    cells emit ``out_nodata``.  Applies per band."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        nb, h, w = z.shape
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+        _, dnr, dnc = _d8_best(z, valid)
+        flat = np.arange(h * w, dtype=np.int64)
+        nxt = (flat.reshape(1, h, w) + dnr * w + dnc).reshape(nb, h * w)
+        out = np.empty((nb, h * w))
+        for b in range(nb):
+            vb = valid[b].ravel()
+            nx = nxt[b]
+            move = vb & (nx != flat)
+            indeg = np.bincount(nx[move], minlength=h * w)
+            best1 = np.zeros(h * w, dtype=np.int64)
+            cnt = np.zeros(h * w, dtype=np.int64)
+            ordv = np.ones(h * w, dtype=np.int64)
+            frontier = np.nonzero(move & (indeg == 0))[0]
+            while frontier.size:
+                o = np.where(
+                    best1[frontier] == 0,
+                    1,
+                    best1[frontier] + (cnt[frontier] >= 2),
+                )
+                ordv[frontier] = o
+                recv = nx[frontier]
+                uniq = np.unique(recv)
+                before = best1[uniq]
+                np.maximum.at(best1, recv, o)
+                grew = uniq[best1[uniq] > before]
+                cnt[grew] = 0
+                at_max = o == best1[recv]
+                np.add.at(cnt, recv[at_max], 1)
+                indeg -= np.bincount(recv, minlength=h * w)
+                frontier = uniq[(indeg[uniq] == 0) & move[uniq]]
+            # terminals (pits/flats) never enter the frontier: finalize
+            pits = vb & ~move
+            ordv = np.where(
+                pits & (best1 > 0), best1 + (cnt >= 2), ordv
+            )
+            out[b] = np.where(vb, ordv, out_nodata)
+        return out.reshape(nb, h, w), dict(meta, nodata=out_nodata)
+
+    return t
+
+
 def _box_sum(plane: np.ndarray, k: int) -> np.ndarray:
     """Separable k x k moving-window sum, window clipped at the edges.
     plane is (bands, h, w) float64; zeros stand in for excluded cells."""
