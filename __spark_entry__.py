@@ -1256,6 +1256,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accum_synth"] = flow_accum_synth
 
+    # histogram equalization (round 5): rank-based cdf remap, all
+    # integer arithmetic (round-half-up via (2a+b)//(2b)); the DuckDB
+    # twin replays the cumulative window sum per (image, band).
+    def equalize_synth(spark, sf_dir):
+        eq = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [transforms.equalize()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(eq).select("image_id", "band", "r", "c", "val")
+
+    q["equalize_synth"] = equalize_synth
+
     # Strahler stream order (round 5): the engine finalizes each cell
     # once in a Kahn peel; the DuckDB twin iterates a MONOTONE fixpoint
     # (64 rounds >= the longest drainage path) with the count-at-max
@@ -3227,6 +3238,38 @@ def oracle_sql() -> dict[str, str]:
         FROM px
         LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
                        AND a.r = px.r AND a.c = px.c
+    """
+
+    # histogram equalization: cumulative window sum over distinct
+    # values, integer round-half-up; nodata (dn=0) passes through as 0
+    o["equalize_synth"] = _grid16 + f"""
+        , vals AS (
+          SELECT idx, b, dn, COUNT(*) AS cnt
+          FROM px WHERE dn <> 0 GROUP BY idx, b, dn
+        ),
+        cdf AS (
+          SELECT idx, b, dn,
+                 SUM(cnt) OVER (PARTITION BY idx, b ORDER BY dn) AS cdf
+          FROM vals
+        ),
+        st AS (
+          SELECT idx, b, MIN(cdf) AS cmin, MAX(cdf) AS n
+          FROM cdf GROUP BY idx, b
+        ),
+        lv AS (
+          SELECT c.idx, c.b, c.dn,
+                 CASE WHEN s.n = s.cmin THEN 0
+                      ELSE ((c.cdf - s.cmin) * 255 * 2 + (s.n - s.cmin))
+                           // (2 * (s.n - s.cmin)) END AS lev
+          FROM cdf c JOIN st s ON s.idx = c.idx AND s.b = c.b
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN 0.0
+                    ELSE CAST(l.lev AS DOUBLE) END AS val
+        FROM px
+        LEFT JOIN lv l ON l.idx = px.idx AND l.b = px.b AND l.dn = px.dn
     """
 
     # Strahler stream order: monotone fixpoint over the D8 edge set —

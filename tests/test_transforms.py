@@ -1065,3 +1065,64 @@ def test_warp_sterea_roundtrip(spark):
     assert arr.shape == (1, 764, 679)
     interior_match = np.mean(arr[:, 50:-50, 50:-50] == src[:, 50:-50, 50:-50])
     assert interior_match > 0.93
+
+
+def _raw_img(spark, arr, nodata):
+    return spark.createDataFrame(
+        [(
+            "eq0", bytes(codec.encode(arr, "raw")), arr.shape[2], arr.shape[1],
+            "raw", "", 0, arr.shape[0], "float64", "EPSG:4326",
+            [0.25, 0.0, 0.0, 0.0, -0.25, 0.0], nodata,
+            [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, -1.0, -1.0, 0.0], "X",
+        )],
+        datagen.IMAGES_SCHEMA,
+    )
+
+
+def test_equalize_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(61)))
+    arr = rng.integers(0, 40, size=(2, 9, 11)).astype(np.float64)
+    arr[rng.random((2, 9, 11)) < 0.2] = -5.0  # nodata
+    row = transforms.apply_transforms(
+        _raw_img(spark, arr, -5.0), [transforms.equalize()], out_fmt="raw"
+    ).first()
+    got = codec.decode(bytes(row["bytes"]))
+    # brute: per band, per pixel, integer cdf formula
+    for b in range(2):
+        vals = sorted(v for v in arr[b].ravel() if v != -5.0)
+        n = len(vals)
+        cmin = sum(1 for v in vals if v == vals[0])
+        for r in range(9):
+            for c in range(11):
+                v = arr[b, r, c]
+                if v == -5.0:
+                    assert got[b, r, c] == -5.0
+                    continue
+                cdf = sum(1 for u in vals if u <= v)
+                want = ((cdf - cmin) * 255 * 2 + (n - cmin)) // (2 * (n - cmin))
+                assert got[b, r, c] == float(want), (b, r, c)
+    # monotone: equal inputs -> equal outputs; order preserved
+    flat_in, flat_out = arr[0].ravel(), got[0].ravel()
+    ok = flat_in != -5.0
+    order = np.argsort(flat_in[ok], kind="stable")
+    assert np.all(np.diff(flat_out[ok][order]) >= 0)
+
+
+def test_equalize_edge_cases(spark):
+    # constant band -> 0 everywhere; full 0..255 range on a ramp
+    const = np.full((1, 4, 4), 7.0)
+    row = transforms.apply_transforms(
+        _raw_img(spark, const, None), [transforms.equalize()], out_fmt="raw"
+    ).first()
+    assert np.all(codec.decode(bytes(row["bytes"])) == 0.0)
+    ramp = np.arange(256, dtype=np.float64).reshape(1, 16, 16)
+    row = transforms.apply_transforms(
+        _raw_img(spark, ramp, None), [transforms.equalize()], out_fmt="raw"
+    ).first()
+    out = codec.decode(bytes(row["bytes"]))
+    # a uniform ramp is already equalized: identity map 0..255
+    assert out.min() == 0.0 and out.max() == 255.0
+    assert np.all(np.diff(out.ravel()) >= 0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        transforms.equalize(levels=1)

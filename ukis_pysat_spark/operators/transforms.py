@@ -205,6 +205,54 @@ def stretch(
     return t
 
 
+def equalize(levels: int = 256) -> TransformFn:
+    """Histogram equalization (the classic contrast enhancement, rank
+    form): per band, each valid value v maps to
+
+        round_half_up((cdf(v) - cdf_min) * (levels-1) / (n - cdf_min))
+
+    where cdf(v) counts valid pixels <= v and cdf_min = cdf(min) —
+    the OpenCV/textbook formula, generalized to continuous values via
+    ranks.  All arithmetic is INTEGER (the round-half-up rides the
+    ``(2a + b) // (2b)`` identity), so results are bit-reproducible in
+    any engine; the driver's DuckDB twin replays the cumulative window
+    sum.  Constant bands map to 0; nodata pixels pass through and are
+    excluded from the cdf.  Output stays float64 with 0..levels-1
+    values (chain ``write_raster`` for a uint8 sink)."""
+    if levels < 2:
+        raise ValueError("need levels >= 2")
+    L = levels - 1
+
+    def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        out = np.empty_like(z)
+        for b in range(z.shape[0]):
+            plane = z[b]
+            valid = (
+                np.ones(plane.shape, dtype=bool) if nod is None else plane != nod
+            )
+            vals = plane[valid]
+            if vals.size == 0:
+                out[b] = plane
+                continue
+            uq, inv, cnts = np.unique(
+                vals, return_inverse=True, return_counts=True
+            )
+            cdf = np.cumsum(cnts)
+            n, cmin = int(cdf[-1]), int(cdf[0])
+            if n == cmin:
+                lev = np.zeros(cdf.shape, dtype=np.int64)
+            else:
+                lev = ((cdf - cmin) * L * 2 + (n - cmin)) // (2 * (n - cmin))
+            res = plane.copy()
+            res[valid] = lev[inv].astype(np.float64)
+            out[b] = res
+        return out, dict(meta)
+
+    return t
+
+
 # --- P4: valid-data bbox ---------------------------------------------------
 
 
