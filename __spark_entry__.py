@@ -1256,6 +1256,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accum_synth"] = flow_accum_synth
 
+    # spectral indices (round 5): ndvi + evi planes from the oracle
+    # grid's band 2/1/0 as nir/red/blue — integer DNs make the fixed-
+    # order rational expressions bit-exact; den==0 and nodata-input
+    # pixels emit -9999.
+    def spectral_idx_synth(spark, sf_dir):
+        from ukis_pysat_spark.operators import indices as indices_op
+
+        base = _oracle_grid_imgs(spark)
+        nd = transforms.apply_transforms(
+            base,
+            [indices_op.spectral_index("ndvi", {"nir": 2, "red": 1})],
+            out_fmt="raw",
+        ).withColumn("image_id", F.concat("image_id", F.lit("_ndvi")))
+        ev = transforms.apply_transforms(
+            base,
+            [indices_op.spectral_index("evi", {"nir": 2, "red": 1, "blue": 0})],
+            out_fmt="raw",
+        ).withColumn("image_id", F.concat("image_id", F.lit("_evi")))
+        return pixels_op.to_pixels(nd.unionByName(ev)).select(
+            "image_id", "band", "r", "c", "val"
+        )
+
+    q["spectral_idx_synth"] = spectral_idx_synth
+
     # histogram equalization (round 5): rank-based cdf remap, all
     # integer arithmetic (round-half-up via (2a+b)//(2b)); the DuckDB
     # twin replays the cumulative window sum per (image, band).
@@ -3238,6 +3262,39 @@ def oracle_sql() -> dict[str, str]:
         FROM px
         LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
                        AND a.r = px.r AND a.c = px.c
+    """
+
+    # spectral indices: band-pivot self-joins + the same fixed-order
+    # rational expressions
+    o["spectral_idx_synth"] = _grid16 + """
+        , bandp AS (
+          SELECT n.idx, n.r, n.c, n.dn AS nir, rd.dn AS red, bl.dn AS blue
+          FROM px n
+          JOIN px rd ON rd.idx = n.idx AND rd.r = n.r AND rd.c = n.c
+                    AND rd.b = 1
+          JOIN px bl ON bl.idx = n.idx AND bl.r = n.r AND bl.c = n.c
+                    AND bl.b = 0
+          WHERE n.b = 2
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') || '_ndvi'
+                 AS image_id,
+               CAST(0 AS INTEGER) AS band,
+               CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+               CASE WHEN nir = 0 OR red = 0 OR (nir + red) = 0
+                    THEN -9999.0
+                    ELSE (nir - red) / (nir + red) END AS val
+        FROM bandp
+        UNION ALL
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') || '_evi'
+                 AS image_id,
+               CAST(0 AS INTEGER) AS band,
+               CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+               CASE WHEN nir = 0 OR red = 0 OR blue = 0
+                         OR (nir + 6.0 * red - 7.5 * blue + 1.0) = 0.0
+                    THEN -9999.0
+                    ELSE (2.5 * (nir - red))
+                         / (nir + 6.0 * red - 7.5 * blue + 1.0) END AS val
+        FROM bandp
     """
 
     # histogram equalization: cumulative window sum over distinct

@@ -1126,3 +1126,53 @@ def test_equalize_edge_cases(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         transforms.equalize(levels=1)
+
+
+def test_spectral_indices_differential(spark):
+    from ukis_pysat_spark.operators import indices as indices_op
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(67)))
+    arr = rng.integers(1, 300, size=(4, 6, 7)).astype(np.float64)
+    arr[:, 0, :3] = 0.0  # nodata strip across all bands
+    bm = {"nir": 3, "red": 2, "blue": 1, "green": 0, "swir": 3}
+    # force an exact EVI zero denominator at one pixel:
+    # nir + 6*red - 7.5*blue + 1 = 0 with blue even
+    arr[3, 5, 6], arr[2, 5, 6], arr[1, 5, 6] = 5.0, 4.0, 4.0  # 5+24-30+1=0
+    img = _raw_img(spark, arr, 0.0)
+    for kind, expr in [
+        ("ndvi", lambda p: (p["nir"] - p["red"]) / (p["nir"] + p["red"])),
+        ("ndwi", lambda p: (p["green"] - p["nir"]) / (p["green"] + p["nir"])),
+        ("savi", lambda p: ((p["nir"] - p["red"]) * 1.5)
+                           / (p["nir"] + p["red"] + 0.5)),
+        ("evi", lambda p: (2.5 * (p["nir"] - p["red"]))
+                          / (p["nir"] + 6.0 * p["red"] - 7.5 * p["blue"] + 1.0)),
+    ]:
+        row = transforms.apply_transforms(
+            img, [indices_op.spectral_index(kind, bm)], out_fmt="raw"
+        ).first()
+        got = codec.decode(bytes(row["bytes"]))
+        assert got.shape == (1, 6, 7)
+        assert row["nodata"] == -9999.0
+        p = {n: arr[i] for n, i in bm.items()}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            want = expr(p)
+        for r in range(6):
+            for c in range(7):
+                if any(arr[bm[n], r, c] == 0.0 for n in
+                       ("nir", "red", "blue", "green", "swir")):
+                    assert got[0, r, c] == -9999.0, (kind, r, c)
+                elif kind == "evi" and (r, c) == (5, 6):
+                    assert got[0, r, c] == -9999.0  # exact zero denominator
+                else:
+                    assert got[0, r, c] == want[r, c], (kind, r, c)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown index"):
+        indices_op.spectral_index("vari", bm)
+    with _pt.raises(ValueError, match="needs bands"):
+        indices_op.spectral_index("ndvi", {"nir": 3})
+    with _pt.raises(Exception, match="out of range"):
+        transforms.apply_transforms(
+            img, [indices_op.spectral_index("ndvi", {"nir": 9, "red": 2})],
+            out_fmt="raw",
+        ).first()
