@@ -1256,6 +1256,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["flow_accum_synth"] = flow_accum_synth
 
+    # histogram matching (round 5): source idx matched to the value-
+    # scaled payload of image (idx+4)%16 (same band count, different
+    # nodata strip -> genuinely different distributions); the integer
+    # ceil-rank rule is replayed by the DuckDB twin via window counts
+    # and order statistics.
+    def histmatch_synth(spark, sf_dir):
+        from ukis_pysat_spark.operators import histmatch
+
+        src = _oracle_grid_imgs(spark)
+
+        def reffn(a):
+            return np.where(a == 0, 0.0, a * 0.5 + 2.0)
+
+        idx = F.substring("image_id", 4, 8).cast("int")
+        ref = transforms.apply_transforms(
+            src, [transforms.pixel_math(reffn)], out_fmt="raw"
+        ).withColumn(
+            "image_id",
+            F.concat(
+                F.lit("img"),
+                F.lpad(F.pmod(idx - 4, F.lit(16)).cast("string"), 8, "0"),
+            ),
+        )
+        out = histmatch.match_histogram(src, ref)
+        return pixels_op.to_pixels(out).select(
+            "image_id", "band", "r", "c", "val"
+        )
+
+    q["histmatch_synth"] = histmatch_synth
+
+    # LBP texture codes (round 5): 8-neighbor >= compares, D8 bit
+    # order; integer bit sums are exact in both engines.
+    def lbp_synth(spark, sf_dir):
+        lb = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.lbp()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(lb).select("image_id", "band", "r", "c", "val")
+
+    q["lbp_synth"] = lbp_synth
+
+    # morphological opening (round 5): 3x3 erode -> dilate in ONE Arrow
+    # stage (two chained focal passes); valid-only windows, clipped
+    # edges, intermediate nodata propagated.
+    def morph_open_synth(spark, sf_dir):
+        mo = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), terrain.morphology("open"), out_fmt="raw"
+        )
+        return pixels_op.to_pixels(mo).select("image_id", "band", "r", "c", "val")
+
+    q["morph_open_synth"] = morph_open_synth
+
     # spectral indices (round 5): ndvi + evi planes from the oracle
     # grid's band 2/1/0 as nir/red/blue — integer DNs make the fixed-
     # order rational expressions bit-exact; den==0 and nodata-input
@@ -3262,6 +3313,113 @@ def oracle_sql() -> dict[str, str]:
         FROM px
         LEFT JOIN acc a ON a.idx = px.idx AND a.b = px.b
                        AND a.r = px.r AND a.c = px.c
+    """
+
+    # histogram matching: source cdf via window counts, reference order
+    # statistics via row_number; j = ceil-rank in pure integers
+    o["histmatch_synth"] = _grid16 + f"""
+        , srcd AS (
+          SELECT idx, b, dn, COUNT(*) AS cnt
+          FROM px WHERE dn <> 0 GROUP BY idx, b, dn
+        ),
+        scdf AS (
+          SELECT idx, b, dn,
+                 SUM(cnt) OVER (PARTITION BY idx, b ORDER BY dn) AS pos
+          FROM srcd
+        ),
+        sn AS (
+          SELECT idx, b, MAX(pos) AS na FROM scdf GROUP BY idx, b
+        ),
+        rv AS (
+          SELECT (idx + 12) % 16 AS idx, b, dn * 0.5 + 2.0 AS v,
+                 row_number() OVER (PARTITION BY (idx + 12) % 16, b
+                                    ORDER BY dn) AS rn
+          FROM px WHERE dn <> 0
+        ),
+        rn_ AS (
+          SELECT idx, b, MAX(rn) AS nr FROM rv GROUP BY idx, b
+        ),
+        mapd AS (
+          SELECT s.idx, s.b, s.dn, r.v
+          FROM scdf s
+          JOIN sn ON sn.idx = s.idx AND sn.b = s.b
+          JOIN rn_ ON rn_.idx = s.idx AND rn_.b = s.b
+          JOIN rv r ON r.idx = s.idx AND r.b = s.b
+                   AND r.rn = (s.pos * rn_.nr + sn.na - 1) // sn.na
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN 0.0
+                    WHEN rn_.nr IS NULL THEN px.dn
+                    ELSE m.v END AS val
+        FROM px
+        LEFT JOIN rn_ ON rn_.idx = px.idx AND rn_.b = px.b
+        LEFT JOIN mapd m ON m.idx = px.idx AND m.b = px.b AND m.dn = px.dn
+    """
+
+    # LBP: per-direction neighbor joins, bit weights summed where the
+    # neighbor exists, is valid, and >= the center
+    o["lbp_synth"] = _grid16 + f"""
+        , d(dr, dc, bit) AS (
+          VALUES (0, 1, 1.0), (1, 1, 2.0), (1, 0, 4.0), (1, -1, 8.0),
+                 (0, -1, 16.0), (-1, -1, 32.0), (-1, 0, 64.0), (-1, 1, 128.0)
+        ),
+        agg AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 SUM(CASE WHEN n.dn <> 0 AND n.dn >= z.dn
+                          THEN d.bit ELSE 0.0 END) AS code
+          FROM px z
+          JOIN d ON TRUE
+          LEFT JOIN px n ON n.idx = z.idx AND n.b = z.b
+                        AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          WHERE z.dn <> 0
+          GROUP BY z.idx, z.b, z.r, z.c
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN -1.0
+                    ELSE coalesce(a.code, 0.0) END AS val
+        FROM px
+        LEFT JOIN agg a ON a.idx = px.idx AND a.b = px.b
+                       AND a.r = px.r AND a.c = px.c
+    """
+
+    # morphological opening: window min of valid cells, then window max
+    # of non-nodata eroded cells — clipped windows are the inner joins'
+    # missing neighbors
+    o["morph_open_synth"] = _grid16 + f"""
+        , d(dr, dc) AS (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+        ),
+        er AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 coalesce(MIN(CASE WHEN n.dn <> 0 THEN n.dn END),
+                          -9999.0) AS e
+          FROM px z
+          JOIN d ON TRUE
+          JOIN px n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          GROUP BY z.idx, z.b, z.r, z.c
+        ),
+        di AS (
+          SELECT z.idx, z.b, z.r, z.c,
+                 coalesce(MAX(CASE WHEN n.e <> -9999.0 THEN n.e END),
+                          -9999.0) AS v
+          FROM er z
+          JOIN d ON TRUE
+          JOIN er n ON n.idx = z.idx AND n.b = z.b
+                   AND n.r = z.r + d.dr AND n.c = z.c + d.dc
+          GROUP BY z.idx, z.b, z.r, z.c
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               dv.v AS val
+        FROM px
+        JOIN di dv ON dv.idx = px.idx AND dv.b = px.b
+                  AND dv.r = px.r AND dv.c = px.c
     """
 
     # spectral indices: band-pivot self-joins + the same fixed-order

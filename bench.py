@@ -200,12 +200,18 @@ def main() -> None:
             out_fmt="raw",
         ).count(),
     )
-    # point sampling: one point per scene center (closed-form from the
-    # footprint columns, metadata-only scan) PIP-joined and gathered —
-    # the training-label-extraction hot path
+    # point sampling: every 16th scene's center point (closed-form from
+    # the footprint columns, metadata-only scan) PIP-joined and
+    # gathered — the training-label-extraction hot path.  Centers in
+    # the 20%-hotspot fall inside thousands of sibling scenes, so even
+    # this 1/16 sample emits ~1M (point, image, band) rows; one point
+    # per scene is a quadratic hotspot blowup (measured 16.5M rows,
+    # ~91 s — linear in pairs, but not a per-round bench budget)
     from ukis_pysat_spark.operators import pointsample as _psamp
 
-    bench_pts = images.select(
+    bench_pts = images.where(
+        F.substring("image_id", 4, 8).cast("long") % 16 == 0
+    ).select(
         F.concat(F.lit("pt"), F.col("image_id")).alias("point_id"),
         ((F.array_min("footprint_lon") + F.array_max("footprint_lon")) / 2).alias("lon"),
         ((F.array_min("footprint_lat") + F.array_max("footprint_lat")) / 2).alias("lat"),
@@ -244,6 +250,7 @@ def main() -> None:
         "knn_points",
         "events_sessions",
         "doc_chunks",
+        "bm25_topk",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 

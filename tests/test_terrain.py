@@ -645,3 +645,66 @@ def test_flow_accum_differential(spark):
     # conservation: total accumulation == sum of path lengths; every
     # valid cell counts at least itself
     assert np.all(out[z != 0.0] >= 1.0)
+
+
+def test_lbp_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(71)))
+    z = rng.integers(1, 30, size=(2, 7, 9)).astype(np.float64)
+    z[rng.random((2, 7, 9)) < 0.2] = 0.0
+    out, row = _one(spark, z, [terrain.lbp()])
+    assert row["nodata"] == -1.0
+    dirs = [(0, 1), (1, 1), (1, 0), (1, -1),
+            (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    nb_, h, w = z.shape
+    for b in range(nb_):
+        for r in range(h):
+            for c in range(w):
+                if z[b, r, c] == 0.0:
+                    assert out[b, r, c] == -1.0
+                    continue
+                code = 0
+                for k, (dr, dc) in enumerate(dirs):
+                    r2, c2 = r + dr, c + dc
+                    if (0 <= r2 < h and 0 <= c2 < w
+                            and z[b, r2, c2] != 0.0
+                            and z[b, r2, c2] >= z[b, r, c]):
+                        code |= 1 << k
+                assert out[b, r, c] == float(code), (b, r, c)
+    # constant plane: every interior code is 255 (all neighbors equal)
+    const = np.full((1, 5, 5), 4.0)
+    cout, _ = _one(spark, const, [terrain.lbp()])
+    assert cout[0, 2, 2] == 255.0
+    assert cout[0, 0, 0] == float(1 | 2 | 4)  # only E, SE, S exist
+
+
+def test_morphology_differential(spark):
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(73)))
+    z = rng.integers(1, 90, size=(1, 8, 9)).astype(np.float64)
+    z[rng.random((1, 8, 9)) < 0.2] = 0.0
+
+    def brute_focal(plane, stat, nod):
+        h, w = plane.shape
+        out = np.full((h, w), -9999.0)
+        for r in range(h):
+            for c in range(w):
+                vals = [plane[r2, c2]
+                        for r2 in range(max(r - 1, 0), min(r + 2, h))
+                        for c2 in range(max(c - 1, 0), min(c + 2, w))
+                        if plane[r2, c2] != nod]
+                if vals:
+                    out[r, c] = min(vals) if stat == "min" else max(vals)
+        return out
+
+    for op, seq in [("erode", ["min"]), ("dilate", ["max"]),
+                    ("open", ["min", "max"]), ("close", ["max", "min"])]:
+        got, row = _one(spark, z, terrain.morphology(op))
+        plane, nod = z[0], 0.0
+        for stat in seq:
+            plane = brute_focal(plane, stat, nod)
+            nod = -9999.0
+        assert np.array_equal(got[0], plane), op
+        assert row["nodata"] == -9999.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="morphology"):
+        terrain.morphology("skeleton")

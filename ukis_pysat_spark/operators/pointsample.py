@@ -70,22 +70,35 @@ def _is_lonlat(crs: str | None) -> bool:
 
 
 def _sample_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Arrow-native gather: point coordinates are read as zero-copy
+    numpy views of the folded list column (offsets + flat child
+    arrays), per-image output columns stay numpy/Arrow end to end —
+    with hotspot corpora a single stage emits tens of millions of
+    (point, band) rows, so no per-row Python objects are ever built."""
     for batch in batches:
         ids = batch.column("image_id").to_pylist()
         payload = batch.column("bytes")
         transforms_col = batch.column("transform").to_pylist()
         crss = batch.column("crs").to_pylist()
-        pts_col = batch.column("pts").to_pylist()
-        cols: dict[str, list] = {n: [] for n in _SAMPLE_PA_SCHEMA.names}
+        pts = batch.column("pts")
+        if isinstance(pts, pa.ChunkedArray):
+            pts = pts.combine_chunks()
+        offs = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pts.values  # StructArray of (pid, plon, plat)
+        pid_all = flat.field("pid")
+        plon_all = flat.field("plon").to_numpy(zero_copy_only=False)
+        plat_all = flat.field("plat").to_numpy(zero_copy_only=False)
+        out: dict[str, list] = {n: [] for n in _SAMPLE_PA_SCHEMA.names}
+        n_rows = 0
         for ri in range(batch.num_rows):
-            pts = pts_col[ri]
-            if not pts:
+            s, e = offs[ri], offs[ri + 1]
+            if s == e:
                 continue
             arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
             nb, h, w = arr.shape
-            a, _b, c0, _d, e, f0 = transforms_col[ri]
-            plon = np.array([p["plon"] for p in pts], dtype=np.float64)
-            plat = np.array([p["plat"] for p in pts], dtype=np.float64)
+            a, _b, c0, _d, e0, f0 = transforms_col[ri]
+            plon = plon_all[s:e]
+            plat = plat_all[s:e]
             if _is_lonlat(crss[ri]):
                 x, y = plon, plat
             else:
@@ -93,23 +106,38 @@ def _sample_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
 
                 x, y = _fwd(crss[ri], plon, plat)
             cc = np.floor((x - c0) / a).astype(np.int64)
-            rr = np.floor((y - f0) / e).astype(np.int64)
+            rr = np.floor((y - f0) / e0).astype(np.int64)
             ok = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < h)
             if not ok.any():
                 continue
-            cc, rr = cc[ok], rr[ok]
-            pids = [p["pid"] for p, k in zip(pts, ok) if k]
-            vals = arr[:, rr, cc]  # (nb, n_ok)
-            n_ok = cc.size
-            cols["point_id"].extend(pids * nb)
-            cols["image_id"].extend([ids[ri]] * (n_ok * nb))
-            cols["band"].extend(np.repeat(np.arange(nb), n_ok).tolist())
-            cols["r"].extend(np.tile(rr, nb).tolist())
-            cols["c"].extend(np.tile(cc, nb).tolist())
-            cols["val"].extend(vals.ravel().tolist())
-        if cols["point_id"]:
+            sel = np.nonzero(ok)[0]
+            cc, rr = cc[sel], rr[sel]
+            n_ok = sel.size
+            # band-major layout; every column built vectorized
+            take_idx = pa.array(np.tile(sel + s, nb).astype(np.int64))
+            out["point_id"].append(pid_all.take(take_idx))
+            out["image_id"].append(
+                pa.array([ids[ri]], type=pa.string()).take(
+                    pa.array(np.zeros(n_ok * nb, dtype=np.int64))
+                )
+            )
+            out["band"].append(
+                pa.array(np.repeat(np.arange(nb, dtype=np.int32), n_ok))
+            )
+            out["r"].append(pa.array(np.tile(rr.astype(np.int32), nb)))
+            out["c"].append(pa.array(np.tile(cc.astype(np.int32), nb)))
+            out["val"].append(pa.array(arr[:, rr, cc].ravel()))
+            n_rows += n_ok * nb
+            if n_rows >= 1 << 20:  # bound stage memory on hotspot images
+                yield pa.RecordBatch.from_arrays(
+                    [pa.concat_arrays(out[f.name]) for f in _SAMPLE_PA_SCHEMA],
+                    schema=_SAMPLE_PA_SCHEMA,
+                )
+                out = {n: [] for n in _SAMPLE_PA_SCHEMA.names}
+                n_rows = 0
+        if n_rows:
             yield pa.RecordBatch.from_arrays(
-                [pa.array(cols[f.name], type=f.type) for f in _SAMPLE_PA_SCHEMA],
+                [pa.concat_arrays(out[f.name]) for f in _SAMPLE_PA_SCHEMA],
                 schema=_SAMPLE_PA_SCHEMA,
             )
 

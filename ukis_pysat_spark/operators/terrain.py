@@ -665,6 +665,62 @@ def _box_ext(plane: np.ndarray, k: int, neutral: float, op) -> np.ndarray:
     return out
 
 
+def lbp(out_nodata: float = -1.0):
+    """Local Binary Pattern texture codes (the classic 8-neighbor LBP
+    image feature): for each valid center, bit k of the 0..255 code is
+    set iff the k-th neighbor exists, is valid, and its value is >= the
+    center value.  Bit order follows the engine-wide D8/ESRI scan
+    (E=bit0, SE=1, S=2, SW=3, W=4, NW=5, N=6, NE=7 — a fixed
+    permutation of the textbook clockwise-from-NW order).  Neighbors
+    beyond the edge or nodata contribute 0; nodata centers emit
+    ``out_nodata``.  Applies per band; pure shifted-plane compares,
+    O(pixels)."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        _, h, w = z.shape
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+
+        def shifted(plane, dr, dc, fill):
+            s = np.full(plane.shape, fill, dtype=plane.dtype)
+            rs_dst = slice(max(-dr, 0), h - max(dr, 0))
+            cs_dst = slice(max(-dc, 0), w - max(dc, 0))
+            rs_src = slice(max(dr, 0), h - max(-dr, 0))
+            cs_src = slice(max(dc, 0), w - max(-dc, 0))
+            s[:, rs_dst, cs_dst] = plane[:, rs_src, cs_src]
+            return s
+
+        code = np.zeros(z.shape)
+        for k, ((dr, dc), _cd) in enumerate(_D8):
+            zn = shifted(z, dr, dc, 0.0)
+            vn = shifted(valid, dr, dc, False)
+            code += float(1 << k) * (vn & (zn >= z))
+        out = np.where(valid, code, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
+def morphology(op: str, size: int = 3, out_nodata: float = -9999.0):
+    """Grayscale morphology as focal min/max chains: ``erode`` (window
+    min), ``dilate`` (window max), ``open`` (erode -> dilate), ``close``
+    (dilate -> erode) — k x k square structuring element, window
+    clipped at the edge, nodata excluded (the :func:`focal` contract;
+    intermediate nodata propagates through the chain's meta).  Returns
+    a LIST of TransformFns to splice into an ``apply_transforms``
+    chain, so a two-step opening still runs in ONE Arrow stage."""
+    seq = {
+        "erode": ("min",),
+        "dilate": ("max",),
+        "open": ("min", "max"),
+        "close": ("max", "min"),
+    }.get(op)
+    if seq is None:
+        raise ValueError(f"unknown morphology op {op!r}")
+    return [focal(s, size, out_nodata) for s in seq]
+
+
 def focal(stat: str = "mean", size: int = 3, out_nodata: float = -9999.0):
     """k x k moving-window aggregate over VALID pixels, window clipped
     at the image edge (``r.neighbors``-style).  ``stat`` is one of
