@@ -1354,6 +1354,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_order_synth"] = stream_order_synth
 
+    # cost distance (round 5): accumulated cost from the band's
+    # minimum-cost cells, synchronized Bellman-Ford — the DuckDB twin
+    # iterates the identical recurrence 64 rounds (monotone, so both
+    # engines land on the same fixpoint bit-for-bit).
+    def cost_distance_synth(spark, sf_dir):
+        cd = transforms.apply_transforms(
+            _oracle_grid_imgs(spark), [terrain.cost_distance()], out_fmt="raw"
+        )
+        return pixels_op.to_pixels(cd).select("image_id", "band", "r", "c", "val")
+
+    q["cost_distance_synth"] = cost_distance_synth
+
     # point sampling (round 5): gdallocationinfo at scale — PIP join of
     # closed-form diagonal points (odd 2^-5 offsets, never on a 0.25
     # grid line, so boundary semantics can't bite) into the oracle
@@ -3525,6 +3537,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
                CASE WHEN px.dn = 0 THEN -1.0
                     ELSE CAST(f.o AS DOUBLE) END AS val
+        FROM px
+        LEFT JOIN (SELECT * FROM it WHERE round = 64) f
+          ON f.idx = px.idx AND f.b = px.b AND f.r = px.r AND f.c = px.c
+    """
+
+    # cost distance: synchronized Bellman-Ford as a monotone recursive
+    # fixpoint — per round, each cell takes LEAST of its previous value
+    # and min over valid neighbors of d_u + (c_u + c_v)/2 * dist
+    _sq2 = repr(math.sqrt(2.0))
+    o["cost_distance_synth"] = _grid16.replace(
+        "WITH imgs", "WITH RECURSIVE imgs"
+    ) + f"""
+        , zmin AS (
+          SELECT idx, b, MIN(dn) AS m FROM px WHERE dn <> 0 GROUP BY idx, b
+        ),
+        dd(dr, dc, dist) AS (
+          VALUES (0, 1, 1.0), (1, 1, {_sq2}), (1, 0, 1.0),
+                 (1, -1, {_sq2}), (0, -1, 1.0),
+                 (-1, -1, {_sq2}), (-1, 0, 1.0), (-1, 1, {_sq2})
+        ),
+        it(round, idx, b, r, c, d) AS (
+          SELECT 0, px.idx, px.b, px.r, px.c,
+                 CASE WHEN px.dn = zm.m THEN 0.0
+                      ELSE CAST('inf' AS DOUBLE) END
+          FROM px JOIN zmin zm ON zm.idx = px.idx AND zm.b = px.b
+          WHERE px.dn <> 0
+          UNION ALL
+          SELECT prev.round + 1, prev.idx, prev.b, prev.r, prev.c,
+                 LEAST(prev.d, coalesce(agg.md, CAST('inf' AS DOUBLE)))
+          FROM it prev
+          LEFT JOIN (
+            SELECT it.round AS round, it.idx, it.b,
+                   it.r + dd.dr AS tr, it.c + dd.dc AS tc,
+                   MIN(it.d + (cu.dn + cv.dn) / 2.0 * dd.dist) AS md
+            FROM it
+            JOIN dd ON TRUE
+            JOIN px cu ON cu.idx = it.idx AND cu.b = it.b
+                      AND cu.r = it.r AND cu.c = it.c
+            JOIN px cv ON cv.idx = it.idx AND cv.b = it.b
+                      AND cv.r = it.r + dd.dr AND cv.c = it.c + dd.dc
+            WHERE cu.dn <> 0 AND cv.dn <> 0
+              AND it.d < CAST('inf' AS DOUBLE)
+            GROUP BY it.round, it.idx, it.b, tr, tc
+          ) agg ON agg.idx = prev.idx AND agg.b = prev.b
+               AND agg.tr = prev.r AND agg.tc = prev.c
+               AND agg.round = prev.round
+          WHERE prev.round < 64
+        )
+        SELECT {_iidp} AS image_id,
+               CAST(px.b AS INTEGER) AS band,
+               CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
+               CASE WHEN px.dn = 0 THEN -1.0
+                    WHEN f.d IS NULL OR f.d = CAST('inf' AS DOUBLE)
+                         THEN -1.0
+                    ELSE f.d END AS val
         FROM px
         LEFT JOIN (SELECT * FROM it WHERE round = 64) f
           ON f.idx = px.idx AND f.b = px.b AND f.r = px.r AND f.c = px.c

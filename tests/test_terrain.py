@@ -708,3 +708,53 @@ def test_morphology_differential(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="morphology"):
         terrain.morphology("skeleton")
+
+
+def test_cost_distance_vs_dijkstra(spark):
+    """The synchronized Bellman-Ford fixpoint must equal true Dijkstra
+    shortest-path costs (allclose: path sums may associate
+    differently), with barriers and an unreachable pocket."""
+    import heapq
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(83)))
+    z = rng.integers(1, 20, size=(1, 8, 10)).astype(np.float64)
+    z[0, :, 4] = 0.0        # a full barrier column -> right side pocket
+    z[0, 2, 4] = 7.0        # ...with one gate
+    z[0, 6:, 7:] = 0.0      # a nodata pocket
+    out, row = _one(spark, z, [terrain.cost_distance()])
+    assert row["nodata"] == -1.0
+
+    h, w = 8, 10
+    plane = z[0]
+    valid = plane != 0.0
+    srcs = [(r, c) for r in range(h) for c in range(w)
+            if valid[r, c] and plane[r, c] == plane[valid].min()]
+    dist = {s: 0.0 for s in srcs}
+    pq = [(0.0, s) for s in srcs]
+    heapq.heapify(pq)
+    while pq:
+        d, (r, c) = heapq.heappop(pq)
+        if d > dist.get((r, c), math.inf):
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                r2, c2 = r + dr, c + dc
+                if not (0 <= r2 < h and 0 <= c2 < w) or not valid[r2, c2]:
+                    continue
+                step = (plane[r, c] + plane[r2, c2]) / 2.0 * (
+                    math.sqrt(2.0) if dr and dc else 1.0)
+                nd = d + step
+                if nd < dist.get((r2, c2), math.inf) - 1e-12:
+                    dist[(r2, c2)] = nd
+                    heapq.heappush(pq, (nd, (r2, c2)))
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                assert out[0, r, c] == -1.0
+            elif (r, c) in dist:
+                assert out[0, r, c] == pytest.approx(dist[(r, c)], rel=1e-9)
+            else:
+                assert out[0, r, c] == -1.0  # unreachable valid cell
+    assert all(out[0, r, c] == 0.0 for r, c in srcs)

@@ -568,6 +568,67 @@ def flow_accum(out_nodata: float = -1.0):
     return t
 
 
+def cost_distance(out_nodata: float = -1.0, max_rounds: int | None = None):
+    """Accumulated-cost distance (GRASS ``r.cost`` / ArcGIS
+    CostDistance): each valid cell's minimum total cost to reach a
+    SOURCE cell, moving 8-connected with the standard step cost
+    ``(cost_u + cost_v) / 2 * dist`` (dist = 1 orthogonal, sqrt(2)
+    diagonal).  Sources are the band's minimum-valid-cost cells (the
+    deterministic, engine-independent choice: "distance from the
+    cheapest terrain"); their distance is 0.  Nodata cells are
+    barriers (emit ``out_nodata``, never traversed).
+
+    Resolved by synchronized Bellman-Ford rounds —
+
+        d_{k+1}(v) = min(d_k(v), min_u d_k(u) + (c_u + c_v)/2 * dist)
+
+    — each round eight shifted adds + mins, run to the exact fixpoint.
+    Because every round applies the identical IEEE expression to the
+    identical candidate set, the fixpoint is bit-reproducible in any
+    engine that iterates the same recurrence (the driver's DuckDB twin
+    replays it as a monotone recursive CTE).  Rounds needed = longest
+    shortest-path hop count <= h*w; ``max_rounds`` caps it (None =
+    exact fixpoint).  Applies per band; O(rounds * pixels) vectorized."""
+
+    def t(arr: np.ndarray, meta: dict):
+        nod = meta["nodata"]
+        z = arr.astype(np.float64, copy=False)
+        nb, h, w = z.shape
+        valid = np.ones(z.shape, dtype=bool) if nod is None else z != nod
+
+        def shifted(plane, dr, dc, fill):
+            s = np.full(plane.shape, fill, dtype=plane.dtype)
+            rs_dst = slice(max(-dr, 0), h - max(dr, 0))
+            cs_dst = slice(max(-dc, 0), w - max(dc, 0))
+            rs_src = slice(max(dr, 0), h - max(-dr, 0))
+            cs_src = slice(max(dc, 0), w - max(-dc, 0))
+            s[:, rs_dst, cs_dst] = plane[:, rs_src, cs_src]
+            return s
+
+        # sources: per-band minimum valid cost
+        zmin = np.where(valid, z, np.inf).min(axis=(1, 2), keepdims=True)
+        d = np.where(valid & (z == zmin), 0.0, np.inf)
+        cap = max_rounds if max_rounds is not None else h * w + 1
+        diag = math.sqrt(2.0)
+        for _ in range(cap):
+            nd = d
+            for (dr, dc), _cd in _D8:
+                du = shifted(d, dr, dc, np.inf)
+                cu = shifted(z, dr, dc, 0.0)
+                vu = shifted(valid, dr, dc, False)
+                dist = diag if dr != 0 and dc != 0 else 1.0
+                cand = du + (cu + z) / 2.0 * dist
+                cand = np.where(vu & valid, cand, np.inf)
+                nd = np.minimum(nd, cand)
+            if np.array_equal(nd, d):
+                break
+            d = nd
+        out = np.where(valid & np.isfinite(d), d, out_nodata)
+        return out, dict(meta, nodata=out_nodata)
+
+    return t
+
+
 def stream_order(out_nodata: float = -1.0):
     """Strahler stream order over the D8 flow forest (the richdem /
     ArcGIS StreamOrder convention applied to every cell): cells with no
