@@ -1078,6 +1078,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessions"] = events_sessions
 
+    # conversion funnel (round 5): view -> click -> purchase with a
+    # 7-day window from step 1; integer-microsecond boundaries, one
+    # tiny user frame per step.
+    def events_funnel(spark, sf_dir):
+        return events_ops.funnel(
+            _t(spark, sf_dir, "events"),
+            ["view", "click", "purchase"],
+            within_minutes=7 * 24 * 60.0,
+        )
+
+    q["events_funnel"] = events_funnel
+
     # near-dup clustering (round 5): connected components (min-label
     # propagation) over the hash-green embedding_neardup pair set; the
     # DuckDB twin closes the same edges with a recursive CTE
@@ -1882,6 +1894,44 @@ def oracle_sql() -> dict[str, str]:
                MAX(us) - MIN(us) AS duration_us,
                CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, session_idx
+    """
+
+    # conversion funnel: chained min-at-or-after aggregates in integer
+    # microseconds; the union-then-group shape matches the engine (a
+    # step no user reaches emits NO row in both engines)
+    o["events_funnel"] = """
+        WITH ev AS (
+          SELECT user_id, event_type AS etype, epoch_us(ts) AS us
+          FROM events
+        ),
+        s1 AS (
+          SELECT user_id, MIN(us) AS t, MIN(us) AS t0
+          FROM ev WHERE etype = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(e.us) AS t, s1.t0
+          FROM ev e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.etype = 'click' AND e.us >= s1.t
+            AND e.us <= s1.t0 + 604800000000
+          GROUP BY e.user_id, s1.t0
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.us) AS t, s2.t0
+          FROM ev e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.etype = 'purchase' AND e.us >= s2.t
+            AND e.us <= s2.t0 + 604800000000
+          GROUP BY e.user_id, s2.t0
+        ),
+        allf AS (
+          SELECT 1 AS step, 'view' AS step_type, user_id FROM s1
+          UNION ALL
+          SELECT 2, 'click', user_id FROM s2
+          UNION ALL
+          SELECT 3, 'purchase', user_id FROM s3
+        )
+        SELECT CAST(step AS INTEGER) AS step, step_type,
+               COUNT(*) AS n_users
+        FROM allf GROUP BY step, step_type
     """
 
     # connected components over the embedding_neardup edge set: the

@@ -912,3 +912,60 @@ def test_chunk_documents_stays_jvm(spark):
     plan = text_ops.chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
         assert marker not in plan, marker
+
+
+def test_funnel_differential(spark):
+    """Conversion funnel vs a brute per-user chase, with boundary
+    cases: step events sharing a timestamp (>= rule keeps them), a
+    conversion exactly at the window edge (<= keeps it), one past it,
+    and out-of-order arrival."""
+    from datetime import datetime, timedelta
+
+    from ukis_pysat_spark.operators import events as events_ops
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # u1 converts fully; click shares the view timestamp (>= keeps)
+        (1, t0, 1, "view"), (2, t0, 1, "click"), (3, t0 + 5 * m, 1, "purchase"),
+        # u2: purchase BEFORE click -> not counted for step 3
+        (4, t0, 2, "view"), (5, t0 + 9 * m, 2, "click"), (6, t0 + 2 * m, 2, "purchase"),
+        # u3: click exactly at the window edge (kept), purchase past it
+        (7, t0, 3, "view"), (8, t0 + 10 * m, 3, "click"), (9, t0 + 11 * m, 3, "purchase"),
+        # u4: no view at all -> never enters the funnel
+        (10, t0, 4, "click"), (11, t0 + m, 4, "purchase"),
+        # u5: view only
+        (12, t0 + 3 * m, 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et) for eid, ts, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["step"], r["step_type"]): r["n_users"]
+        for r in events_ops.funnel(
+            df, ["view", "click", "purchase"], within_minutes=10.0
+        ).collect()
+    }
+    # u1: all three.  u2: view+click (purchase precedes click).
+    # u3: view+click at edge; purchase at minute 11 > 10-min window.
+    # u4: none.  u5: view only.
+    assert got == {
+        (1, "view"): 4,
+        (2, "click"): 3,
+        (3, "purchase"): 1,
+    }
+    # no-window variant: u2's purchase still precedes its click, u3's
+    # purchase now counts
+    got2 = {
+        (r["step"], r["step_type"]): r["n_users"]
+        for r in events_ops.funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got2 == {
+        (1, "view"): 4,
+        (2, "click"): 3,
+        (3, "purchase"): 2,
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        events_ops.funnel(df, [])
