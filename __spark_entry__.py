@@ -906,6 +906,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zonal_stats_synth"] = zonal_stats_synth
 
+    # zonal majority (round 5): most frequent valid value per
+    # (image, AOI, band), ties to the smallest value — the DuckDB twin
+    # replays the count + (cnt DESC, dn ASC) pick over the same
+    # tie-free 0.25-grid boxes.
+    def zonal_mode_synth(spark, sf_dir):
+        imgs = _grid_footprints(_oracle_grid_imgs(spark))
+        return zonal.zonal_mode(imgs, _grid_aois(spark), res=8)
+
+    q["zonal_mode_synth"] = zonal_mode_synth
+
     # rasterize (round 5): the vector->raster burn over the same
     # closed-form grid/AOI corpus — per-AOI burn values k+1 resolve
     # overlaps by max; the burned canvas is gated through decode_stats
@@ -2311,6 +2321,42 @@ def oracle_sql() -> dict[str, str]:
                sum(dn) AS "sum", avg(dn) AS mean,
                min(dn) AS "min", max(dn) AS "max"
         FROM inside GROUP BY idx, aoi_id, b
+    """
+
+    # zonal majority: value counts inside each box, pick by
+    # (cnt DESC, dn ASC)
+    o["zonal_mode_synth"] = _grid16 + """
+        , aois AS (
+          SELECT k, 'zaoi' || CAST(k AS VARCHAR) AS aoi_id,
+                 k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        inside AS (
+          SELECT p.idx, a.aoi_id, p.b, p.dn
+          FROM px p
+          JOIN imgs i USING (idx)
+          CROSS JOIN aois a
+          WHERE i.cx + (p.c + 0.5) * 0.25 BETWEEN a.alon0 AND a.alon1
+            AND i.fy - (p.r + 0.5) * 0.25 BETWEEN a.alat0 AND a.alat1
+            AND p.dn != 0.0
+        ),
+        vc AS (
+          SELECT idx, aoi_id, b, dn, COUNT(*) AS cnt
+          FROM inside GROUP BY idx, aoi_id, b, dn
+        ),
+        pick AS (
+          SELECT idx, aoi_id, b, dn, cnt,
+                 SUM(cnt) OVER (PARTITION BY idx, aoi_id, b) AS n_valid,
+                 row_number() OVER (PARTITION BY idx, aoi_id, b
+                                    ORDER BY cnt DESC, dn ASC) AS rn
+          FROM vc
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               aoi_id, CAST(b AS INTEGER) AS band,
+               dn AS mode, CAST(cnt AS BIGINT) AS n_mode,
+               CAST(n_valid AS BIGINT) AS n_valid
+        FROM pick WHERE rn = 1
     """
 
     # rasterize: per-pixel max burn value over covering AOI boxes (0 =

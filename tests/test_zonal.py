@@ -344,3 +344,76 @@ def test_zonal_grid_equals_single_image(spark):
         assert gn == n and (gmn, gmx) == (mn, mx)
         assert gs == pytest.approx(s, rel=1e-12)
         assert gm == pytest.approx(m, rel=1e-12)
+
+
+def test_zonal_mode_matches_bruteforce(spark):
+    imgs = datagen.gen_images(spark, 12, profile="mixed")
+    rows = []
+    for k in range(4):
+        lon0 = -16.0 + k * 12.0
+        lat0 = 32.0 + k * 6.0
+        rows.append((
+            f"mbox{k}",
+            [lon0, lon0 + 8.0, lon0 + 8.0, lon0, lon0],
+            [lat0, lat0, lat0 + 6.0, lat0 + 6.0, lat0],
+        ))
+    rows.append(("mtri", [-15.0, -2.0, -9.0, -15.0], [50.0, 50.0, 59.0, 50.0]))
+    aois = _aoi_df(spark, rows)
+    got = {
+        (r["image_id"], r["aoi_id"], r["band"]): (r["mode"], r["n_mode"], r["n_valid"])
+        for r in zonal.zonal_mode(imgs, aois, res=6).collect()
+    }
+    exp = {}
+    pdf = datagen.images_pdf(np.arange(12), profile="mixed")
+    for _, img in pdf.iterrows():
+        arr = codec.decode(img["bytes"]).astype(np.float64)
+        nb, h, w = arr.shape
+        a, _, c, _, e, f_ = img["transform"]
+        px = c + (np.arange(w) + 0.5) * a
+        py = f_ + (np.arange(h) + 0.5) * e
+        gx, gy = np.meshgrid(px, py)
+        for aid, rx, ry in rows:
+            rx_, ry_ = np.asarray(rx, float), np.asarray(ry, float)
+            span = max(rx_.max() - rx_.min(), 1.0)
+            inside = points_in_polygon(
+                (gx.ravel() - rx_.min()) / span, gy.ravel(),
+                (rx_ - rx_.min()) / span, ry_,
+            ).reshape(h, w)
+            for b in range(nb):
+                vals = arr[b][inside]
+                if img["nodata"] is not None:
+                    vals = vals[vals != img["nodata"]]
+                if vals.size == 0:
+                    continue
+                uq, cnts = np.unique(vals, return_counts=True)
+                k2 = int(np.argmax(cnts))
+                exp[(img["image_id"], aid, b)] = (
+                    float(uq[k2]), int(cnts[k2]), int(vals.size)
+                )
+    assert got == exp
+    assert len(exp) >= 10
+
+
+def test_zonal_mode_tie_breaks_to_smallest(spark):
+    """Two values with equal counts inside the AOI: the smaller wins."""
+    arr = np.array([[[5.0, 5.0, 3.0], [3.0, 9.0, 9.0], [9.0, 1.0, 2.0]]])
+    imgs = spark.createDataFrame(
+        [(
+            "m0", bytes(codec.encode(arr, "raw")), 3, 3, "raw", "", 0,
+            1, "float64", "EPSG:4326",
+            [1.0, 0.0, 0.0, 0.0, -1.0, 3.0], None,
+            [0.0, 3.0, 3.0, 0.0, 0.0], [3.0, 3.0, 0.0, 0.0, 3.0], "X",
+        )],
+        datagen.IMAGES_SCHEMA,
+    )
+    aois = _aoi_df(spark, [
+        ("all", [0.0, 3.0, 3.0, 0.0, 0.0], [0.0, 0.0, 3.0, 3.0, 0.0]),
+        # top 2x3 sub-box: values {5,5,3,3,9,9} -> tie 3/5/9 x2 -> 3
+        ("top", [0.0, 3.0, 3.0, 0.0, 0.0], [1.0, 1.0, 3.0, 3.0, 1.0]),
+    ])
+    got = {
+        (r["aoi_id"]): (r["mode"], r["n_mode"], r["n_valid"])
+        for r in zonal.zonal_mode(imgs, aois, res=4).collect()
+    }
+    assert got["all"] == (9.0, 3, 9)
+    assert got["top"] == (3.0, 2, 6)
