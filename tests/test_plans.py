@@ -273,3 +273,78 @@ def test_sampling_and_contour_stay_jvm_or_single_stage(spark, images_parquet):
     splan = _plan(sampling.split_assign(docs, {"a": 0.5, "b": 0.5}, "doc_id"))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"):
         assert marker not in splan, marker
+
+
+def test_session3_ops_plan_shapes(spark, images_parquet):
+    """Round-5 session-3 operators keep their scale contracts: the
+    terrain hydrology/texture chain and equalize run as ONE MapInArrow
+    payload stage; trend_series is one series exchange + one
+    FlatMapGroupsInArrow; histmatch is one payload equi-join + one
+    Arrow stage; funnel and bm25 never leave the JVM."""
+    import numpy as np
+
+    from ukis_pysat_spark.operators import (
+        events as events_ops,
+        histmatch,
+        indices,
+        terrain,
+        text,
+        timeseries,
+    )
+
+    images = spark.read.parquet(images_parquet)
+
+    # chained hydrology + texture + index + equalize: ONE Arrow stage
+    chain = transforms.apply_transforms(
+        images,
+        [
+            terrain.flow_accum(),
+            terrain.stream_order(),
+            terrain.lbp(),
+            transforms.equalize(),
+        ],
+        out_fmt="raw",
+    )
+    plan = _plan(chain)
+    assert plan.count("MapInArrow") == 1, plan
+    assert "MapInPandas" not in plan
+
+    # morphology open (a 2-fn chain) also fuses into the same stage
+    plan = _plan(
+        transforms.apply_transforms(
+            images, terrain.morphology("open"), out_fmt="raw"
+        )
+    )
+    assert plan.count("MapInArrow") == 1
+
+    # trend: exactly one exchange (series key) + one grouped Arrow stage
+    ts = images.select(
+        F.col("image_id").alias("series_id"),
+        F.lit(0.0).alias("epoch"),
+        "bytes", "transform", "nodata",
+    )
+    plan = _plan(timeseries.trend_series(ts))
+    assert "FlatMapGroupsInArrow" in plan
+    assert plan.count("Exchange") == 1, plan
+
+    # histmatch: one equi-join, one Arrow stage, no pandas
+    plan = _plan(histmatch.match_histogram(images, images))
+    assert plan.count("MapInArrow") == 1
+    assert "MapInPandas" not in plan
+
+    # funnel + bm25: pure JVM
+    ev = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", 1, "view")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for q in (
+        events_ops.funnel(ev, ["view", "click"]),
+        text.bm25_topk(
+            spark.createDataFrame([(0, "a b")], "doc_id long, text string"),
+            "a",
+        ),
+    ):
+        p = _plan(q)
+        for marker in ("ArrowEvalPython", "BatchEvalPython",
+                       "MapInPandas", "MapInArrow"):
+            assert marker not in p, marker
