@@ -1353,6 +1353,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spectral_idx_synth"] = spectral_idx_synth
 
+    # GLCM texture features (round 5): directed east co-occurrence of
+    # 16-level quantized values; every numerator integer (homogeneity
+    # dyadic-floored), one final division per feature.
+    def glcm_synth(spark, sf_dir):
+        from ukis_pysat_spark.operators import texture
+
+        return texture.glcm_features(_oracle_grid_imgs(spark), levels=16)
+
+    q["glcm_synth"] = glcm_synth
+
     # histogram equalization (round 5): rank-based cdf remap, all
     # integer arithmetic (round-half-up via (2a+b)//(2b)); the DuckDB
     # twin replays the cumulative window sum per (image, band).
@@ -3561,6 +3571,48 @@ def oracle_sql() -> dict[str, str]:
                     ELSE (2.5 * (nir - red))
                          / (nir + 6.0 * red - 7.5 * blue + 1.0) END AS val
         FROM bandp
+    """
+
+    # GLCM: quantize via the same floor expression, directed east
+    # pairs, integer aggregates, one division per feature
+    o["glcm_synth"] = _grid16 + f"""
+        , st AS (
+          SELECT idx, b, MIN(dn) AS mn, MAX(dn) AS mx
+          FROM px WHERE dn <> 0 GROUP BY idx, b
+        ),
+        qq AS (
+          SELECT p.idx, p.b, p.r, p.c,
+                 CASE WHEN s.mx > s.mn
+                      THEN LEAST(CAST(floor((p.dn - s.mn) * 16.0
+                                            / (s.mx - s.mn)) AS BIGINT), 15)
+                      ELSE 0 END AS q
+          FROM px p
+          JOIN st s ON s.idx = p.idx AND s.b = p.b
+          WHERE p.dn <> 0
+        ),
+        cn AS (
+          SELECT a.idx, a.b, a.q AS i, n.q AS j, COUNT(*) AS cnt
+          FROM qq a
+          JOIN qq n ON n.idx = a.idx AND n.b = a.b
+                   AND n.r = a.r AND n.c = a.c + 1
+          GROUP BY a.idx, a.b, a.q, n.q
+        ),
+        ag AS (
+          SELECT idx, b, SUM(cnt) AS n,
+                 SUM(cnt * (i - j) * (i - j)) AS con_n,
+                 SUM(cnt * abs(i - j)) AS dis_n,
+                 SUM(cnt * 1048576 // (1 + (i - j) * (i - j))) AS hom_n,
+                 SUM(cnt * cnt) AS en_n
+          FROM cn GROUP BY idx, b
+        )
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               CAST(n AS BIGINT) AS n_pairs,
+               CAST(con_n AS DOUBLE) / n AS contrast,
+               CAST(dis_n AS DOUBLE) / n AS dissimilarity,
+               CAST(hom_n AS DOUBLE) / 1048576.0 / n AS homogeneity,
+               CAST(en_n AS DOUBLE) / (n * n) AS energy
+        FROM ag
     """
 
     # histogram equalization: cumulative window sum over distinct
