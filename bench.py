@@ -180,6 +180,19 @@ def main() -> None:
         "band_hist",
         lambda: multimodal.band_histogram(images, 32, 0.0, 4096.0).count(),
     )
+    # GLCM texture features: quantize + one bincount per band, four
+    # Haralick stats out (decode-once stats stage like band_hist)
+    from ukis_pysat_spark.operators import texture as _texture
+
+    timed(
+        "glcm",
+        lambda: _texture.glcm_features(images, levels=16).count(),
+    )
+    # zonal majority over the same image x AOI corpus as zonal_stats
+    timed(
+        "zonal_mode",
+        lambda: zonal.zonal_mode(images, aois, res=12).count(),
+    )
     # terrain: Horn hillshade (slope + aspect math fused into one
     # Lambertian kernel) as a payload-emitting single Arrow stage
     from ukis_pysat_spark.operators import terrain as _terrain

@@ -388,27 +388,46 @@ def _mode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
             nod = nodatas[ri]
             crs = crss[ri]
             lonlat = _is_lonlat(crs)
+            def _modes(sub):
+                """Per-band (b, mode, n_mode, n_valid) for a (nb, k)
+                value block; unique is ascending, so the FIRST argmax
+                is the smallest tied value."""
+                out = []
+                for b in range(nb):
+                    vals = sub[b]
+                    if nod is not None:
+                        vals = vals[vals != nod]
+                    if vals.size == 0:
+                        continue
+                    uq, cnts = np.unique(vals, return_counts=True)
+                    k = int(np.argmax(cnts))
+                    out.append((b, float(uq[k]), int(cnts[k]), int(vals.size)))
+                return out
+
+            full_modes = None  # cached: many AOIs cover the whole image
+            flat = arr.reshape(nb, -1)
             for aoi in aois_col[ri]:
                 info = _ring_info(ring_cache, aoi, crs)
                 win = _aoi_window_mask(info, transforms_col[ri], w, h, lonlat)
                 if win is None:
                     continue
                 c0, c1, r0, r1, inside = win
-                sub = arr[:, r0:r1, c0:c1]
-                for b in range(nb):
-                    vals = sub[b] if inside is None else sub[b][inside]
-                    if nod is not None:
-                        vals = vals[vals != nod]
-                    if vals.size == 0:
-                        continue
-                    uq, cnts = np.unique(vals, return_counts=True)
-                    k = int(np.argmax(cnts))  # first max = smallest value
+                if inside is None and c0 == 0 and r0 == 0 and c1 == w and r1 == h:
+                    if full_modes is None:
+                        full_modes = _modes(flat)
+                    rows = full_modes
+                else:
+                    sub = arr[:, r0:r1, c0:c1].reshape(nb, -1)
+                    if inside is not None:
+                        sub = sub[:, inside.ravel()]
+                    rows = _modes(sub)
+                for b, mode, n_mode, n_valid in rows:
                     cols["image_id"].append(ids[ri])
                     cols["aoi_id"].append(aoi["aoi_id"])
                     cols["band"].append(b)
-                    cols["mode"].append(float(uq[k]))
-                    cols["n_mode"].append(int(cnts[k]))
-                    cols["n_valid"].append(int(vals.size))
+                    cols["mode"].append(mode)
+                    cols["n_mode"].append(n_mode)
+                    cols["n_valid"].append(n_valid)
         if cols["image_id"]:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[f.name], type=f.type) for f in _MODE_PA_SCHEMA],
