@@ -1786,6 +1786,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trend_synth"] = trend_synth
 
+    # GeoTIFF write sink roundtrip (round 6, S4 write twin; reference
+    # raster.py:535-580): oracle-grid payloads -> strip GTiff bytes
+    # (LZW + auto predictor 2, the hardest codec path) -> parsed back
+    # -> per-band stats + the geo metadata read from the FILE's tags.
+    # Lossless write->read makes the stats equal the closed-form grid;
+    # left/top/crs/nodata gate ModelTiepoint/GeoKeys/GDAL_NODATA.
+    def gtiff_roundtrip_synth(spark, sf_dir):
+        from ukis_pysat_spark import sinks as sinks_mod
+
+        loop = sinks_mod.from_geotiff(
+            sinks_mod.to_geotiff(_oracle_grid_imgs(spark), compression="lzw")
+        )
+        st = multimodal.decode_stats(loop, nodata=None).select(
+            "image_id", "band", "mean", "min", "max", "n_valid"
+        )
+        meta = loop.select(
+            "image_id",
+            F.element_at("transform", 3).alias("left"),
+            F.element_at("transform", 6).alias("top"),
+            "crs", "nodata",
+        )
+        return st.join(meta, "image_id").select(
+            "image_id", "band", "mean", "min", "max", "n_valid",
+            "left", "top", "crs", "nodata",
+        )
+
+    q["gtiff_roundtrip_synth"] = gtiff_roundtrip_synth
+
     return _fold_suites(q)
 
 
@@ -3957,6 +3985,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, SUM(contrib) AS score
         FROM scored GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 25
+    """
+
+    # GeoTIFF roundtrip: lossless write->read means the stats are the
+    # closed-form grid's and the geo columns are the generator's
+    o["gtiff_roundtrip_synth"] = _grid16 + """
+        SELECT 'img' || lpad(CAST(idx AS VARCHAR), 8, '0') AS image_id,
+               CAST(b AS INTEGER) AS band,
+               avg(dn) AS mean, min(dn) AS "min", max(dn) AS "max",
+               CAST(count(*) AS BIGINT) AS n_valid,
+               any_value(cx) AS "left", any_value(fy) AS top,
+               'EPSG:4326' AS crs, 0.0 AS nodata
+        FROM px JOIN imgs USING (idx) GROUP BY idx, b
     """
 
     return _fold_suite_sql(o)

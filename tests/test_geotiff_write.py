@@ -1,0 +1,215 @@
+"""GeoTIFF WRITER (engine S4 sink twin of the reader; reference
+raster.py:535-580 writes via rasterio/GDAL — the engine writes the
+container itself).  Gates:
+
+- write -> read bit-exact roundtrips over the dtype x compression x
+  predictor matrix, geo metadata included;
+- the reference's own fixtures survive a read -> write -> read loop
+  byte-for-byte (every compression);
+- the SYSTEM libtiff (the decoder GDAL uses) reads our files back
+  bit-exact — external differential for the LZW/PackBits encoders and
+  the predictor transforms;
+- our LZW encoder's streams decode identically through the simple
+  per-code reference decoder;
+- the Spark sink loop (to_geotiff |> from_geotiff) and the file sink
+  (write_geotiff_files -> binaryFile -> ingest_geotiffs) are lossless.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from ukis_pysat_spark import codec, datagen, sinks
+from ukis_pysat_spark.sources import geotiff
+
+REF_DIR = "/root/reference/tests/testfiles"
+
+_rng = np.random.Generator(np.random.Philox(key=np.uint64(11)))
+
+
+def _fixture(dtype: str, bands: int = 3, h: int = 53, w: int = 71) -> np.ndarray:
+    a = (_rng.random((bands, h, w)) * 900).astype(dtype)
+    a[:, :10] = 7  # compressible block pushes LZW through width changes
+    return a
+
+
+@pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [1, 2, 3, "auto"])
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "int32", "float32", "float64"])
+def test_write_read_matrix(comp, pred, dtype):
+    kind = np.dtype(dtype).kind
+    if pred == 2 and kind == "f":
+        return
+    if pred == 3 and kind != "f":
+        return
+    a = _fixture(dtype)
+    t = [0.25, 0.0, -10.0, 0.0, -0.25, 60.0]
+    b = geotiff.write_geotiff(
+        a, transform=t, crs="EPSG:32632", nodata=-1.0, compression=comp, predictor=pred
+    )
+    out, meta = geotiff.read_geotiff(b)
+    assert np.array_equal(out, a)
+    assert out.dtype == a.dtype
+    assert meta["transform"] == t
+    assert meta["crs"] == "EPSG:32632"
+    assert meta["nodata"] == -1.0
+
+
+def test_geographic_vs_projected_geokeys():
+    a = _fixture("uint8", bands=1)
+    for crs, geo in [("EPSG:4326", True), ("EPSG:3857", False), ("EPSG:32719", False)]:
+        b = geotiff.write_geotiff(a, crs=crs)
+        _, meta = geotiff.read_geotiff(b)
+        assert meta["crs"] == crs
+        tags = geotiff.parse_ifd(b)
+        keys = tags[34735]
+        kv = {keys[k]: keys[k + 3] for k in range(4, len(keys) - 3, 4)}
+        assert kv[1024] == (2 if geo else 1)
+        assert (2048 in kv) == geo and (3072 in kv) == (not geo)
+
+
+def test_bigtiff_forced_and_single_strip():
+    a = _fixture("uint16", bands=2, h=37, w=41)
+    b = geotiff.write_geotiff(a, compression="deflate", bigtiff=True, rows_per_strip=37)
+    assert b[2:4] == b"\x2b\x00"  # magic 43
+    out, _ = geotiff.read_geotiff(b)
+    assert np.array_equal(out, a)
+
+
+def test_writer_input_validation():
+    a = _fixture("float32", bands=1)
+    with pytest.raises(ValueError, match="rotated"):
+        geotiff.write_geotiff(a, transform=[1.0, 0.1, 0.0, 0.0, -1.0, 0.0])
+    with pytest.raises(ValueError, match="north-up"):
+        geotiff.write_geotiff(a, transform=[1.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+    with pytest.raises(ValueError, match="EPSG"):
+        geotiff.write_geotiff(a, crs="PROJCS[custom]")
+    with pytest.raises(ValueError, match="predictor 2"):
+        geotiff.write_geotiff(a, predictor=2)
+    with pytest.raises(ValueError, match="predictor 3"):
+        geotiff.write_geotiff(a.astype("uint8"), predictor=3)
+    with pytest.raises(ValueError, match="compression"):
+        geotiff.write_geotiff(a, compression="jpeg")
+
+
+def test_lzw_encoder_vs_reference_decoder():
+    """Differential: product LZW streams must decode identically through
+    the simple per-code reference loop AND the vectorized decoder, on
+    shapes covering width growth, table clears, and KwKwK."""
+    cases = [
+        b"",
+        b"\x00" * 5000,  # KwKwK chains
+        bytes(_rng.integers(0, 256, 60_000, dtype=np.uint8)),  # clears
+        bytes(_rng.integers(0, 4, 20_000, dtype=np.uint8)),
+        b"TOBEORNOTTOBEORTOBEORNOT" * 400,
+    ]
+    for data in cases:
+        enc = geotiff._lzw_encode(data)
+        assert geotiff._lzw_decode_py(enc) == data
+        assert geotiff._lzw_decode(enc) == data
+
+
+def test_reference_fixtures_survive_write_loop():
+    """Every reference .tif: engine-read -> engine-write (each codec)
+    -> engine-read must reproduce pixels AND geo metadata bit-exact."""
+    paths = sorted(glob.glob(os.path.join(REF_DIR, "**", "*.tif"), recursive=True))
+    if not paths:
+        pytest.skip("reference checkout not present")
+    for p in paths:
+        arr, meta = geotiff.read_geotiff(open(p, "rb").read())
+        for comp in ("none", "deflate", "lzw", "packbits"):
+            b = geotiff.write_geotiff(
+                arr,
+                transform=meta["transform"],
+                crs=meta["crs"],
+                nodata=meta["nodata"],
+                compression=comp,
+            )
+            out, meta2 = geotiff.read_geotiff(b)
+            assert np.array_equal(out, arr), (p, comp)
+            assert meta2["transform"] == meta["transform"], (p, comp)
+            assert meta2["crs"] == meta["crs"], (p, comp)
+            assert meta2["nodata"] == meta["nodata"], (p, comp)
+
+
+def test_libtiff_reads_our_files(tmp_path):
+    """External ground truth, reverse direction of the reader's libtiff
+    test: files WRITTEN by the engine must read back bit-exact through
+    the system libtiff (the codec implementation GDAL ships)."""
+    try:
+        lt = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("system libtiff not available")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFReadScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    def read_back(path: str, shape: tuple, dtype: str) -> np.ndarray:
+        bands, h, w = shape
+        t = lt.TIFFOpen(path.encode(), b"r")
+        assert t, path
+        out = np.empty((h, w, bands), dtype=dtype)
+        for r in range(h):
+            assert lt.TIFFReadScanline(
+                t, out[r].ctypes.data_as(ctypes.c_void_p), r, 0
+            ) == 1, (path, r)
+        lt.TIFFClose(t)
+        return out.transpose(2, 0, 1)
+
+    cases = [
+        ("uint8", "lzw", "auto"), ("uint8", "deflate", "auto"),
+        ("uint8", "packbits", 1), ("uint8", "none", 1),
+        ("uint16", "lzw", "auto"), ("int16", "deflate", "auto"),
+        ("float32", "deflate", "auto"), ("float32", "lzw", 3),
+        ("float64", "deflate", 1),
+    ]
+    for i, (dtype, comp, pred) in enumerate(cases):
+        a = _fixture(dtype, bands=2, h=90, w=123)
+        p = str(tmp_path / f"w{i}.tif")
+        open(p, "wb").write(
+            geotiff.write_geotiff(a, compression=comp, predictor=pred)
+        )
+        assert np.array_equal(read_back(p, a.shape, dtype), a), (dtype, comp, pred)
+
+
+def test_spark_geotiff_loop_and_file_sink(spark, tmp_path):
+    imgs = datagen.gen_images(spark, 8, profile="oracle")
+    loop = sinks.from_geotiff(sinks.to_geotiff(imgs, compression="deflate"))
+    a = {r["image_id"]: r for r in imgs.collect()}
+    b = {r["image_id"]: r for r in loop.collect()}
+    assert set(a) == set(b)
+    for k, ra in a.items():
+        rb = b[k]
+        assert np.array_equal(
+            codec.decode(bytes(ra["bytes"])), codec.decode(bytes(rb["bytes"]))
+        ), k
+        for col in ("transform", "crs", "nodata", "dtype", "w", "h", "bands"):
+            assert ra[col] == rb[col], (k, col)
+
+    # file sink -> binaryFile scan -> ingest: the full circle a user
+    # runs to hand scenes to any GDAL-based consumer and back
+    out_dir = str(tmp_path / "tifs")
+    manifest = sinks.write_geotiff_files(imgs, out_dir, compression="lzw").collect()
+    assert len(manifest) == 8 and all(os.path.getsize(m["path"]) > 0 for m in manifest)
+    back = sinks.from_geotiff(
+        spark.read.format("binaryFile").load(out_dir + "/*.tif")
+        .selectExpr(
+            "replace(reverse(split(path, '/'))[0], '.tif', '') AS image_id",
+            "reverse(split(path, '/'))[0] AS caption",
+            "content AS tiff",
+        )
+    )
+    c = {r["image_id"]: r for r in back.collect()}
+    assert set(c) == set(a)
+    for k, ra in a.items():
+        assert np.array_equal(
+            codec.decode(bytes(ra["bytes"])), codec.decode(bytes(c[k]["bytes"]))
+        ), k

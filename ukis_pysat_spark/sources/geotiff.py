@@ -563,3 +563,303 @@ def ingest_geotiffs(files: DataFrame, fmt: str = "raw") -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(run, schema=IMAGES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# GeoTIFF WRITER (engine-side S4 sink, reference raster.py:535-580
+# write_to_file with driver='GTiff' + compress=...; GDAL writes through
+# libtiff, the engine writes the container directly from the public
+# TIFF 6.0 / GeoTIFF 1.1 specs).  Strip-organized, chunky planar,
+# little-endian; classic TIFF with automatic BigTIFF promotion when
+# the payload approaches the 4 GiB offset ceiling.
+
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+# geographic (lat/lon) EPSG codes the engine speaks; everything else
+# it knows (3857, 326xx/327xx UTM, 3413/3976/3031 polar stereographic,
+# 3035 LAEA, ...) is a projected CRS -> ProjectedCSTypeGeoKey
+_GEOGRAPHIC_EPSG = {4326, 4258, 4269, 4267}
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first bit packing,
+    ClearCode 256 / EOI 257, entries from 258, 9->12-bit codes with the
+    'early change' width bump one step before the decoder's table
+    fills, table reset before the 12-bit ceiling (libtiff's CODE_MAX
+    discipline).  Integer-keyed prefix table — (prefix_code << 8) |
+    byte — so the hot loop never materializes byte strings.  Encoding
+    is inherently sequential; at table scale each payload row encodes
+    independently inside its Arrow batch, and `deflate` (zlib, C rate)
+    is the recommended hot-path codec."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    nbits = 9
+
+    def put(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << nbits) | code
+        bitcnt += nbits
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+            bitbuf &= (1 << bitcnt) - 1
+
+    put(256)
+    table: dict[int, int] = {}
+    next_code = 258
+    prev = -1
+    for b in data:
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev << 8) | b
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        put(prev)
+        table[key] = next_code
+        next_code += 1
+        # width sync: the decoder widens after ADDING entry
+        # (1<<nbits)-2, one code later than the encoder adds it
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        if next_code >= 4094:
+            put(256)
+            table.clear()
+            next_code = 258
+            nbits = 9
+        prev = b
+    if prev >= 0:
+        put(prev)
+    put(257)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encoder (TIFF 6.0 §9): runs of >= 3 identical bytes
+    -> (257-n, byte); everything else literal chunks of <= 128."""
+    out = bytearray()
+    i = 0
+    L = len(data)
+    while i < L:
+        run = 1
+        while i + run < L and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        j = i + 1
+        while j < L and j - i < 128:
+            if j + 2 < L and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _predict2(seg: np.ndarray, dt: np.dtype) -> bytes:
+    """Horizontal differencing (tag 317 = 2) on one (rows, cols, spp)
+    strip: per-channel first differences along the width, computed in
+    the native dtype so unsigned wraparound matches the reader's
+    cumsum reversal."""
+    nat = seg.astype(dt.newbyteorder("="), copy=False)
+    d = np.concatenate([nat[:, :1], np.diff(nat, axis=1)], axis=1)
+    return np.ascontiguousarray(d.astype(dt)).tobytes()
+
+
+def _predict3(seg: np.ndarray, spp: int, itemsize: int) -> bytes:
+    """Floating-point predictor (tag 317 = 3, TIFF TechNote 3): per
+    scanline, the values' bytes split into itemsize planes MSB-first,
+    then stride-wise (per-sample) byte differencing — the inverse of
+    the reader's _fp_unpredict."""
+    nr, n = seg.shape[0], seg.shape[1] * spp
+    be = np.ascontiguousarray(seg.astype(f">f{itemsize}")).view(np.uint8)
+    planes = be.reshape(nr, n, itemsize).transpose(0, 2, 1).reshape(nr, itemsize * n)
+    d = planes.reshape(nr, (itemsize * n) // spp, spp).copy()
+    d[:, 1:, :] -= d[:, :-1, :].copy()  # uint8 wraparound difference
+    return np.ascontiguousarray(d.reshape(nr, itemsize * n)).tobytes()
+
+
+def write_geotiff(
+    arr: np.ndarray,
+    transform: list | None = None,
+    crs: str | None = None,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    predictor: int | str = "auto",
+    rows_per_strip: int | None = None,
+    bigtiff: bool | None = None,
+) -> bytes:
+    """(bands, rows, cols) array + geo metadata -> GeoTIFF bytes.
+
+    The write twin of read_geotiff (engine S4; reference
+    raster.py:535-580 writes via rasterio/GDAL with dtype + compress
+    options — the engine's dtype cast lives in sinks.cast_images, this
+    function owns the container).  Emits:
+
+    - strip-organized chunky little-endian TIFF, even-aligned offsets;
+    - compression 'none' | 'deflate' (zlib, hot path) | 'lzw' |
+      'packbits';
+    - predictor: 1, 2 (integer horizontal differencing), 3 (float
+      byte-split), or 'auto' = 2 for ints / 3 for floats under
+      compression, 1 otherwise;
+    - GeoKeyDirectory (GTModelType + raster type + the geographic or
+      projected CS key from an 'EPSG:xxxx' crs), ModelPixelScale +
+      ModelTiepoint from an axis-aligned GDAL affine, GDAL_NODATA;
+    - BigTIFF promotion (magic 43, LONG8 offsets) when the payload
+      nears the classic 4 GiB ceiling, or forced with bigtiff=True.
+    """
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim == 2:
+        arr = arr[None]
+    if arr.ndim != 3:
+        raise ValueError(f"expected (bands, rows, cols), got shape {arr.shape}")
+    comp = _COMP_CODES.get(compression)
+    if comp is None:
+        raise ValueError(f"unsupported compression {compression!r}")
+    bands, h, w = arr.shape
+    dt = arr.dtype.newbyteorder("<")
+    if dt.kind not in ("u", "i", "f") or dt.itemsize not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    if predictor == "auto":
+        if comp == 1:
+            predictor = 1
+        else:
+            predictor = 3 if dt.kind == "f" else 2
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor 2 requires an integer dtype")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("predictor 3 requires a float dtype")
+
+    chunky = arr.transpose(1, 2, 0).astype(dt, copy=False)  # (rows, cols, spp)
+    row_bytes = w * bands * dt.itemsize
+    # ~64 KiB strips: large enough to amortize per-strip tag overhead,
+    # small enough that a strip decode stays cache-resident
+    rps = rows_per_strip or max(1, min(h, (1 << 16) // max(row_bytes, 1) or 1))
+
+    strips: list[bytes] = []
+    for r0 in range(0, h, rps):
+        seg = chunky[r0 : r0 + rps]
+        if predictor == 2:
+            raw = _predict2(seg, dt)
+        elif predictor == 3:
+            raw = _predict3(seg, bands, dt.itemsize)
+        else:
+            raw = np.ascontiguousarray(seg).tobytes()
+        if comp == 1:
+            strips.append(raw)
+        elif comp == 5:
+            strips.append(_lzw_encode(raw))
+        elif comp == 8:
+            strips.append(zlib.compress(raw, 6))
+        else:
+            # TIFF 6.0 §9: pack each scanline separately — decoders
+            # (libtiff included) reset the RLE stream per row
+            strips.append(
+                b"".join(
+                    _packbits_encode(raw[r : r + row_bytes])
+                    for r in range(0, len(raw), row_bytes)
+                )
+            )
+
+    payload = sum(len(s) for s in strips)
+    if bigtiff is None:
+        # classic offsets are u32; stay well clear of the ceiling so
+        # the IFD + value area always fit
+        bigtiff = payload + (len(strips) + 64) * 24 >= (1 << 32) - (1 << 20)
+
+    # ---- tag assembly ----------------------------------------------------
+    tags: list[tuple[int, int, int, bytes]] = []
+
+    def add(tag: int, typ: int, fmt: str, vals: list) -> None:
+        tags.append(
+            (tag, typ, len(vals), struct.pack("<" + fmt * len(vals), *vals))
+        )
+
+    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    off_typ, off_fmt = (16, "Q") if bigtiff else (4, "I")
+    add(256, 4, "I", [w])
+    add(257, 4, "I", [h])
+    add(258, 3, "H", [dt.itemsize * 8] * bands)
+    add(259, 3, "H", [comp])
+    add(262, 3, "H", [1])  # BlackIsZero
+    add(277, 3, "H", [bands])
+    add(278, 4, "I", [rps])
+    add(284, 3, "H", [1])  # chunky
+    if predictor != 1:
+        add(317, 3, "H", [predictor])
+    if bands > 1:
+        # trailing samples are unassociated extra bands (pixel data,
+        # not alpha) — GDAL's convention for >1-band grayscale
+        add(338, 3, "H", [2] * (bands - 1))
+    add(339, 3, "H", [sfmt] * bands)
+    if transform is not None:
+        a, b, c, d, e, f = (float(v) for v in transform)
+        if b != 0.0 or d != 0.0:
+            raise ValueError("rotated affines are not representable as "
+                             "ModelPixelScale + ModelTiepoint")
+        if a <= 0.0 or e >= 0.0:
+            raise ValueError("expected north-up affine (a > 0, e < 0)")
+        add(33550, 12, "d", [a, -e, 0.0])
+        add(33922, 12, "d", [0.0, 0.0, 0.0, c, f, 0.0])
+    if crs is not None:
+        if not str(crs).upper().startswith("EPSG:"):
+            raise ValueError(f"only EPSG CRSes are writable, got {crs!r}")
+        epsg = int(str(crs).split(":", 1)[1])
+        geo = epsg in _GEOGRAPHIC_EPSG
+        keys = [1, 1, 0, 2,                       # version, 2 keys
+                1024, 0, 1, 2 if geo else 1,       # GTModelType
+                (2048 if geo else 3072), 0, 1, epsg]
+        keys[3] = (len(keys) - 4) // 4
+        add(34735, 3, "H", keys)
+    if nodata is not None:
+        nd = repr(float(nodata)).encode("ascii") + b"\x00"
+        tags.append((42113, 2, len(nd), nd))
+
+    # ---- layout: header | strips | value overflow | IFD ------------------
+    body = bytearray(
+        struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0) if bigtiff
+        else struct.pack("<2sHI", b"II", 42, 0)
+    )
+    strip_offs: list[int] = []
+    for s in strips:
+        if len(body) & 1:
+            body += b"\x00"  # TIFF values begin on word boundaries
+        strip_offs.append(len(body))
+        body += s
+    add(273, off_typ, off_fmt, strip_offs)
+    add(279, off_typ, off_fmt, [len(s) for s in strips])
+
+    inline = 8 if bigtiff else 4
+    entries: list[bytes] = []
+    for tag, typ, cnt, val in sorted(tags):
+        if bigtiff:
+            head = struct.pack("<HHQ", tag, typ, cnt)
+        else:
+            head = struct.pack("<HHI", tag, typ, cnt)
+        if len(val) <= inline:
+            entries.append(head + val.ljust(inline, b"\x00"))
+        else:
+            if len(body) & 1:
+                body += b"\x00"
+            entries.append(head + struct.pack("<" + ("Q" if bigtiff else "I"), len(body)))
+            body += val
+    if len(body) & 1:
+        body += b"\x00"
+    ifd_off = len(body)
+    if bigtiff:
+        body += struct.pack("<Q", len(entries)) + b"".join(entries) + struct.pack("<Q", 0)
+        body[8:16] = struct.pack("<Q", ifd_off)
+    else:
+        body += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+        body[4:8] = struct.pack("<I", ifd_off)
+    return bytes(body)
