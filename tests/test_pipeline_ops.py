@@ -969,3 +969,33 @@ def test_funnel_differential(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         events_ops.funnel(df, [])
+
+
+def test_connected_components_chain_log_rounds(spark):
+    """Pathological high-diameter fixture (SURVEY §2 large-star claim):
+    a 512-node path graph converges in O(log n) alternating-star
+    rounds — label propagation needs ~diameter (511) rounds here."""
+    from ukis_pysat_spark.operators import graph
+
+    n = 512
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    stats: dict = {}
+    got = {r.node: r.comp for r in graph.connected_components(df, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats  # ~2*log2(512) + slack
+
+
+def test_connected_components_star_equals_labelprop(spark):
+    """Differential: alternating-star and min-label propagation must
+    emit identical (node, comp) labelings — random graphs, self-loops,
+    and an isolated self-loop-only node included."""
+    from ukis_pysat_spark.operators import graph
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(71)))
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(150, 2))]
+    edges += [(999, 999)]  # isolated node, self-loop only
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {r.node: r.comp for r in graph.connected_components(df).collect()}
+    lp = {r.node: r.comp for r in graph.connected_components_labelprop(df).collect()}
+    assert star == lp
+    assert star[999] == 999
