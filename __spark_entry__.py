@@ -321,6 +321,7 @@ _SUITES: dict[str, list[str]] = {
         "focal_synth", "sieve_synth", "proximity_synth", "fillnodata_synth",
         "morph_open_synth", "lbp_synth", "stretch_synth", "equalize_synth",
         "histmatch_synth", "color_relief_synth", "proximity_grid_synth",
+        "cost_distance_grid_synth",
     ],
     "tsfusion_suite_synth": [
         "gapfill_synth", "composite_synth", "trend_synth", "pansharpen_synth",
@@ -1639,6 +1640,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["proximity_grid_synth"] = proximity_grid_synth
+
+    # distributed cost distance over TILED grids (round 6, the
+    # proximity_grid halo pattern applied to the Bellman-Ford
+    # relaxation): the burned AOI staircase is a LONG CORRIDOR whose
+    # geodesics cross every tile boundary — the pathological shape for
+    # single-image BF — gated per pixel against an UNTILED DuckDB twin
+    # that replays the identical monotone recurrence to its fixpoint
+    # (same-order IEEE path sums in both, so values are bit-exact).
+    def cost_distance_grid_synth(spark, sf_dir):
+        from ukis_pysat_spark.operators import costgrid
+
+        tile = 20
+        tm = spark.range(4).select(
+            (F.col("id") % 2).cast("int").alias("tx"),
+            F.floor(F.col("id") / 2).cast("int").alias("ty"),
+        )
+        lon0 = F.lit(-10.0) + F.col("tx").cast("double") * 5.0
+        lat0 = F.lit(60.0) - F.col("ty").cast("double") * 5.0
+        lon1 = lon0 + 5.0
+        lat1 = lat0 - 5.0
+        targets = tm.select(
+            F.concat_ws("_", F.lit("t"), "tx", "ty").alias("image_id"),
+            F.lit(tile).alias("w"), F.lit(tile).alias("h"),
+            F.array(
+                F.lit(0.25), F.lit(0.0), lon0, F.lit(0.0), F.lit(-0.25), lat0
+            ).alias("transform"),
+            F.lit("EPSG:4326").alias("crs"),
+            F.array(lon0, lon1, lon1, lon0, lon0).alias("footprint_lon"),
+            F.array(lat0, lat0, lat1, lat1, lat0).alias("footprint_lat"),
+        )
+        burned = rasterize_op.rasterize(
+            targets, _grid_aois(spark), res=8, value_col="val"
+        )
+        cd = costgrid.cost_distance_grid(
+            burned, [0.25, 0.0, -10.0, 0.0, -0.25, 60.0], tile=tile
+        )
+        return pixels_op.to_pixels(cd).select(
+            "image_id", F.lit(1).cast("int").alias("band"), "r", "c", "val"
+        )
+
+    q["cost_distance_grid_synth"] = cost_distance_grid_synth
 
     # gdal_contour (round 5): marching squares over the closed-form
     # grid at four .5 levels (integer dn -> no corner ever ties a
@@ -3091,6 +3133,73 @@ def oracle_sql() -> dict[str, str]:
         FROM cells p LEFT JOIN near n ON n.gr = p.gr AND n.gc = p.gc
     """
 
+    _sq2 = repr(math.sqrt(2.0))
+
+    # tiled cost distance vs an UNTILED Bellman-Ford twin on the burned
+    # staircase: DuckDB iterates the identical monotone recurrence 96
+    # rounds (>= the corridor's hop count), so both engines land on the
+    # same least fixpoint bit-for-bit; barrier cells (burn-less) and
+    # unreachable cells emit -1
+    o["cost_distance_grid_synth"] = f"""
+        WITH RECURSIVE aois AS (
+          SELECT k, k * 1.0 - 10.0 AS alon0, k * 1.0 - 10.0 + 1.75 AS alon1,
+                 60.0 - k * 1.0 - 1.75 AS alat0, 60.0 - k * 1.0 AS alat1
+          FROM range(8) t(k)
+        ),
+        cells AS (
+          SELECT gr.gr, gc.gc,
+                 -10.0 + (gc.gc + 0.5) * 0.25 AS x,
+                 60.0 - (gr.gr + 0.5) * 0.25 AS y
+          FROM (SELECT unnest(range(40)) AS gr) gr,
+               (SELECT unnest(range(40)) AS gc) gc
+        ),
+        burn AS (
+          SELECT cl.gr, cl.gc, CAST(max(a.k + 1) AS DOUBLE) AS v
+          FROM cells cl JOIN aois a
+            ON cl.x BETWEEN a.alon0 AND a.alon1
+           AND cl.y BETWEEN a.alat0 AND a.alat1
+          GROUP BY cl.gr, cl.gc
+        ),
+        zmin AS (SELECT MIN(v) AS m FROM burn),
+        dd(dr, dc, dist) AS (
+          VALUES (0, 1, 1.0), (1, 1, {_sq2}), (1, 0, 1.0),
+                 (1, -1, {_sq2}), (0, -1, 1.0),
+                 (-1, -1, {_sq2}), (-1, 0, 1.0), (-1, 1, {_sq2})
+        ),
+        it(round, gr, gc, d) AS (
+          SELECT 0, b.gr, b.gc,
+                 CASE WHEN b.v = zm.m THEN 0.0
+                      ELSE CAST('inf' AS DOUBLE) END
+          FROM burn b, zmin zm
+          UNION ALL
+          SELECT prev.round + 1, prev.gr, prev.gc,
+                 LEAST(prev.d, coalesce(agg.md, CAST('inf' AS DOUBLE)))
+          FROM it prev
+          LEFT JOIN (
+            SELECT it.round AS round,
+                   it.gr + dd.dr AS tr, it.gc + dd.dc AS tc,
+                   MIN(it.d + (cu.v + cv.v) / 2.0 * dd.dist) AS md
+            FROM it
+            JOIN dd ON TRUE
+            JOIN burn cu ON cu.gr = it.gr AND cu.gc = it.gc
+            JOIN burn cv ON cv.gr = it.gr + dd.dr AND cv.gc = it.gc + dd.dc
+            WHERE it.d < CAST('inf' AS DOUBLE)
+            GROUP BY it.round, tr, tc
+          ) agg ON agg.tr = prev.gr AND agg.tc = prev.gc
+               AND agg.round = prev.round
+          WHERE prev.round < 96
+        )
+        SELECT 't_' || CAST(p.gc // 20 AS VARCHAR) || '_'
+                    || CAST(p.gr // 20 AS VARCHAR) AS image_id,
+               CAST(1 AS INTEGER) AS band,
+               CAST(p.gr % 20 AS INTEGER) AS r, CAST(p.gc % 20 AS INTEGER) AS c,
+               CASE WHEN f.d IS NULL OR f.d = CAST('inf' AS DOUBLE)
+                    THEN -1.0 ELSE f.d END AS val
+        FROM cells p
+        LEFT JOIN (SELECT * FROM it WHERE round = 96) f
+          ON f.gr = p.gr AND f.gc = p.gc
+    """
+
     # marching-squares twin: the full 16-case table + center-mean
     # saddle rule, same-order IEEE interpolation expressions
     o["contour_synth"] = _grid16 + """
@@ -3812,7 +3921,6 @@ def oracle_sql() -> dict[str, str]:
     # cost distance: synchronized Bellman-Ford as a monotone recursive
     # fixpoint — per round, each cell takes LEAST of its previous value
     # and min over valid neighbors of d_u + (c_u + c_v)/2 * dist
-    _sq2 = repr(math.sqrt(2.0))
     o["cost_distance_synth"] = _grid16.replace(
         "WITH imgs", "WITH RECURSIVE imgs"
     ) + f"""
