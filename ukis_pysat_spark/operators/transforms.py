@@ -259,35 +259,46 @@ def equalize(levels: int = 256) -> TransformFn:
 def valid_data_bbox(images: DataFrame, nodata: float = 0.0) -> DataFrame:
     """Tightest geo bbox of pixels != nodata across all bands
     (rasterio.windows.get_data_window semantics, raster.py:104-111).
-    Returns (image_id, left, bottom, right, top)."""
+    Returns (image_id, left, bottom, right, top).  One mapInArrow
+    stage: payloads enter as zero-copy buffer views and the four
+    doubles leave as columnar lists — no pandas anywhere."""
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for row in pdf.itertuples(index=False):
-                arr = codec.decode(row.bytes)
+    out_pa = pa.schema(
+        [("image_id", pa.string()), ("left", pa.float64()),
+         ("bottom", pa.float64()), ("right", pa.float64()),
+         ("top", pa.float64())]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("image_id").to_pylist()
+            trans = batch.column("transform").to_pylist()
+            payload = batch.column("bytes")
+            cols: dict[str, list] = {n: [] for n in out_pa.names}
+            for ri in range(batch.num_rows):
+                arr = codec.decode(payload[ri].as_buffer())
                 valid = (arr != nodata).any(axis=0)
                 rows_any = np.flatnonzero(valid.any(axis=1))
                 cols_any = np.flatnonzero(valid.any(axis=0))
-                a, _, c, _, e, f_ = row.transform
+                a, _, c, _, e, f_ = trans[ri]
                 if rows_any.size == 0:
                     r0 = r1 = c0 = c1 = 0
                 else:
                     r0, r1 = int(rows_any[0]), int(rows_any[-1]) + 1
                     c0, c1 = int(cols_any[0]), int(cols_any[-1]) + 1
-                recs.append(
-                    {
-                        "image_id": row.image_id,
-                        "left": c + c0 * a,
-                        "bottom": f_ + r1 * e,
-                        "right": c + c1 * a,
-                        "top": f_ + r0 * e,
-                    }
+                cols["image_id"].append(ids[ri])
+                cols["left"].append(c + c0 * a)
+                cols["bottom"].append(f_ + r1 * e)
+                cols["right"].append(c + c1 * a)
+                cols["top"].append(f_ + r0 * e)
+            if cols["image_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], f.type) for f in out_pa],
+                    schema=out_pa,
                 )
-            if recs:
-                yield pd.DataFrame(recs)
 
-    return images.select("image_id", "bytes", "transform").mapInPandas(
+    return images.select("image_id", "bytes", "transform").mapInArrow(
         run, schema="image_id string, left double, bottom double, right double, top double"
     )
 

@@ -132,45 +132,44 @@ def from_geotiff(blobs: DataFrame, tiff_col: str = "tiff", fmt: str = "raw") -> 
     """(image_id, caption, tiff) blob rows -> images table: parse each
     GeoTIFF (sources/geotiff.read_geotiff), re-encode with the engine
     codec, rebuild the geo columns from the parsed tags.  The read twin
-    of to_geotiff — to_geotiff |> from_geotiff is a lossless loop."""
-    import pandas as pd
+    of to_geotiff — to_geotiff |> from_geotiff is a lossless loop.
+    Arrow-native: each blob enters as a zero-copy buffer view and the
+    re-encoded payloads leave through the chunked ImagesBuf."""
+    import pyspark.sql.functions as F
 
-    from ukis_pysat_spark.datagen import IMAGES_SCHEMA, phash64
+    from ukis_pysat_spark.datagen import phash64
     from ukis_pysat_spark.sources.geotiff import read_geotiff
 
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr, meta = read_geotiff(getattr(r, tiff_col))
-                t = meta["transform"] or [1.0, 0.0, 0.0, 0.0, -1.0, 0.0]
-                lon0, lat0 = t[2], t[5]
-                lon1 = lon0 + arr.shape[2] * t[0]
-                lat1 = lat0 + arr.shape[1] * t[4]
-                rows.append(
-                    {
-                        "image_id": r.image_id,
-                        "bytes": codec.encode(arr, fmt),
-                        "w": int(arr.shape[2]),
-                        "h": int(arr.shape[1]),
-                        "fmt": fmt,
-                        "caption": getattr(r, "caption", r.image_id),
-                        "phash": phash64(arr),
-                        "bands": int(arr.shape[0]),
-                        "dtype": str(arr.dtype),
-                        "crs": meta["crs"] or "EPSG:4326",
-                        "transform": [float(v) for v in t],
-                        "nodata": meta["nodata"] if meta["nodata"] is not None else 0.0,
-                        "footprint_lon": [lon0, lon1, lon1, lon0, lon0],
-                        "footprint_lat": [lat0, lat0, lat1, lat1, lat0],
-                        "platform": "",
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
+    def row_fn(row: dict):
+        arr, meta = read_geotiff(bytes(row["bytes"]))
+        t = meta["transform"] or [1.0, 0.0, 0.0, 0.0, -1.0, 0.0]
+        lon0, lat0 = t[2], t[5]
+        lon1 = lon0 + arr.shape[2] * t[0]
+        lat1 = lat0 + arr.shape[1] * t[4]
+        d = {
+            "image_id": row["image_id"],
+            "w": int(arr.shape[2]),
+            "h": int(arr.shape[1]),
+            "fmt": fmt,
+            "caption": row.get("caption") or row["image_id"],
+            "phash": phash64(arr),
+            "bands": int(arr.shape[0]),
+            "dtype": str(arr.dtype),
+            "crs": meta["crs"] or "EPSG:4326",
+            "transform": [float(v) for v in t],
+            "nodata": meta["nodata"] if meta["nodata"] is not None else 0.0,
+            "footprint_lon": [lon0, lon1, lon1, lon0, lon0],
+            "footprint_lat": [lat0, lat0, lat1, lat1, lat0],
+            "platform": "",
+        }
+        return d, arr, fmt
 
-    cols = [c for c in blobs.columns if c in ("image_id", "caption", tiff_col)]
-    return blobs.select(*cols).mapInPandas(run, schema=IMAGES_SCHEMA)
+    src = blobs.select(
+        "image_id",
+        (F.col("caption") if "caption" in blobs.columns else F.col("image_id")).alias("caption"),
+        F.col(tiff_col).alias("bytes"),
+    )
+    return arrowio.map_image_rows(src, ["image_id", "caption", "bytes"], row_fn)
 
 
 def write_geotiff_files(
