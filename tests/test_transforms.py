@@ -3,6 +3,7 @@
 (w, h, transform) transfer exactly; pixel-dependent checks use the
 deterministic datagen oracle."""
 
+import math
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -1176,3 +1177,83 @@ def test_spectral_indices_differential(spark):
             img, [indices_op.spectral_index("ndvi", {"nir": 9, "red": 2})],
             out_fmt="raw",
         ).first()
+
+
+def test_lcc_differential_vs_independent_snyder():
+    """LCC forward/inverse (2SP and the 1SP +k_0 form, EPSG methods
+    9802/9801) against an INDEPENDENT in-test transcription of Snyder
+    1987 eqs. 15-1..15-11 / 7-9 (no shared code with the kernel): the
+    projected coordinates must agree to < 1e-6 m and the inverse must
+    close the loop to < 1e-9 deg."""
+    a = 6378137.0
+    e2 = 0.00669437999014
+    e = math.sqrt(e2)
+
+    def t_of(phi):
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))
+        ) ** (e / 2.0)
+
+    def m_of(phi):
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+    def snyder_fwd(lon, lat, lat1, lat2, lat0, lon0, fe, fn, k0):
+        p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+        if lat1 != lat2:
+            n = (math.log(m_of(p1)) - math.log(m_of(p2))) / (
+                math.log(t_of(p1)) - math.log(t_of(p2))
+            )
+        else:
+            n = math.sin(p1)
+        Fc = k0 * m_of(p1) / (n * t_of(p1) ** n)
+        rho0 = a * Fc * t_of(p0) ** n
+        phi = np.radians(lat)
+        rho = a * Fc * t_of(phi) ** n
+        th = n * np.radians(lon - lon0)
+        return rho * np.sin(th) + fe, rho0 - rho * np.cos(th) + fn
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(77)))
+    cases = [
+        ("EPSG:2154", (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0, 1.0),
+         (-4, 9, 41, 51)),
+        ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96",
+         (33.0, 45.0, 39.0, -96.0, 0.0, 0.0, 1.0), (-120, -70, 25, 50)),
+        ("+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=0.98 "
+         "+x_0=250000 +y_0=150000",
+         (18.0, 18.0, 18.0, -77.0, 250_000.0, 150_000.0, 0.98),
+         (-79, -75, 16.5, 19.5)),
+        ("+proj=lcc +lat_1=-18 +lat_2=-36 +lat_0=-24 +lon_0=134",
+         (-18.0, -36.0, -24.0, 134.0, 0.0, 0.0, 1.0),
+         (115, 150, -40, -12)),  # southern cone, n < 0
+    ]
+    for crs, params, box in cases:
+        lon = box[0] + (box[1] - box[0]) * rng.random(300)
+        lat = box[2] + (box[3] - box[2]) * rng.random(300)
+        gx, gy = snyder_fwd(lon, lat, *params)
+        x, y = transforms._fwd(crs, lon, lat)
+        assert np.abs(x - gx).max() < 1e-6, crs
+        assert np.abs(y - gy).max() < 1e-6, crs
+        ilon, ilat = transforms._inv(crs, x, y)
+        assert np.abs(ilon - lon).max() < 1e-9, crs
+        assert np.abs(ilat - lat).max() < 1e-9, crs
+
+
+def test_lcc_1sp_scale_at_origin_is_k0():
+    """1SP invariant (implementation-independent): the local scale
+    factor along the standard parallel lat_0 equals k_0 exactly, and
+    drifts above k_0 away from it (conformal cone tangent scaled by
+    k_0 — Snyder ch. 15, EPSG 9801)."""
+    crs = "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=0.98"
+    d = 1e-5
+    for lat, expect in ((18.0, 0.98), (21.0, None), (15.0, None)):
+        x1, y1 = transforms._fwd(crs, np.array([-77.0 - d]), np.array([lat]))
+        x2, y2 = transforms._fwd(crs, np.array([-77.0 + d]), np.array([lat]))
+        proj = float(np.hypot(x2 - x1, y2 - y1)[0])
+        phi = math.radians(lat)
+        nu = transforms._WGS_A / math.sqrt(1.0 - transforms._E2 * math.sin(phi) ** 2)
+        true = nu * math.cos(phi) * math.radians(2 * d)
+        k = proj / true
+        if expect is not None:
+            assert abs(k - expect) < 1e-9, (lat, k)
+        else:
+            assert k > 0.98 + 1e-6, (lat, k)

@@ -417,3 +417,60 @@ def test_zonal_mode_tie_breaks_to_smallest(spark):
     }
     assert got["all"] == (9.0, 3, 9)
     assert got["top"] == (3.0, 2, 6)
+
+
+def test_zonal_projected_crs_lcc(spark):
+    """An image on a Lambert-93 (EPSG:2154, Lambert conformal conic
+    2SP) grid: the lon/lat AOI ring routes through the analytic LCC
+    forward before the window/PIP stage.  Oracle: inverse-project every
+    pixel center to lon/lat and PIP there (same discipline as the UTM
+    twin above)."""
+    crs = "EPSG:2154"
+    arr = datagen.pixels_for(5, 2, 44, 52, "uint16", seed=9)
+    # 44x52 px at 100 m around (3.02E, 46.48N) — near the LCC natural
+    # origin so Lambert-93 coordinates are mid-range, grid convergence
+    # nonzero
+    x0, y0 = _fwd(crs, np.array([2.99]), np.array([46.51]))
+    transform = [100.0, 0.0, float(x0[0]), 0.0, -100.0, float(y0[0])]
+    vx = [2.995, 3.045, 3.047, 2.998, 2.995]
+    vy = [46.465, 46.467, 46.502, 46.5, 46.465]
+    dx, dy = [], []
+    for i in range(4):
+        dx.extend(np.linspace(vx[i], vx[i + 1], 16, endpoint=False))
+        dy.extend(np.linspace(vy[i], vy[i + 1], 16, endpoint=False))
+    dx.append(vx[0])
+    dy.append(vy[0])
+    img = spark.createDataFrame(
+        [
+            (
+                "l0",
+                bytearray(codec.encode(arr, "raw")),
+                [float(v) for v in transform],
+                0.0,
+                crs,
+                [2.9, 3.1, 3.1, 2.9, 2.9],
+                [46.55, 46.55, 46.4, 46.4, 46.55],
+            )
+        ],
+        "image_id string, bytes binary, transform array<double>, nodata double, "
+        "crs string, footprint_lon array<double>, footprint_lat array<double>",
+    )
+    aois = _aoi_df(spark, [("r0", dx, dy)])
+    got = _collect_zonal(zonal.zonal_stats(img, aois, res=6))
+
+    a, _, c, _, e, f_ = transform
+    px = c + (np.arange(52) + 0.5) * a
+    py = f_ + (np.arange(44) + 0.5) * e
+    gx, gy = np.meshgrid(px, py)
+    lon, lat = _inv(crs, gx.ravel(), gy.ravel())
+    inside = points_in_polygon(
+        lon, lat, np.array(dx), np.array(dy)
+    ).reshape(44, 52)
+    farr = arr.astype(np.float64)
+    for b in range(2):
+        vals = farr[b][inside]
+        vals = vals[vals != 0.0]
+        key = ("l0", "r0", b)
+        assert key in got
+        assert got[key][0] == vals.size
+        assert got[key][2] == pytest.approx(vals.mean(), rel=1e-12)

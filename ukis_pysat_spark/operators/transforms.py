@@ -960,7 +960,7 @@ _AEA_PARAMS = {
 }
 
 
-def _lcc_consts(lat1: float, lat2: float, lat0: float):
+def _lcc_consts(lat1: float, lat2: float, lat0: float, k0: float = 1.0):
     p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
     m1 = float(_m_ell(np.array(p1)))
     m2 = float(_m_ell(np.array(p2)))
@@ -968,21 +968,24 @@ def _lcc_consts(lat1: float, lat2: float, lat0: float):
     t2 = float(_ps_t(np.array(p2)))
     t0 = float(_ps_t(np.array(p0)))
     n = math.log(m1 / m2) / math.log(t1 / t2) if lat1 != lat2 else math.sin(p1)
-    Fc = m1 / (n * t1**n)
+    # k0 != 1 is the 1SP form (EPSG method 9801 / Snyder 15-2: rho =
+    # a F t^n k0); the 2SP form always has k0 = 1 (scale is pinned by
+    # the two standard parallels instead)
+    Fc = k0 * m1 / (n * t1**n)
     rho0 = _WGS_A * Fc * t0**n
     return n, Fc, rho0
 
 
-def _lcc_fwd(lon, lat, lat1, lat2, lat0, lon0, fe, fn):
-    n, Fc, rho0 = _lcc_consts(lat1, lat2, lat0)
+def _lcc_fwd(lon, lat, lat1, lat2, lat0, lon0, fe, fn, k0=1.0):
+    n, Fc, rho0 = _lcc_consts(lat1, lat2, lat0, k0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     rho = _WGS_A * Fc * _ps_t(phi) ** n
     return rho * np.sin(theta) + fe, rho0 - rho * np.cos(theta) + fn
 
 
-def _lcc_inv(x, y, lat1, lat2, lat0, lon0, fe, fn):
-    n, Fc, rho0 = _lcc_consts(lat1, lat2, lat0)
+def _lcc_inv(x, y, lat1, lat2, lat0, lon0, fe, fn, k0=1.0):
+    n, Fc, rho0 = _lcc_consts(lat1, lat2, lat0, k0)
     xp = np.asarray(x, dtype=np.float64) - fe
     yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.sign(n) * np.hypot(xp, yp)
@@ -1255,7 +1258,11 @@ def _conic_args(crs: str) -> tuple[str, tuple] | None:
             raise ValueError(f"proj string {crs!r} needs +lat_1")
         lat1 = toks["lat_1"]
         lat2 = toks.get("lat_2", lat1)
-        return fam, (lat1, lat2, toks.get("lat_0", 0.0), lon0, fe, fn)
+        base = (lat1, lat2, toks.get("lat_0", 0.0), lon0, fe, fn)
+        if fam == "lcc":
+            # +k_0 selects the 1SP form (EPSG 9801); 2SP ignores it
+            return fam, base + (toks.get("k", toks.get("k_0", 1.0)),)
+        return fam, base
     if fam == "sinu":
         return "sinu", (lon0, fe, fn, toks.get("R"))
     if fam == "eqc":
