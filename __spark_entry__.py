@@ -3458,10 +3458,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(px.b AS INTEGER) AS band,
                CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
                CASE WHEN px.dn = 0 THEN 0.0
-                    WHEN mm.qhi = mm.qlo THEN 0.0
+                    WHEN mm.qhi = mm.qlo THEN 1.0
                     ELSE LEAST(GREATEST(
-                      floor(0.0 + (px.dn - mm.qlo) * 255.0 / (mm.qhi - mm.qlo) + 0.5),
-                      0.0), 255.0)
+                      floor(1.0 + (px.dn - mm.qlo) * 254.0 / (mm.qhi - mm.qlo) + 0.5),
+                      1.0), 255.0)
                END AS val
         FROM px JOIN mm ON mm.idx = px.idx AND mm.b = px.b
     """
@@ -3862,7 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         lv AS (
           SELECT c.idx, c.b, c.dn,
                  CASE WHEN s.n = s.cmin THEN 0
-                      ELSE ((c.cdf - s.cmin) * 255 * 2 + (s.n - s.cmin))
+                      ELSE ((c.cdf - s.cmin) * 254 * 2 + (s.n - s.cmin))
                            // (2 * (s.n - s.cmin)) END AS lev
           FROM cdf c JOIN st s ON s.idx = c.idx AND s.b = c.b
         )
@@ -3870,7 +3870,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(px.b AS INTEGER) AS band,
                CAST(px.r AS INTEGER) AS r, CAST(px.c AS INTEGER) AS c,
                CASE WHEN px.dn = 0 THEN 0.0
-                    ELSE CAST(l.lev AS DOUBLE) END AS val
+                    ELSE CAST(1 + l.lev AS DOUBLE) END AS val
         FROM px
         LEFT JOIN lv l ON l.idx = px.idx AND l.b = px.b AND l.dn = px.dn
     """

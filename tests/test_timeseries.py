@@ -240,3 +240,27 @@ def test_trend_matches_polyfit(spark):
             assert rows["slope"][0, r, c] == pytest.approx(b1, rel=1e-10)
             assert rows["intercept"][0, r, c] == pytest.approx(b0, rel=1e-10)
     assert np.all(rows["n_valid"] == len(ts))
+
+
+def test_gapfill_rejects_duplicate_epochs(spark):
+    """ADVICE r5: duplicate epochs make the interpolation denominator
+    ambiguous — gapfill must reject them loudly; composite accepts
+    them (repeat observations are legitimate under a median)."""
+    import pytest as _pytest
+
+    from ukis_pysat_spark import codec as _codec
+
+    rows = []
+    for t in (0.0, 1.0, 1.0):
+        arr = np.full((1, 2, 2), 3.0 + t)
+        rows.append(("s0", t, bytearray(_codec.encode(arr, "raw")),
+                     [1.0, 0.0, 0.0, 0.0, -1.0, 0.0], 0.0))
+    df = spark.createDataFrame(
+        rows,
+        "series_id string, epoch double, bytes binary, "
+        "transform array<double>, nodata double",
+    )
+    with _pytest.raises(Exception, match="duplicate epoch"):
+        timeseries.gapfill_series(df).collect()
+    # composite over the same rows is fine
+    assert timeseries.composite_series(df, stat="median").count() == 1

@@ -4,6 +4,7 @@
 deterministic datagen oracle."""
 
 import math
+import pytest
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -1257,3 +1258,37 @@ def test_lcc_1sp_scale_at_origin_is_k0():
             assert abs(k - expect) < 1e-9, (lat, k)
         else:
             assert k > 0.98 + 1e-6, (lat, k)
+
+
+def test_stretch_and_equalize_reserve_nodata_code():
+    """ADVICE r5: a valid low-percentile pixel must never land on the
+    output nodata code — unsigned stretch maps valid into [1, 255],
+    equalize with nodata 0 into [1, levels-1]; mid-range nodata that
+    cannot be reserved raises instead of silently growing the mask."""
+    arr = np.array([[[0.0, 5.0, 5.0, 9.0], [7.0, 8.0, 9.0, 5.0]]])
+    meta = {"transform": [1, 0, 0, 0, -1, 0], "nodata": 0.0, "crs": "EPSG:4326"}
+    out, m2 = transforms.stretch(0.0, 100.0)(arr.copy(), dict(meta))
+    valid = out[arr != 0.0]
+    assert m2["nodata"] == 0.0
+    assert valid.min() >= 1 and valid.max() == 255  # code 0 is nodata-only
+    assert (out[arr == 0.0] == 0).all()
+    # degenerate (constant) band maps to the valid floor, not nodata
+    const = np.full((1, 2, 2), 4.0)
+    outc, _ = transforms.stretch(0.0, 100.0)(const, dict(meta))
+    assert (outc == 1).all()
+    # signed output with mid-range nodata cannot be reserved -> raise
+    with pytest.raises(ValueError, match="inside dst"):
+        transforms.stretch(0.0, 100.0, dst=(0.0, 255.0), out_dtype="int16")(
+            arr.copy(), dict(meta, nodata=100.0)
+        )
+
+    eq, _ = transforms.equalize(256)(arr.copy(), dict(meta))
+    ev = eq[arr != 0.0]
+    assert ev.min() >= 1 and ev.max() == 255
+    assert (eq[arr == 0.0] == 0).all()
+    with pytest.raises(ValueError, match="reserved|rescale"):
+        transforms.equalize(256)(arr.copy(), dict(meta, nodata=12.0))
+    # nodata outside the range keeps the full span
+    arr2 = np.array([[[-9999.0, 5.0, 7.0, 9.0]]])
+    eq2, _ = transforms.equalize(256)(arr2, dict(meta, nodata=-9999.0))
+    assert eq2[0, 0, 1] == 0.0 and eq2[0, 0, 3] == 255.0

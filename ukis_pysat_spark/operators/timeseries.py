@@ -61,13 +61,18 @@ _PA_SCHEMA = pa.schema(
 )
 
 
-def _load_series(batches: Iterator[pa.RecordBatch]):
+def _load_series(
+    batches: Iterator[pa.RecordBatch], reject_duplicate_epochs: bool = False
+):
     """Collect one series' epochs from ``applyInArrow`` group batches.
 
     Returns ``(sid, ts, stack, transforms_sorted, nod)`` with epochs
     sorted ascending and the payloads decoded into one (T, bands, h, w)
     float64 stack, or ``None`` for an empty group.  Raises if the
-    series mixes grids (warp first)."""
+    series mixes grids (warp first), or — for callers whose math is
+    ambiguous under duplicates, i.e. gap-fill interpolation — when two
+    observations share an epoch (composite/trend accept duplicates:
+    they are legitimate repeat observations there)."""
     epochs, payloads, transforms_, nodatas, sid = [], [], [], [], None
     for batch in batches:
         ids = batch.column("series_id").to_pylist()
@@ -85,6 +90,15 @@ def _load_series(batches: Iterator[pa.RecordBatch]):
         return None
     order = np.argsort(np.asarray(epochs), kind="stable")
     ts = np.asarray(epochs, dtype=np.float64)[order]
+    if reject_duplicate_epochs and ts.size > 1 and (np.diff(ts) == 0.0).any():
+        # duplicate epochs make the interpolation denominator ambiguous
+        # (ADVICE r5): reject loudly, like the mixed-grid check —
+        # deduplicate or composite the duplicate observations first
+        dup = float(ts[np.flatnonzero(np.diff(ts) == 0.0)[0]])
+        raise ValueError(
+            f"series {sid!r} has duplicate epoch {dup}; composite or "
+            "deduplicate observations before gap-filling"
+        )
     arrs = [codec.decode(payloads[i]).astype(np.float64) for i in order]
     shapes = {a.shape for a in arrs}
     if len(shapes) != 1:
@@ -150,7 +164,7 @@ def gapfill_series(
     )
 
     def fill_group(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        loaded = _load_series(batches)
+        loaded = _load_series(batches, reject_duplicate_epochs=True)
         if loaded is None:
             return
         sid, ts, stack, transforms_, nod = loaded

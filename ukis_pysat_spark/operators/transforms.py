@@ -169,37 +169,53 @@ def stretch(
     in exactly that operation order (the driver's SQL twin replays it
     verbatim at p = 0/100, where the percentiles are exact order
     statistics).  Degenerate bands (qhi == qlo, e.g. constant or
-    all-nodata) map everything to d0.  Nodata pixels stay nodata
-    (mapped to 0 for unsigned outputs — the GDAL convention of leaving
-    the nodata DN outside the stretch)."""
+    all-nodata) map everything to the valid floor.
+
+    Nodata handling RESERVES the output nodata code (GDAL's
+    ``-a_nodata`` discipline): unsigned outputs remap nodata to 0 and
+    stretch valid pixels into [d0+1, d1], so a valid low-percentile
+    pixel can never collide with (and silently grow) the nodata mask.
+    A signed/float output keeps the incoming nodata; if that value
+    lands inside ``dst`` the collision is unrecoverable and the
+    transform raises instead of corrupting the mask."""
     if not 0.0 <= p_lo < p_hi <= 100.0:
         raise ValueError("need 0 <= p_lo < p_hi <= 100")
     d0, d1 = float(dst[0]), float(dst[1])
+    if d0 >= d1:
+        raise ValueError("need dst[0] < dst[1]")
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
         nod = meta["nodata"]
         z = arr.astype(np.float64, copy=False)
         nb = z.shape[0]
+        e0 = d0
+        new_nod = nod
+        if nod is not None:
+            new_nod = 0.0 if out_dtype.startswith("u") else nod
+            if new_nod == d0:
+                e0 = d0 + 1.0  # reserve the nodata code
+            elif d0 < new_nod <= d1:
+                raise ValueError(
+                    f"output nodata {new_nod} falls inside dst {dst}; "
+                    "pick a dst range that excludes it"
+                )
         out = np.empty_like(z)
         for b in range(nb):
             plane = z[b]
             valid = plane[plane != nod] if nod is not None else plane.ravel()
             if valid.size == 0:
-                out[b] = d0
+                out[b] = e0
                 continue
             sv = np.sort(valid)
             qlo = _quantile_linear(sv, p_lo / 100.0)
             qhi = _quantile_linear(sv, p_hi / 100.0)
             if qhi == qlo:
-                out[b] = d0
+                out[b] = e0
                 continue
-            mapped = np.floor(d0 + (plane - qlo) * (d1 - d0) / (qhi - qlo) + 0.5)
-            out[b] = np.clip(mapped, min(d0, d1), max(d0, d1))
-        new_nod = nod
+            mapped = np.floor(e0 + (plane - qlo) * (d1 - e0) / (qhi - qlo) + 0.5)
+            out[b] = np.clip(mapped, e0, d1)
         if nod is not None:
-            new_nod = 0.0 if out_dtype.startswith("u") else nod
-            mask = z != nod
-            out = np.where(mask, out, new_nod)
+            out = np.where(z != nod, out, new_nod)
         return out.astype(np.dtype(out_dtype)), dict(meta, nodata=new_nod)
 
     return t
@@ -216,15 +232,32 @@ def equalize(levels: int = 256) -> TransformFn:
     ranks.  All arithmetic is INTEGER (the round-half-up rides the
     ``(2a + b) // (2b)`` identity), so results are bit-reproducible in
     any engine; the driver's DuckDB twin replays the cumulative window
-    sum.  Constant bands map to 0; nodata pixels pass through and are
-    excluded from the cdf.  Output stays float64 with 0..levels-1
-    values (chain ``write_raster`` for a uint8 sink)."""
+    sum.  Nodata pixels pass through and are excluded from the cdf.
+    Output stays float64 (chain ``write_raster`` for a uint8 sink).
+
+    The output nodata code is RESERVED (same discipline as
+    :func:`stretch`): when the preserved nodata equals 0 — the common
+    unsigned convention — valid pixels equalize into [1, levels-1] so
+    no valid pixel can silently join the nodata mask (constant bands
+    map to 1).  A nodata value strictly inside (0, levels-1] cannot be
+    reserved and raises; nodata outside [0, levels-1] (e.g. -9999)
+    keeps the full [0, levels-1] range (constant bands map to 0)."""
     if levels < 2:
         raise ValueError("need levels >= 2")
-    L = levels - 1
 
     def t(arr: np.ndarray, meta: dict) -> tuple[np.ndarray, dict]:
         nod = meta["nodata"]
+        lo = 0
+        if nod is not None:
+            if nod == 0.0:
+                lo = 1  # reserve the nodata code
+            elif 0.0 < nod <= levels - 1:
+                raise ValueError(
+                    f"nodata {nod} falls inside the equalized range "
+                    f"[0, {levels - 1}] and cannot be reserved; rescale "
+                    "nodata first"
+                )
+        L = levels - 1 - lo
         z = arr.astype(np.float64, copy=False)
         out = np.empty_like(z)
         for b in range(z.shape[0]):
@@ -246,7 +279,7 @@ def equalize(levels: int = 256) -> TransformFn:
             else:
                 lev = ((cdf - cmin) * L * 2 + (n - cmin)) // (2 * (n - cmin))
             res = plane.copy()
-            res[valid] = lev[inv].astype(np.float64)
+            res[valid] = (lo + lev[inv]).astype(np.float64)
             out[b] = res
         return out, dict(meta)
 
