@@ -1856,6 +1856,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gtiff_roundtrip_synth"] = gtiff_roundtrip_synth
 
+    # Structured Streaming driver gate (round 6, VERDICT r5 stretch #9):
+    # the events table replayed through streaming/events.stream_sessionize
+    # (applyInPandasWithState, event-time timeout) with an availableNow
+    # drain — a far-future sentinel event (user_id -1) pushes the final
+    # watermark past every real session's close, so the CLOSED-session
+    # stream is batch-identical and the row shares events_sessions'
+    # DuckDB twin verbatim.  This makes the streaming path driver-visible
+    # (hash-gated), not pytest-only.
+    def stream_sessions(spark, sf_dir):
+        import tempfile
+
+        from ukis_pysat_spark.streaming import events as sev
+        from ukis_pysat_spark.streaming import ingest as singest
+
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        base = tempfile.mkdtemp(prefix="upss_stream_sessions_")
+        src, ckpt, out = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+        sentinel = ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+        )
+        ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        qh = (
+            sev.stream_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        singest.await_available_now(qh, timeout=300.0)
+        return spark.read.parquet(out).where(F.col("user_id") >= 0).select(
+            "user_id", "session_idx", "n_events", "start_us", "end_us",
+            "duration_us", "sum_value",
+        )
+
+    q["stream_sessions"] = stream_sessions
+
     return _fold_suites(q)
 
 
@@ -4094,6 +4140,10 @@ def oracle_sql() -> dict[str, str]:
         FROM scored GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 25
     """
+
+    # streaming sessionize drained to batch-identical closed sessions:
+    # shares the batch twin verbatim
+    o["stream_sessions"] = o["events_sessions"]
 
     # GeoTIFF roundtrip: lossless write->read means the stats are the
     # closed-form grid's and the geo columns are the generator's

@@ -78,3 +78,31 @@ def test_uncommitted_batch_ignored(spark, tmp_path):
     torn.mkdir(parents=True)
     (torn / "part-00000.parquet").write_bytes(b"garbage")
     assert ckpt.committed("tiles").count() == n
+
+
+def test_checkpoint_resume_iceberg_mode(spark, tmp_path):
+    """The SAME resume/idempotence flow through the Iceberg writeTo
+    path (snapshot commits, overwritePartitions replay).  Skips cleanly
+    when no Iceberg catalog is configured (no runtime jar ships in this
+    environment); on a catalog-backed cluster it runs for real."""
+    from ukis_pysat_spark.plans import checkpoint as cp
+
+    if not cp.iceberg_catalog_available(spark, "ice"):
+        with pytest.raises(ValueError, match="not resolvable"):
+            CheckpointedRun(spark, "ice_run", run_id="t5", catalog="ice")
+        pytest.skip("no Iceberg catalog 'ice' configured")
+
+    imgs = datagen.gen_images(spark, 24, profile="bench")
+    ckpt = CheckpointedRun(spark, f"ice_run_{tmp_path.name}", run_id="t5",
+                           catalog="ice")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_stage_in_batches(ckpt, imgs, "tiles", "image_id", _transform,
+                             n_batches=4, fail_after=2)
+    assert 0 < ckpt.committed("tiles").count()
+    run_stage_in_batches(ckpt, imgs, "tiles", "image_id", _transform, n_batches=4)
+    oneshot = _transform(imgs)
+    assert ckpt.committed("tiles").count() == oneshot.count()
+    # replay a batch: overwritePartitions must keep metrics single-counted
+    m = ckpt.metrics("tiles")
+    total = sum(r.row_count for r in m.collect())
+    assert total == oneshot.count()

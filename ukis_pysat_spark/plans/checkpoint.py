@@ -20,18 +20,37 @@ environment, so the same semantics are built on Parquet:
   repeated and retries are idempotent (keys are data-derived, never
   partition-index-derived).
 
-The API is storage-agnostic: swap `_list_committed`/`write` for Iceberg
-snapshot reads/commits on a cluster with a catalog.
+On a cluster with an Iceberg catalog, pass ``catalog=`` to switch the
+SAME semantics onto snapshot commits: each batch lands as one
+``writeTo(...).overwritePartitions()`` into a table partitioned by
+``batch_id`` (a replayed batch replaces its own partition — one atomic
+Iceberg snapshot), metrics ride a second table partitioned by
+``(stage, batch_id)``, and the committed set is simply the table
+contents (snapshot isolation: readers never see an in-flight batch).
+No Iceberg runtime jar ships in this environment, so the catalog path
+is exercised only where one is configured (the test skips cleanly);
+the Parquet ``_SUCCESS`` protocol stays the default.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+
+
+def iceberg_catalog_available(spark: SparkSession, catalog: str) -> bool:
+    """True iff `catalog` resolves (Iceberg runtime jar + catalog conf
+    present) — callers/tests use this to pick the storage mode."""
+    try:
+        spark.sql(f"SHOW NAMESPACES IN {catalog}")
+        return True
+    except Exception:  # noqa: BLE001 — any resolution failure means "absent"
+        return False
 
 METRICS_SCHEMA = (
     "run_id string, stage string, batch_id string, src_partition int, "
@@ -40,10 +59,29 @@ METRICS_SCHEMA = (
 
 
 class CheckpointedRun:
-    def __init__(self, spark: SparkSession, base: str, run_id: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        run_id: str | None = None,
+        catalog: str | None = None,
+    ):
         self.spark = spark
         self.base = base.rstrip("/")
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.catalog = catalog
+        if catalog is not None:
+            if not iceberg_catalog_available(spark, catalog):
+                raise ValueError(
+                    f"catalog {catalog!r} is not resolvable; omit catalog= "
+                    "for the Parquet fallback"
+                )
+            ns = re.sub(r"[^A-Za-z0-9_]+", "_", self.base).strip("_") or "ckpt"
+            self._ns = f"{catalog}.{ns}"
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self._ns}")
+
+    def _tbl(self, stage: str) -> str:
+        return f"{self._ns}.{re.sub(r'[^A-Za-z0-9_]+', '_', stage)}"
 
     # -- commit side --------------------------------------------------------
 
@@ -56,6 +94,9 @@ class CheckpointedRun:
         per *physical* partition of the producing stage.
         """
         out = df.withColumn("src_partition", F.spark_partition_id())
+        if self.catalog is not None:
+            self._commit_batch_iceberg(out, stage, key_col, batch_id)
+            return
         path = f"{self.base}/{stage}/batch={batch_id}"
         out.write.mode("overwrite").parquet(path)  # _SUCCESS marks the commit
         metrics = (
@@ -84,9 +125,56 @@ class CheckpointedRun:
             f"{self.base}/_metrics/{stage}/batch={batch_id}"
         )
 
+    def _commit_batch_iceberg(
+        self, out: DataFrame, stage: str, key_col: str, batch_id: str
+    ) -> None:
+        """One atomic snapshot per batch: overwritePartitions on the
+        batch_id partition, so a replayed batch replaces itself."""
+        tbl = self._tbl(stage)
+        data = out.withColumn("batch_id", F.lit(batch_id))
+        if self.spark.catalog.tableExists(tbl):
+            data.writeTo(tbl).overwritePartitions()
+        else:
+            data.writeTo(tbl).using("iceberg").partitionedBy("batch_id").create()
+        committed = self.spark.read.table(tbl).where(F.col("batch_id") == batch_id)
+        metrics = (
+            committed.groupBy("src_partition")
+            .agg(
+                F.count("*").alias("row_count"),
+                F.min(key_col).cast("string").alias("key_min"),
+                F.max(key_col).cast("string").alias("key_max"),
+            )
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                F.lit(batch_id).alias("batch_id"),
+                "src_partition",
+                "row_count",
+                "key_min",
+                "key_max",
+                F.lit(time.time()).alias("committed_at"),
+            )
+        )
+        mtbl = f"{self._ns}.metrics"
+        if self.spark.catalog.tableExists(mtbl):
+            metrics.writeTo(mtbl).overwritePartitions()
+        else:
+            metrics.writeTo(mtbl).using("iceberg").partitionedBy(
+                "stage", "batch_id"
+            ).create()
+
     # -- resume side --------------------------------------------------------
 
     def _committed_batches(self, stage: str) -> list[str]:
+        if self.catalog is not None:
+            tbl = self._tbl(stage)
+            if not self.spark.catalog.tableExists(tbl):
+                return []
+            return [
+                f"batch={r.batch_id}"
+                for r in self.spark.read.table(tbl)
+                .select("batch_id").distinct().collect()
+            ]
         root = f"{self.base}/{stage}"
         if not os.path.isdir(root):
             return []
@@ -98,7 +186,14 @@ class CheckpointedRun:
         return out
 
     def committed(self, stage: str) -> DataFrame | None:
-        """All committed rows of a stage (uncommitted dirs ignored)."""
+        """All committed rows of a stage (uncommitted dirs ignored; in
+        catalog mode snapshot isolation makes every table row
+        committed by construction)."""
+        if self.catalog is not None:
+            tbl = self._tbl(stage)
+            if not self.spark.catalog.tableExists(tbl):
+                return None
+            return self.spark.read.table(tbl).drop("batch_id")
         paths = self._committed_batches(stage)
         if not paths:
             return None
@@ -116,6 +211,15 @@ class CheckpointedRun:
         return inputs.join(done, key_col, "left_anti")
 
     def metrics(self, stage: str | None = None) -> DataFrame | None:
+        cols = [f.split()[0] for f in METRICS_SCHEMA.split(", ")]
+        if self.catalog is not None:
+            mtbl = f"{self._ns}.metrics"
+            if not self.spark.catalog.tableExists(mtbl):
+                return None
+            m = self.spark.read.table(mtbl)
+            if stage:
+                m = m.where(F.col("stage") == stage)
+            return m.select(*cols)
         root = f"{self.base}/_metrics"
         paths = (
             [f"{root}/{stage}"]
@@ -125,7 +229,6 @@ class CheckpointedRun:
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return None
-        cols = [f.split()[0] for f in METRICS_SCHEMA.split(", ")]
         # drop the batch=... partition-discovery column; batch_id is a field
         return self.spark.read.parquet(*paths).select(*cols)
 
