@@ -361,6 +361,15 @@ def _fold_suite_sql(o: dict[str, str]) -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-gated query set: schema-compatible families folded into
+    UNION ALL suite rows (see _SUITES) so every operator family fits
+    inside the correctness gate's ~50-row window."""
+    return _fold_suites(queries_unfolded())
+
+
+def queries_unfolded() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every query individually (pre-fold) — bench.py times operators
+    one by one and the mirror can target a single suite member."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # T1: relational sliding-window enumeration (raster.py:485-505)
@@ -1902,7 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessions"] = stream_sessions
 
-    return _fold_suites(q)
+    return q
 
 
 # global fractional-pixel crop bbox for mask_bbox_synth: overlaps every

@@ -244,8 +244,20 @@ def main() -> None:
         lambda: transforms.dn2toa(toa_images, toa_metadata).count(),
     )
 
+    # GeoTIFF sink loop (round 6): encode every scene-like payload to a
+    # strip GTiff (deflate + predictor) and parse it back — the full
+    # write->read payload path through two Arrow stages
+    from ukis_pysat_spark import sinks as _sinks
+
+    timed(
+        "gtiff_roundtrip",
+        lambda: _sinks.from_geotiff(
+            _sinks.to_geotiff(toa_images, compression="deflate")
+        ).count(),
+    )
+
     # --- relational / pipeline queries on the driver tables ---------------
-    qs = entrymod.queries()
+    qs = entrymod.queries_unfolded()
     for name in [
         "q1_pricing",
         "revenue_by_nation",

@@ -349,8 +349,9 @@ def test_stretch_differential(spark):
         i = int(pos)
         f = pos - i
         qhi = valid[i] if f == 0.0 else valid[i] + (valid[i + 1] - valid[i]) * f
-        want = np.floor(0.0 + (z[b] - qlo) * 255.0 / (qhi - qlo) + 0.5)
-        want = np.clip(want, 0.0, 255.0)
+        # round-6 nodata reservation: valid pixels stretch into [1, 255]
+        want = np.floor(1.0 + (z[b] - qlo) * 254.0 / (qhi - qlo) + 0.5)
+        want = np.clip(want, 1.0, 255.0)
         want = np.where(z[b] == 0.0, 0.0, want).astype(np.uint8)
         assert np.array_equal(out[b], want), b
     # numpy's own linear quantile agrees to float tolerance
@@ -366,8 +367,9 @@ def test_stretch_differential(spark):
         valid = z[b][z[b] != 0.0]
         got_at_max = mm[b][z[b] == valid.max()]
         got_at_min = mm[b][z[b] == valid.min()]
-        assert np.all(got_at_max == 255) and np.all(got_at_min == 0)
-    # constant band -> d0 everywhere (degenerate range)
+        assert np.all(got_at_max == 255) and np.all(got_at_min == 1)
+    # constant band -> the valid floor everywhere (degenerate range);
+    # nodata=None means no reservation, so the floor is d0 = 0
     const = np.full((1, 4, 4), 7.0)
     cc, _ = _one(spark, const, [transforms.stretch(0.0, 100.0)], nodata=None)
     assert np.all(cc == 0)
