@@ -581,32 +581,43 @@ _COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 _GEOGRAPHIC_EPSG = {4326, 4258, 4269, 4267}
 
 
+def _lzw_pack_codes(codes: list[int], widths: list[int]) -> bytes:
+    """MSB-first variable-width bit packing, vectorized: 12 masked
+    scatter passes (one per possible bit position) into an unpacked
+    bit array, then one ``np.packbits``."""
+    c = np.asarray(codes, dtype=np.int64)
+    w = np.asarray(widths, dtype=np.int64)
+    ends = np.cumsum(w)
+    starts = ends - w
+    total = int(ends[-1])
+    bits = np.zeros((total + 7) & ~7, dtype=np.uint8)
+    for j in range(12):
+        m = w > j
+        if not m.any():
+            break
+        bits[starts[m] + j] = (c[m] >> (w[m] - 1 - j)) & 1
+    return np.packbits(bits).tobytes()
+
+
 def _lzw_encode(data: bytes) -> bytes:
     """TIFF-variant LZW encoder (TIFF 6.0 §13): MSB-first bit packing,
     ClearCode 256 / EOI 257, entries from 258, 9->12-bit codes with the
     'early change' width bump one step before the decoder's table
     fills, table reset before the 12-bit ceiling (libtiff's CODE_MAX
     discipline).  Integer-keyed prefix table — (prefix_code << 8) |
-    byte — so the hot loop never materializes byte strings.  Encoding
+    byte — so the hot loop never materializes byte strings; bit packing
+    is deferred to one vectorized pass (_lzw_pack_codes) so the
+    sequential loop does only the dictionary work.  Dictionary matching
     is inherently sequential; at table scale each payload row encodes
     independently inside its Arrow batch, and `deflate` (zlib, C rate)
     is the recommended hot-path codec."""
-    out = bytearray()
-    bitbuf = 0
-    bitcnt = 0
+    codes: list[int] = [256]
+    widths: list[int] = [9]
+    emit = codes.append
+    wemit = widths.append
     nbits = 9
-
-    def put(code: int) -> None:
-        nonlocal bitbuf, bitcnt
-        bitbuf = (bitbuf << nbits) | code
-        bitcnt += nbits
-        while bitcnt >= 8:
-            bitcnt -= 8
-            out.append((bitbuf >> bitcnt) & 0xFF)
-            bitbuf &= (1 << bitcnt) - 1
-
-    put(256)
     table: dict[int, int] = {}
+    get = table.get
     next_code = 258
     prev = -1
     for b in data:
@@ -614,11 +625,12 @@ def _lzw_encode(data: bytes) -> bytes:
             prev = b
             continue
         key = (prev << 8) | b
-        code = table.get(key)
+        code = get(key)
         if code is not None:
             prev = code
             continue
-        put(prev)
+        emit(prev)
+        wemit(nbits)
         table[key] = next_code
         next_code += 1
         # width sync: the decoder widens after ADDING entry
@@ -626,17 +638,18 @@ def _lzw_encode(data: bytes) -> bytes:
         if next_code == (1 << nbits) and nbits < 12:
             nbits += 1
         if next_code >= 4094:
-            put(256)
+            emit(256)
+            wemit(nbits)
             table.clear()
             next_code = 258
             nbits = 9
         prev = b
     if prev >= 0:
-        put(prev)
-    put(257)
-    if bitcnt:
-        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
-    return bytes(out)
+        emit(prev)
+        wemit(nbits)
+    emit(257)
+    wemit(nbits)
+    return _lzw_pack_codes(codes, widths)
 
 
 def _packbits_encode(data: bytes) -> bytes:
