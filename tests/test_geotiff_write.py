@@ -213,3 +213,30 @@ def test_spark_geotiff_loop_and_file_sink(spark, tmp_path):
         assert np.array_equal(
             codec.decode(bytes(ra["bytes"])), codec.decode(bytes(c[k]["bytes"]))
         ), k
+
+
+def test_proj_string_crs_roundtrips_via_citation():
+    """Engine warps emit '+proj=' CRSes (lcc/aea/sinu/...); the writer
+    records them as a user-defined PCS (3072=32767) with the proj
+    string as the GTCitation in GeoAsciiParams, and the reader recovers
+    the string verbatim — every CRS the analytic warp speaks roundtrips
+    through the sink (GDAL's user-defined-CS convention)."""
+    a = _fixture("uint16", bands=1)
+    t = [100.0, 0.0, 0.0, 0.0, -100.0, 0.0]
+    for crs in (
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000",
+        "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=0.98",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96",
+        "+proj=sinu +lon_0=12",
+    ):
+        b = geotiff.write_geotiff(a, transform=t, crs=crs, nodata=0.0)
+        out, meta = geotiff.read_geotiff(b)
+        assert np.array_equal(out, a)
+        assert meta["crs"] == crs
+    # EPSG keys still win over citations, and a user-defined PCS code
+    # must never surface as a fake EPSG
+    b = geotiff.write_geotiff(a, crs="EPSG:32719")
+    assert geotiff.read_geotiff(b)[1]["crs"] == "EPSG:32719"
+    with pytest.raises(ValueError, match="proj"):
+        geotiff.write_geotiff(a, crs="PROJCS[custom]")

@@ -493,13 +493,21 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         meta["transform"] = [sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy]
     if 34735 in tags:
         keys = tags[34735]
+        ascii_params = str(tags.get(34737, [""])[0] if isinstance(tags.get(34737), list) else tags.get(34737, ""))
         # GeoKeyDirectory: header of 4 shorts then (key, loc, cnt, value)
         for k in range(4, len(keys) - 3, 4):
-            key_id, loc, _cnt, val = keys[k : k + 4]
-            if key_id in (3072, 2048) and loc == 0 and 0 < val < 65535:
+            key_id, loc, cnt, val = keys[k : k + 4]
+            if key_id in (3072, 2048) and loc == 0 and 0 < val < 32767:
                 meta["crs"] = f"EPSG:{int(val)}"
                 if key_id == 3072:
                     break
+            if key_id in (1026, 2049) and loc == 34737 and ascii_params:
+                # citation segment ('|' is the GeoTIFF NUL stand-in):
+                # a '+proj=' citation IS the CRS (GDAL user-defined
+                # convention; how write_geotiff records proj strings)
+                seg = ascii_params[int(val) : int(val) + int(cnt)].rstrip("|")
+                if seg.startswith("+proj=") and meta["crs"] is None:
+                    meta["crs"] = seg
     if 42113 in tags:
         try:
             meta["nodata"] = float(str(tags[42113]).strip())
@@ -825,13 +833,29 @@ def write_geotiff(
         add(33550, 12, "d", [a, -e, 0.0])
         add(33922, 12, "d", [0.0, 0.0, 0.0, c, f, 0.0])
     if crs is not None:
-        if not str(crs).upper().startswith("EPSG:"):
-            raise ValueError(f"only EPSG CRSes are writable, got {crs!r}")
-        epsg = int(str(crs).split(":", 1)[1])
-        geo = epsg in _GEOGRAPHIC_EPSG
-        keys = [1, 1, 0, 2,                       # version, 2 keys
-                1024, 0, 1, 2 if geo else 1,       # GTModelType
-                (2048 if geo else 3072), 0, 1, epsg]
+        crs_s = str(crs)
+        if crs_s.upper().startswith("EPSG:"):
+            epsg = int(crs_s.split(":", 1)[1])
+            geo = epsg in _GEOGRAPHIC_EPSG
+            keys = [1, 1, 0, 2,                   # version, 2 keys
+                    1024, 0, 1, 2 if geo else 1,   # GTModelType
+                    (2048 if geo else 3072), 0, 1, epsg]
+        elif crs_s.startswith("+proj="):
+            # user-defined projected CS (GDAL convention): PCS 32767 +
+            # the proj string as the GTCitation in GeoAsciiParams —
+            # read_geotiff recovers it verbatim, so every CRS the
+            # engine's analytic warp speaks roundtrips through the sink
+            cite = crs_s + "|"
+            keys = [1, 1, 0, 3,
+                    1024, 0, 1, 1,                     # projected
+                    1026, 34737, len(cite), 0,          # GTCitation
+                    3072, 0, 1, 32767]                  # user-defined
+            tags.append((34737, 2, len(cite) + 1,
+                         cite.encode("ascii") + b"\x00"))
+        else:
+            raise ValueError(
+                f"crs must be 'EPSG:xxxx' or a '+proj=' string, got {crs!r}"
+            )
         keys[3] = (len(keys) - 4) // 4
         add(34735, 3, "H", keys)
     if nodata is not None:
