@@ -240,3 +240,71 @@ def test_proj_string_crs_roundtrips_via_citation():
     assert geotiff.read_geotiff(b)[1]["crs"] == "EPSG:32719"
     with pytest.raises(ValueError, match="proj"):
         geotiff.write_geotiff(a, crs="PROJCS[custom]")
+
+
+@pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+def test_tiled_write_roundtrip(comp):
+    """tiled=True/<size> (the reference's kwargs={'tiled': True} path,
+    raster.py:553 docstring): tile-organized output with zero-padded
+    edge tiles, roundtripping bit-exact through the engine reader for
+    every codec and both predictors."""
+    for dtype, pred in (("uint16", "auto"), ("float32", "auto"), ("uint8", 1)):
+        a = _fixture(dtype, bands=2, h=70, w=113)
+        b = geotiff.write_geotiff(
+            a, transform=[0.1, 0, 5.0, 0, -0.1, 50.0], crs="EPSG:4326",
+            nodata=0.0, compression=comp, predictor=pred, tiled=32,
+        )
+        tags = geotiff.parse_ifd(b)
+        assert tags[322] == [32] and tags[323] == [32] and 324 in tags
+        out, meta = geotiff.read_geotiff(b)
+        assert np.array_equal(out, a), (dtype, comp)
+        assert meta["crs"] == "EPSG:4326"
+    with pytest.raises(ValueError, match="multiple of 16"):
+        geotiff.write_geotiff(a, tiled=20)
+
+
+def test_libtiff_reads_our_tiled_files(tmp_path):
+    """System libtiff reads engine-written TILE-organized files back
+    bit-exact (TIFFReadEncodedTile) — external differential for the
+    tiled layout + per-tile codec streams."""
+    try:
+        lt = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("system libtiff not available")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFReadEncodedTile.restype = ctypes.c_ssize_t
+    lt.TIFFReadEncodedTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_ssize_t,
+    ]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    tsz = 32
+    for i, (dtype, comp) in enumerate(
+        [("uint8", "lzw"), ("uint16", "deflate"), ("float32", "deflate")]
+    ):
+        a = _fixture(dtype, bands=2, h=70, w=113)
+        p = str(tmp_path / f"t{i}.tif")
+        open(p, "wb").write(
+            geotiff.write_geotiff(a, compression=comp, tiled=tsz)
+        )
+        bands, h, w = a.shape
+        across = -(-w // tsz)
+        down = -(-h // tsz)
+        t = lt.TIFFOpen(p.encode(), b"r")
+        assert t, p
+        out = np.zeros((h, w, bands), dtype=dtype)
+        buf = np.empty((tsz, tsz, bands), dtype=dtype)
+        for ty in range(down):
+            for tx in range(across):
+                n = lt.TIFFReadEncodedTile(
+                    t, ty * across + tx,
+                    buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes,
+                )
+                assert n == buf.nbytes, (dtype, comp, ty, tx, n)
+                ys = min(tsz, h - ty * tsz)
+                xs = min(tsz, w - tx * tsz)
+                out[ty * tsz : ty * tsz + ys, tx * tsz : tx * tsz + xs] = \
+                    buf[:ys, :xs]
+        lt.TIFFClose(t)
+        assert np.array_equal(out.transpose(2, 0, 1), a), (dtype, comp)

@@ -716,6 +716,7 @@ def write_geotiff(
     compression: str = "deflate",
     predictor: int | str = "auto",
     rows_per_strip: int | None = None,
+    tiled: bool | int = False,
     bigtiff: bool | None = None,
 ) -> bytes:
     """(bands, rows, cols) array + geo metadata -> GeoTIFF bytes.
@@ -725,7 +726,10 @@ def write_geotiff(
     options — the engine's dtype cast lives in sinks.cast_images, this
     function owns the container).  Emits:
 
-    - strip-organized chunky little-endian TIFF, even-aligned offsets;
+    - strip-organized chunky little-endian TIFF, even-aligned offsets
+      (or tile-organized with ``tiled=True`` / ``tiled=<size>`` — the
+      reference's ``kwargs={'tiled': True}`` path; tile dims are
+      multiples of 16 per TIFF 6.0 §15, edge tiles zero-padded);
     - compression 'none' | 'deflate' (zlib, hot path) | 'lzw' |
       'packbits';
     - predictor: 1, 2 (integer horizontal differencing), 3 (float
@@ -762,14 +766,30 @@ def write_geotiff(
         raise ValueError("predictor 3 requires a float dtype")
 
     chunky = arr.transpose(1, 2, 0).astype(dt, copy=False)  # (rows, cols, spp)
-    row_bytes = w * bands * dt.itemsize
-    # ~64 KiB strips: large enough to amortize per-strip tag overhead,
-    # small enough that a strip decode stays cache-resident
-    rps = rows_per_strip or max(1, min(h, (1 << 16) // max(row_bytes, 1) or 1))
+    if tiled:
+        tsz = 256 if tiled is True else int(tiled)
+        if tsz <= 0 or tsz % 16:
+            raise ValueError("tile size must be a positive multiple of 16")
+        segs = []
+        for ty in range(0, h, tsz):  # row-major tile order (reader's walk)
+            for tx in range(0, w, tsz):
+                part = chunky[ty : ty + tsz, tx : tx + tsz]
+                if part.shape[:2] != (tsz, tsz):  # edge tiles zero-padded
+                    seg = np.zeros((tsz, tsz, bands), dtype=dt)
+                    seg[: part.shape[0], : part.shape[1]] = part
+                    part = seg
+                segs.append(part)
+        chunk_row_bytes = tsz * bands * dt.itemsize
+    else:
+        row_bytes = w * bands * dt.itemsize
+        # ~64 KiB strips: large enough to amortize per-strip tag
+        # overhead, small enough that a strip decode stays cache-resident
+        rps = rows_per_strip or max(1, min(h, (1 << 16) // max(row_bytes, 1) or 1))
+        segs = [chunky[r0 : r0 + rps] for r0 in range(0, h, rps)]
+        chunk_row_bytes = row_bytes
 
     strips: list[bytes] = []
-    for r0 in range(0, h, rps):
-        seg = chunky[r0 : r0 + rps]
+    for seg in segs:
         if predictor == 2:
             raw = _predict2(seg, dt)
         elif predictor == 3:
@@ -787,8 +807,8 @@ def write_geotiff(
             # (libtiff included) reset the RLE stream per row
             strips.append(
                 b"".join(
-                    _packbits_encode(raw[r : r + row_bytes])
-                    for r in range(0, len(raw), row_bytes)
+                    _packbits_encode(raw[r : r + chunk_row_bytes])
+                    for r in range(0, len(raw), chunk_row_bytes)
                 )
             )
 
@@ -814,7 +834,11 @@ def write_geotiff(
     add(259, 3, "H", [comp])
     add(262, 3, "H", [1])  # BlackIsZero
     add(277, 3, "H", [bands])
-    add(278, 4, "I", [rps])
+    if tiled:
+        add(322, 4, "I", [tsz])
+        add(323, 4, "I", [tsz])
+    else:
+        add(278, 4, "I", [rps])
     add(284, 3, "H", [1])  # chunky
     if predictor != 1:
         add(317, 3, "H", [predictor])
@@ -873,8 +897,8 @@ def write_geotiff(
             body += b"\x00"  # TIFF values begin on word boundaries
         strip_offs.append(len(body))
         body += s
-    add(273, off_typ, off_fmt, strip_offs)
-    add(279, off_typ, off_fmt, [len(s) for s in strips])
+    add(324 if tiled else 273, off_typ, off_fmt, strip_offs)
+    add(325 if tiled else 279, off_typ, off_fmt, [len(s) for s in strips])
 
     inline = 8 if bigtiff else 4
     entries: list[bytes] = []
