@@ -308,3 +308,75 @@ def test_libtiff_reads_our_tiled_files(tmp_path):
                     buf[:ys, :xs]
         lt.TIFFClose(t)
         assert np.array_equal(out.transpose(2, 0, 1), a), (dtype, comp)
+
+
+def test_nbits1_bilevel_masks(tmp_path):
+    """nbits=1 (the reference's kwargs={'nbits': 1} mask path,
+    raster.py:553): 0/1 masks write as bit-packed bilevel strips and
+    roundtrip bit-exact for every codec; the system libtiff reads them
+    back; WhiteIsZero files invert per spec on read."""
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(13)))
+    mask = (rng.random((1, 77, 101)) < 0.3).astype(np.uint8)
+    t = [0.1, 0.0, 5.0, 0.0, -0.1, 50.0]
+    for comp in ("none", "deflate", "lzw", "packbits"):
+        b = geotiff.write_geotiff(
+            mask, transform=t, crs="EPSG:4326", nodata=0.0,
+            compression=comp, nbits=1, rows_per_strip=13,
+        )
+        tags = geotiff.parse_ifd(b)
+        assert tags[258] == [1]
+        out, meta = geotiff.read_geotiff(b)
+        assert np.array_equal(out, mask), comp
+        assert meta["transform"] == t and meta["crs"] == "EPSG:4326"
+    # bool input is the natural mask dtype
+    b = geotiff.write_geotiff(mask.astype(bool), nbits=1)
+    assert np.array_equal(geotiff.read_geotiff(b)[0], mask)
+    # validation
+    with pytest.raises(ValueError, match="single band"):
+        geotiff.write_geotiff(np.zeros((2, 4, 4), np.uint8), nbits=1)
+    with pytest.raises(ValueError, match="0/1"):
+        geotiff.write_geotiff(np.full((1, 4, 4), 3, np.uint8), nbits=1)
+    with pytest.raises(ValueError, match="strip"):
+        geotiff.write_geotiff(mask, nbits=1, tiled=32)
+
+    # libtiff reads our bilevel files back bit-exact (packed rows)
+    try:
+        lt = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("system libtiff not available")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFReadScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+    p = str(tmp_path / "mask.tif")
+    open(p, "wb").write(geotiff.write_geotiff(mask, compression="lzw", nbits=1))
+    h, w = mask.shape[1:]
+    row_bytes = (w + 7) // 8
+    tf = lt.TIFFOpen(p.encode(), b"r")
+    assert tf
+    got = np.empty((h, row_bytes), np.uint8)
+    for r in range(h):
+        assert lt.TIFFReadScanline(
+            tf, got[r].ctypes.data_as(ctypes.c_void_p), r, 0
+        ) == 1
+    lt.TIFFClose(tf)
+    assert np.array_equal(
+        np.unpackbits(got, axis=1)[:, :w], mask[0]
+    )
+
+    # WhiteIsZero inversion on read (photometric 0)
+    b = bytearray(geotiff.write_geotiff(mask, nbits=1))
+    tags = geotiff.parse_ifd(bytes(b))
+    # patch photometric 262 -> 0 in place (classic IFD walk)
+    import struct as _struct
+    (ifd_off,) = _struct.unpack("<I", b[4:8])
+    (n,) = _struct.unpack("<H", b[ifd_off : ifd_off + 2])
+    for i in range(n):
+        base = ifd_off + 2 + i * 12
+        (tag,) = _struct.unpack("<H", b[base : base + 2])
+        if tag == 262:
+            b[base + 8 : base + 10] = _struct.pack("<H", 0)
+    out, _ = geotiff.read_geotiff(bytes(b))
+    assert np.array_equal(out, 1 - mask)

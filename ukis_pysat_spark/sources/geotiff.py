@@ -13,7 +13,8 @@ profile the reference's fixtures (and most L1 scene quicklooks) use:
 - Predictor (tag 317): none (1), horizontal differencing (2), and the
   floating-point byte-split predictor (3);
 - PlanarConfiguration chunky (1) and separate (2);
-- integer/float SampleFormat with 8/16/32/64 bits per sample;
+- integer/float SampleFormat with 8/16/32/64 bits per sample, plus
+  1-bit bilevel masks (bit-packed scanlines, BlackIsZero/WhiteIsZero);
 - geo tags: ModelPixelScale + ModelTiepoint -> GDAL-style affine,
   GeoKeyDirectory -> EPSG code, GDAL_NODATA -> nodata.
 
@@ -378,6 +379,75 @@ def _dtype_for(bits: int, sfmt: int, bo: str) -> np.dtype:
     return np.dtype(f"{bo}{kind}{bits // 8}")
 
 
+def _geo_meta(tags: dict) -> dict:
+    """GeoTIFF tag set -> {transform, crs, nodata} (shared by the
+    full-depth and bilevel read paths)."""
+    meta: dict = {"transform": None, "crs": None, "nodata": None}
+    if 33550 in tags and 33922 in tags:
+        sx, sy = float(tags[33550][0]), float(tags[33550][1])
+        tp = tags[33922]
+        i, j, x, y = float(tp[0]), float(tp[1]), float(tp[3]), float(tp[4])
+        meta["transform"] = [sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy]
+    if 34735 in tags:
+        keys = tags[34735]
+        ap = tags.get(34737)
+        ascii_params = ap if isinstance(ap, str) else (str(ap[0]) if ap else "")
+        for k in range(4, len(keys) - 3, 4):
+            key_id, loc, cnt, val = keys[k : k + 4]
+            if key_id in (3072, 2048) and loc == 0 and 0 < val < 32767:
+                meta["crs"] = f"EPSG:{int(val)}"
+                if key_id == 3072:
+                    break
+            if key_id in (1026, 2049) and loc == 34737 and ascii_params:
+                seg = ascii_params[int(val) : int(val) + int(cnt)].rstrip("|")
+                if seg.startswith("+proj=") and meta["crs"] is None:
+                    meta["crs"] = seg
+    if 42113 in tags:
+        try:
+            meta["nodata"] = float(str(tags[42113]).strip())
+        except ValueError:
+            pass
+    return meta
+
+
+def _read_bilevel(
+    data: bytes, tags: dict, w: int, h: int, spp: int, comp: int
+) -> tuple[np.ndarray, dict]:
+    """BitsPerSample == 1 (bilevel mask) strip decode: each scanline is
+    bit-packed MSB-first and padded to a byte boundary (TIFF 6.0 §8);
+    output is a (1, h, w) uint8 0/1 array.  Photometric 0 (WhiteIsZero)
+    inverts per spec; the reference's ``kwargs={'nbits': 1}`` masks use
+    photometric 1."""
+    if spp != 1:
+        raise NotImplementedError("1-bit data with SamplesPerPixel > 1")
+    if 324 in tags:
+        raise NotImplementedError("1-bit tile-organized data")
+    if int(tags.get(317, [1])[0]) != 1:
+        raise NotImplementedError("predictors on 1-bit data")
+    row_bytes = (w + 7) // 8
+    rps = int(tags.get(278, [h])[0])
+    rows: list[np.ndarray] = []
+    done = 0
+    for o, c in zip(tags[273], tags[279]):
+        raw = bytes(data[int(o) : int(o) + int(c)])
+        if comp == 5:
+            raw = _lzw_decode(raw)
+        elif comp in (8, 32946):
+            raw = zlib.decompress(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
+        elif comp != 1:
+            raise NotImplementedError(f"TIFF compression {comp} not supported")
+        nr = min(rps, h - done)
+        b = np.frombuffer(raw, np.uint8, count=nr * row_bytes).reshape(nr, row_bytes)
+        rows.append(np.unpackbits(b, axis=1)[:, :w])
+        done += nr
+    arr = np.concatenate(rows)[None, :, :].astype(np.uint8)
+    if int(tags.get(262, [1])[0]) == 0:  # WhiteIsZero
+        arr = (1 - arr).astype(np.uint8)
+    return arr, _geo_meta(tags)
+
+
 def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     """bytes -> ((bands, rows, cols) array, meta dict).
 
@@ -393,6 +463,8 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     planar = int(tags.get(284, [1])[0])
     bits = int(tags[258][0])
     sfmt = int(tags.get(339, [1])[0])
+    if bits == 1:
+        return _read_bilevel(data, tags, w, h, spp, comp)
     dt = _dtype_for(bits, sfmt, bo)
     dt_native = dt.newbyteorder("=")
     pred = int(tags.get(317, [1])[0])
@@ -484,36 +556,7 @@ def read_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
                 arr = np.cumsum(arr.astype(dt_native, copy=False), axis=1, dtype=dt_native)
             arr = arr.transpose(2, 0, 1)
     arr = np.ascontiguousarray(arr).astype(dt_native, copy=False)
-
-    meta: dict = {"transform": None, "crs": None, "nodata": None}
-    if 33550 in tags and 33922 in tags:
-        sx, sy = float(tags[33550][0]), float(tags[33550][1])
-        tp = tags[33922]
-        i, j, x, y = float(tp[0]), float(tp[1]), float(tp[3]), float(tp[4])
-        meta["transform"] = [sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy]
-    if 34735 in tags:
-        keys = tags[34735]
-        ascii_params = str(tags.get(34737, [""])[0] if isinstance(tags.get(34737), list) else tags.get(34737, ""))
-        # GeoKeyDirectory: header of 4 shorts then (key, loc, cnt, value)
-        for k in range(4, len(keys) - 3, 4):
-            key_id, loc, cnt, val = keys[k : k + 4]
-            if key_id in (3072, 2048) and loc == 0 and 0 < val < 32767:
-                meta["crs"] = f"EPSG:{int(val)}"
-                if key_id == 3072:
-                    break
-            if key_id in (1026, 2049) and loc == 34737 and ascii_params:
-                # citation segment ('|' is the GeoTIFF NUL stand-in):
-                # a '+proj=' citation IS the CRS (GDAL user-defined
-                # convention; how write_geotiff records proj strings)
-                seg = ascii_params[int(val) : int(val) + int(cnt)].rstrip("|")
-                if seg.startswith("+proj=") and meta["crs"] is None:
-                    meta["crs"] = seg
-    if 42113 in tags:
-        try:
-            meta["nodata"] = float(str(tags[42113]).strip())
-        except ValueError:
-            pass
-    return arr, meta
+    return arr, _geo_meta(tags)
 
 
 def ingest_geotiffs(files: DataFrame, fmt: str = "raw") -> DataFrame:
@@ -717,6 +760,7 @@ def write_geotiff(
     predictor: int | str = "auto",
     rows_per_strip: int | None = None,
     tiled: bool | int = False,
+    nbits: int | None = None,
     bigtiff: bool | None = None,
 ) -> bytes:
     """(bands, rows, cols) array + geo metadata -> GeoTIFF bytes.
@@ -730,6 +774,10 @@ def write_geotiff(
       (or tile-organized with ``tiled=True`` / ``tiled=<size>`` — the
       reference's ``kwargs={'tiled': True}`` path; tile dims are
       multiples of 16 per TIFF 6.0 §15, edge tiles zero-padded);
+    - ``nbits=1`` writes a bilevel mask (the reference's
+      ``kwargs={'nbits': 1}`` path, raster.py:553): one band of 0/1
+      values bit-packed MSB-first per scanline, BitsPerSample 1,
+      photometric BlackIsZero;
     - compression 'none' | 'deflate' (zlib, hot path) | 'lzw' |
       'packbits';
     - predictor: 1, 2 (integer horizontal differencing), 3 (float
@@ -750,11 +798,13 @@ def write_geotiff(
     if comp is None:
         raise ValueError(f"unsupported compression {compression!r}")
     bands, h, w = arr.shape
+    if arr.dtype.kind == "b":  # bool masks: the natural nbits=1 input
+        arr = arr.astype(np.uint8)
     dt = arr.dtype.newbyteorder("<")
     if dt.kind not in ("u", "i", "f") or dt.itemsize not in (1, 2, 4, 8):
         raise ValueError(f"unsupported dtype {arr.dtype}")
     if predictor == "auto":
-        if comp == 1:
+        if comp == 1 or nbits == 1:
             predictor = 1
         else:
             predictor = 3 if dt.kind == "f" else 2
@@ -764,6 +814,19 @@ def write_geotiff(
         raise ValueError("predictor 2 requires an integer dtype")
     if predictor == 3 and dt.kind != "f":
         raise ValueError("predictor 3 requires a float dtype")
+    if nbits not in (None, 1):
+        raise ValueError("nbits must be None (full depth) or 1 (bilevel)")
+    if nbits == 1:
+        if bands != 1:
+            raise ValueError("nbits=1 requires a single band")
+        if dt.kind == "f":
+            raise ValueError("nbits=1 requires an integer/bool array")
+        if arr.min() < 0 or arr.max() > 1:
+            raise ValueError("nbits=1 requires 0/1 values")
+        if predictor != 1:
+            raise ValueError("predictors do not apply to 1-bit data")
+        if tiled:
+            raise ValueError("nbits=1 is strip-organized only")
 
     chunky = arr.transpose(1, 2, 0).astype(dt, copy=False)  # (rows, cols, spp)
     if tiled:
@@ -780,6 +843,13 @@ def write_geotiff(
                     part = seg
                 segs.append(part)
         chunk_row_bytes = tsz * bands * dt.itemsize
+    elif nbits == 1:
+        # bit-pack each scanline MSB-first, byte-padded (TIFF 6.0 §8)
+        packed = np.packbits(chunky[:, :, 0].astype(np.uint8), axis=1)
+        row_bytes = packed.shape[1]
+        rps = rows_per_strip or max(1, min(h, (1 << 16) // max(row_bytes, 1) or 1))
+        segs = [packed[r0 : r0 + rps] for r0 in range(0, h, rps)]
+        chunk_row_bytes = row_bytes
     else:
         row_bytes = w * bands * dt.itemsize
         # ~64 KiB strips: large enough to amortize per-strip tag
@@ -830,7 +900,7 @@ def write_geotiff(
     off_typ, off_fmt = (16, "Q") if bigtiff else (4, "I")
     add(256, 4, "I", [w])
     add(257, 4, "I", [h])
-    add(258, 3, "H", [dt.itemsize * 8] * bands)
+    add(258, 3, "H", [1] if nbits == 1 else [dt.itemsize * 8] * bands)
     add(259, 3, "H", [comp])
     add(262, 3, "H", [1])  # BlackIsZero
     add(277, 3, "H", [bands])
@@ -842,11 +912,11 @@ def write_geotiff(
     add(284, 3, "H", [1])  # chunky
     if predictor != 1:
         add(317, 3, "H", [predictor])
-    if bands > 1:
+    if bands > 1 and nbits != 1:
         # trailing samples are unassociated extra bands (pixel data,
         # not alpha) — GDAL's convention for >1-band grayscale
         add(338, 3, "H", [2] * (bands - 1))
-    add(339, 3, "H", [sfmt] * bands)
+    add(339, 3, "H", [1] if nbits == 1 else [sfmt] * bands)
     if transform is not None:
         a, b, c, d, e, f = (float(v) for v in transform)
         if b != 0.0 or d != 0.0:
