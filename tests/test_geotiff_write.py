@@ -108,6 +108,27 @@ def test_lzw_encoder_vs_reference_decoder():
         bytes(_rng.integers(0, 4, 20_000, dtype=np.uint8)),
         b"TOBEORNOTTOBEORTOBEORNOT" * 400,
     ]
+    # width-boundary flush cases: when the final segment holds exactly
+    # 254/766/1790 data codes the decoder widens while consuming the
+    # last code, so the EOI must be written at the widened width (the
+    # LZWPostEncode sync in _lzw_encode) or it is misread as a table
+    # code and two garbage bytes append to the strip.  Mostly-distinct
+    # adjacent byte pairs keep code count == byte count - 1.
+    def _distinct_pair_bytes(n: int) -> bytes:
+        out: list[int] = []
+        s = 1
+        while len(out) < n:
+            x = (s * 37) % 256
+            for _ in range(256):
+                out.append(x)
+                x = (x + s) % 256
+                if len(out) >= n:
+                    break
+            s += 1
+        return bytes(out[:n])
+
+    for n_codes in (254, 766, 1790):
+        cases.append(_distinct_pair_bytes(n_codes + 1))
     for data in cases:
         enc = geotiff._lzw_encode(data)
         assert geotiff._lzw_decode_py(enc) == data

@@ -985,6 +985,57 @@ def test_connected_components_chain_log_rounds(spark):
     assert stats["rounds"] <= 12, stats  # ~2*log2(512) + slack
 
 
+def test_connected_components_auto_chooser(spark):
+    """The measured degree chooser: dense near-clique graphs route to
+    labelprop, sparse chains keep the star default — labels identical
+    to the union-find oracle either way (r7)."""
+    from ukis_pysat_spark.operators import graph
+
+    # three 20-cliques (mean degree 19) -> labelprop
+    edges = [
+        (g * 100 + i, g * 100 + j)
+        for g in range(3)
+        for i in range(20)
+        for j in range(i + 1, 20)
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    stats: dict = {}
+    got = {r.node: r.comp for r in graph.connected_components(df, stats=stats).collect()}
+    assert stats["algorithm"] == "labelprop"
+    assert stats["rounds"] <= 4, stats
+    assert got == _uf_oracle(edges)
+
+    # a 64-node path (mean degree ~2) -> star
+    chain = [(i, i + 1) for i in range(63)]
+    df2 = spark.createDataFrame(chain, ["id_a", "id_b"])
+    stats2: dict = {}
+    got2 = {r.node: r.comp for r in graph.connected_components(df2, stats=stats2).collect()}
+    assert stats2["algorithm"] == "star"
+    assert got2 == {i: 0 for i in range(64)}
+
+
+def test_connected_components_labelprop_handoff(spark):
+    """A high-diameter graph FORCED through labelprop must hand off to
+    the star loop after the round budget and still produce exact
+    labels in far fewer than diameter rounds (r7)."""
+    from ukis_pysat_spark.operators import graph
+
+    n = 256
+    chain = [(i, i + 1) for i in range(n - 1)] + [(500, 501), (501, 502)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    stats: dict = {}
+    got = {
+        r.node: r.comp
+        for r in graph.connected_components(
+            df, stats=stats, algorithm="labelprop"
+        ).collect()
+    }
+    exp = {i: 0 for i in range(n)}
+    exp.update({500: 500, 501: 500, 502: 500})
+    assert got == exp
+    assert stats["rounds"] <= 20, stats  # 8 labelprop + O(log) star
+
+
 def test_connected_components_star_equals_labelprop(spark):
     """Differential: alternating-star and min-label propagation must
     emit identical (node, comp) labelings — random graphs, self-loops,

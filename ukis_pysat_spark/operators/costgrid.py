@@ -284,7 +284,10 @@ def cost_distance_grid(
                     schema=_STATE_PA,
                 )
 
-    for rounds in range(max_halo_rounds):
+    # max_halo_rounds + 1 convergence checks for max_halo_rounds relax
+    # steps: a grid that reaches the fixpoint exactly on the last
+    # permitted round is recognized instead of raising
+    for rounds in range(max_halo_rounds + 1):
         if state.agg(F.sum("improved")).collect()[0][0] == 0:
             if stats is not None:
                 stats["halo_rounds"] = rounds

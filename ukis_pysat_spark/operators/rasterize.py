@@ -45,9 +45,9 @@ from ukis_pysat_spark import codec
 from ukis_pysat_spark.operators import spatial_join as sj
 from ukis_pysat_spark.operators.arrowio import PayloadBuf
 from ukis_pysat_spark.operators.zonal import (
-    _aoi_window_mask,
+    _AoiListView,
+    _WinCache,
     _is_lonlat,
-    _ring_info,
 )
 
 RASTERIZE_FIELDS = [
@@ -76,6 +76,7 @@ def _burn_batches(dtype: str, background: float, fmt: str):
 
     def burn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ring_cache: dict = {}
+        win_cache = _WinCache()
         buf = PayloadBuf(RASTERIZE_FIELDS)
         for batch in batches:
             ids = batch.column("image_id").to_pylist()
@@ -83,29 +84,45 @@ def _burn_batches(dtype: str, background: float, fmt: str):
             hs = batch.column("h").to_pylist()
             transforms_col = batch.column("transform").to_pylist()
             crss = batch.column("crs").to_pylist()
-            aois_col = batch.column("aois").to_pylist()
+            aois = _AoiListView(batch.column("aois"), extra="burn")
+            burns = aois.extra
             for ri in range(batch.num_rows):
                 w, h = ws[ri], hs[ri]
                 crs = crss[ri]
                 lonlat = _is_lonlat(crs)
-                canvas = np.full((1, h, w), background, dtype=np_dtype)
-                burned = 0
-                for aoi in aois_col[ri]:
-                    info = _ring_info(ring_cache, aoi, crs)
-                    win = _aoi_window_mask(info, transforms_col[ri], w, h, lonlat)
+                tr = transforms_col[ri]
+                tkey = (w, h, tr[0], tr[1], tr[2], tr[3], tr[4], tr[5])
+                canvas = None
+                # AOIs covering the whole canvas fold to ONE max (max is
+                # commutative/associative, so one full-canvas np.maximum
+                # replaces per-AOI passes — same final pixels)
+                full_max = None
+                touched = False
+                partials = []  # (win, val) burns on sub-windows
+                for i in range(aois.offs[ri], aois.offs[ri + 1]):
+                    win = win_cache.get(
+                        ring_cache, aois, i, crs, tkey, tr, w, h, lonlat
+                    )
                     if win is None:
                         continue
+                    touched = True
+                    val = np_dtype.type(burns[i])
                     c0, c1, r0, r1, inside = win
-                    val = np_dtype.type(aoi["burn"])
+                    if inside is None and c0 == 0 and r0 == 0 and c1 == w and r1 == h:
+                        full_max = val if full_max is None else max(full_max, val)
+                    else:
+                        partials.append((win, val))
+                if not touched:
+                    continue
+                canvas = np.full((1, h, w), background, dtype=np_dtype)
+                if full_max is not None:
+                    np.maximum(canvas, full_max, out=canvas)
+                for (c0, c1, r0, r1, inside), val in partials:
                     target = canvas[0, r0:r1, c0:c1]
                     if inside is None:
-                        burned += target.size
                         np.maximum(target, val, out=target)
                     else:
-                        burned += int(inside.sum())
                         target[inside] = np.maximum(target[inside], val)
-                if burned == 0:
-                    continue
                 header, body = codec.encode_chunks(canvas, fmt)
                 buf.add(
                     {

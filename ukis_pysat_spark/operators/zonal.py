@@ -201,17 +201,19 @@ def _window_stats(win: np.ndarray, inside, nod):
     return n, s1, mn, mx
 
 
-def _ring_info(cache: dict, aoi: dict, crs: str | None):
+def _ring_info(cache: dict, aoi_id: str, crs: str | None, ring_fn):
     """Per-(aoi_id, crs) cached ring analysis — AOIs repeat across
     every image they intersect, so projection, bounds, box detection
     and the convexity certificate are paid once per ring, not per
-    pair.  aoi_id is the output join key, so two rows sharing an id
-    with different rings would already be ill-defined upstream."""
-    key = (aoi["aoi_id"], crs)
+    pair.  ``ring_fn`` materializes the (rlon, rlat) float64 arrays
+    and is only invoked on a cache miss, so the Arrow list buffers are
+    not converted per pair.  aoi_id is the output join key, so two
+    rows sharing an id with different rings would already be
+    ill-defined upstream."""
+    key = (aoi_id, crs)
     info = cache.get(key)
     if info is None:
-        rlon = np.asarray(aoi["ring_lon"], dtype=np.float64)
-        rlat = np.asarray(aoi["ring_lat"], dtype=np.float64)
+        rlon, rlat = ring_fn()
         rx, ry = _ring_in_image_crs(rlon, rlat, crs)
         bounds = (rx.min(), rx.max(), ry.min(), ry.max())
         if _is_axis_box(rx, ry):
@@ -224,6 +226,77 @@ def _ring_info(cache: dict, aoi: dict, crs: str | None):
             cache.clear()
         cache[key] = info
     return info
+
+
+class _AoiListView:
+    """Arrow-level view of the folded ``aois`` list<struct> column.
+
+    The fold duplicates each ring once per (image, AOI) pair, so a
+    hotspot image row carries thousands of structs; ``to_pylist`` on
+    the whole column would build a dict + two float lists per pair.
+    This view materializes only the aoi_id strings (needed per pair
+    for the output and cache keys) and leaves the ring/extra child
+    arrays in Arrow, converted per element on ring-cache miss only.
+    Offsets are absolute into the child arrays (pyarrow slices keep
+    the full child), so ``range(offs[ri], offs[ri+1])`` indexes
+    ``ids``/``ring(i)`` directly."""
+
+    __slots__ = ("offs", "ids", "_lon", "_lat", "extra")
+
+    def __init__(self, col, extra: str | None = None):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        self.offs = col.offsets.to_numpy()
+        flat = col.values
+        self.ids = flat.field("aoi_id").to_pylist()
+        self._lon = flat.field("ring_lon")
+        self._lat = flat.field("ring_lat")
+        self.extra = (
+            flat.field(extra).to_numpy(zero_copy_only=False) if extra else None
+        )
+
+    def ring(self, i: int):
+        return (
+            np.asarray(self._lon[i].as_py(), dtype=np.float64),
+            np.asarray(self._lat[i].as_py(), dtype=np.float64),
+        )
+
+
+_WIN_MISS = object()  # sentinel: None is a legitimate cached value
+
+
+class _WinCache:
+    """Memoized ``_aoi_window_mask`` keyed by (aoi_id, crs, grid).
+
+    Scene corpora repeat grids: tiles of one mosaic share a grid per
+    (tx, ty), and co-registered scene stacks (the hotspot case) share
+    one transform exactly — so the window clip + inside-mask PIP for a
+    given (AOI, grid) is paid once, not once per image.  Bounded by
+    entry count and by the bytes held in ``inside`` masks."""
+
+    __slots__ = ("cache", "nbytes")
+
+    _MAX_ENTRIES = 65536
+    _MAX_BYTES = 128 << 20
+
+    def __init__(self):
+        self.cache: dict = {}
+        self.nbytes = 0
+
+    def get(self, ring_cache, aois: _AoiListView, i: int, crs, tkey, tr, w, h, lonlat):
+        aid = aois.ids[i]
+        key = (aid, crs, tkey)
+        win = self.cache.get(key, _WIN_MISS)
+        if win is _WIN_MISS:
+            info = _ring_info(ring_cache, aid, crs, lambda: aois.ring(i))
+            win = _aoi_window_mask(info, tr, w, h, lonlat)
+            if len(self.cache) >= self._MAX_ENTRIES or self.nbytes > self._MAX_BYTES:
+                self.cache.clear()
+                self.nbytes = 0
+            if win is not None and win[4] is not None:
+                self.nbytes += win[4].nbytes
+            self.cache[key] = win
+        return win
 
 
 def _aoi_window_mask(info, transform, w: int, h: int, lonlat: bool):
@@ -276,53 +349,82 @@ def _aoi_window_mask(info, transform, w: int, h: int, lonlat: bool):
 
 def _stats_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     ring_cache: dict = {}
+    win_cache = _WinCache()
+    num_names = ("n_valid", "sum", "mean", "min", "max")
     for batch in batches:
         ids = batch.column("image_id").to_pylist()
         payload = batch.column("bytes")
         transforms_col = batch.column("transform").to_pylist()
         nodatas = batch.column("nodata").to_pylist()
         crss = batch.column("crs").to_pylist()
-        aois_col = batch.column("aois").to_pylist()
-        cols: dict[str, list] = {n: [] for n in _ZONAL_PA_SCHEMA.names}
+        aois = _AoiListView(batch.column("aois"))
+        # chunked accumulation: string columns as python-list chunks,
+        # numeric columns as numpy chunks, concatenated once per batch
+        sid: list = []
+        said: list = []
+        sband: list = []
+        nums: dict[str, list] = {n: [] for n in num_names}
         for ri in range(batch.num_rows):
             arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
             nb, h, w = arr.shape
             nod = nodatas[ri]
             crs = crss[ri]
             lonlat = _is_lonlat(crs)
-            full_stats = None  # lazy per-image cache: many AOIs cover it all
-            for aoi in aois_col[ri]:
-                info = _ring_info(ring_cache, aoi, crs)
-                win = _aoi_window_mask(info, transforms_col[ri], w, h, lonlat)
+            tr = transforms_col[ri]
+            tkey = (w, h, tr[0], tr[1], tr[2], tr[3], tr[4], tr[5])
+            full_ids: list = []  # AOIs covering the whole grid share one stat
+            for i in range(aois.offs[ri], aois.offs[ri + 1]):
+                win = win_cache.get(ring_cache, aois, i, crs, tkey, tr, w, h, lonlat)
                 if win is None:
                     continue
                 c0, c1, r0, r1, inside = win
                 if inside is None and c0 == 0 and r0 == 0 and c1 == w and r1 == h:
-                    if full_stats is None:
-                        full_stats = _window_stats(arr, None, nod)
-                    n, s1, mn, mx = full_stats
-                else:
-                    n, s1, mn, mx = _window_stats(
-                        arr[:, r0:r1, c0:c1], inside, nod
-                    )
+                    full_ids.append(aois.ids[i])
+                    continue
+                n, s1, mn, mx = _window_stats(arr[:, r0:r1, c0:c1], inside, nod)
                 keep = n > 0
                 if not keep.any():
                     continue
-                mean = s1 / np.maximum(n, 1)
                 nk = int(keep.sum())
-                cols["image_id"].extend([ids[ri]] * nk)
-                cols["aoi_id"].extend([aoi["aoi_id"]] * nk)
-                cols["band"].extend(np.nonzero(keep)[0].tolist())
-                cols["n_valid"].extend(n[keep].tolist())
-                cols["sum"].extend(s1[keep].tolist())
-                cols["mean"].extend(mean[keep].tolist())
-                cols["min"].extend(mn[keep].tolist())
-                cols["max"].extend(mx[keep].tolist())
-        if cols["image_id"]:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(cols[f.name], type=f.type) for f in _ZONAL_PA_SCHEMA],
-                schema=_ZONAL_PA_SCHEMA,
-            )
+                sid.append([ids[ri]] * nk)
+                said.append([aois.ids[i]] * nk)
+                sband.append(np.nonzero(keep)[0].astype(np.int32))
+                nums["n_valid"].append(n[keep])
+                nums["sum"].append(s1[keep])
+                nums["mean"].append((s1 / np.maximum(n, 1))[keep])
+                nums["min"].append(mn[keep])
+                nums["max"].append(mx[keep])
+            if full_ids:
+                n, s1, mn, mx = _window_stats(arr, None, nod)
+                keep = n > 0
+                if keep.any():
+                    bidx = np.nonzero(keep)[0].astype(np.int32)
+                    nk = bidx.size
+                    kf = len(full_ids)
+                    sid.append([ids[ri]] * (nk * kf))
+                    if nk == 1:
+                        said.append(full_ids)
+                    else:
+                        said.append([a for a in full_ids for _ in range(nk)])
+                    sband.append(np.tile(bidx, kf))
+                    mean = s1 / np.maximum(n, 1)
+                    nums["n_valid"].append(np.tile(n[keep], kf))
+                    nums["sum"].append(np.tile(s1[keep], kf))
+                    nums["mean"].append(np.tile(mean[keep], kf))
+                    nums["min"].append(np.tile(mn[keep], kf))
+                    nums["max"].append(np.tile(mx[keep], kf))
+        if sid:
+            arrays = [
+                pa.array([v for chunk in sid for v in chunk], type=pa.string()),
+                pa.array([v for chunk in said for v in chunk], type=pa.string()),
+                pa.array(np.concatenate(sband)),
+                pa.array(np.concatenate(nums["n_valid"]).astype(np.int64)),
+                pa.array(np.concatenate(nums["sum"])),
+                pa.array(np.concatenate(nums["mean"])),
+                pa.array(np.concatenate(nums["min"])),
+                pa.array(np.concatenate(nums["max"])),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_ZONAL_PA_SCHEMA)
 
 
 def zonal_stats(
@@ -374,20 +476,29 @@ _MODE_PA_SCHEMA = pa.schema(
 
 def _mode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     ring_cache: dict = {}
+    win_cache = _WinCache()
     for batch in batches:
         ids = batch.column("image_id").to_pylist()
         payload = batch.column("bytes")
         transforms_col = batch.column("transform").to_pylist()
         nodatas = batch.column("nodata").to_pylist()
         crss = batch.column("crs").to_pylist()
-        aois_col = batch.column("aois").to_pylist()
-        cols: dict[str, list] = {n: [] for n in _MODE_PA_SCHEMA.names}
+        aois = _AoiListView(batch.column("aois"))
+        sid: list = []
+        said: list = []
+        sband: list = []
+        smode: list = []
+        snmode: list = []
+        snvalid: list = []
         for ri in range(batch.num_rows):
             arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
             nb, h, w = arr.shape
             nod = nodatas[ri]
             crs = crss[ri]
             lonlat = _is_lonlat(crs)
+            tr = transforms_col[ri]
+            tkey = (w, h, tr[0], tr[1], tr[2], tr[3], tr[4], tr[5])
+
             def _modes(sub):
                 """Per-band (b, mode, n_mode, n_valid) for a (nb, k)
                 value block; unique is ascending, so the FIRST argmax
@@ -404,35 +515,54 @@ def _mode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
                     out.append((b, float(uq[k]), int(cnts[k]), int(vals.size)))
                 return out
 
-            full_modes = None  # cached: many AOIs cover the whole image
+            def _emit(aid: str, rows) -> None:
+                for b, mode, n_mode, n_valid in rows:
+                    sid.append(ids[ri])
+                    said.append(aid)
+                    sband.append(b)
+                    smode.append(mode)
+                    snmode.append(n_mode)
+                    snvalid.append(n_valid)
+
+            full_ids: list = []
             flat = arr.reshape(nb, -1)
-            for aoi in aois_col[ri]:
-                info = _ring_info(ring_cache, aoi, crs)
-                win = _aoi_window_mask(info, transforms_col[ri], w, h, lonlat)
+            for i in range(aois.offs[ri], aois.offs[ri + 1]):
+                win = win_cache.get(ring_cache, aois, i, crs, tkey, tr, w, h, lonlat)
                 if win is None:
                     continue
                 c0, c1, r0, r1, inside = win
                 if inside is None and c0 == 0 and r0 == 0 and c1 == w and r1 == h:
-                    if full_modes is None:
-                        full_modes = _modes(flat)
-                    rows = full_modes
-                else:
-                    sub = arr[:, r0:r1, c0:c1].reshape(nb, -1)
-                    if inside is not None:
-                        sub = sub[:, inside.ravel()]
-                    rows = _modes(sub)
-                for b, mode, n_mode, n_valid in rows:
-                    cols["image_id"].append(ids[ri])
-                    cols["aoi_id"].append(aoi["aoi_id"])
-                    cols["band"].append(b)
-                    cols["mode"].append(mode)
-                    cols["n_mode"].append(n_mode)
-                    cols["n_valid"].append(n_valid)
-        if cols["image_id"]:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(cols[f.name], type=f.type) for f in _MODE_PA_SCHEMA],
-                schema=_MODE_PA_SCHEMA,
-            )
+                    full_ids.append(aois.ids[i])
+                    continue
+                sub = arr[:, r0:r1, c0:c1].reshape(nb, -1)
+                if inside is not None:
+                    sub = sub[:, inside.ravel()]
+                _emit(aois.ids[i], _modes(sub))
+            if full_ids:
+                rows = _modes(flat)
+                if rows:
+                    kf = len(full_ids)
+                    nk = len(rows)
+                    sid.extend([ids[ri]] * (nk * kf))
+                    if nk == 1:
+                        said.extend(full_ids)
+                    else:
+                        said.extend([a for a in full_ids for _ in range(nk)])
+                    bcol, mcol, nmcol, nvcol = zip(*rows)
+                    sband.extend(list(bcol) * kf)
+                    smode.extend(list(mcol) * kf)
+                    snmode.extend(list(nmcol) * kf)
+                    snvalid.extend(list(nvcol) * kf)
+        if sid:
+            arrays = [
+                pa.array(sid, type=pa.string()),
+                pa.array(said, type=pa.string()),
+                pa.array(sband, type=pa.int32()),
+                pa.array(smode, type=pa.float64()),
+                pa.array(snmode, type=pa.int64()),
+                pa.array(snvalid, type=pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_MODE_PA_SCHEMA)
 
 
 def zonal_mode(

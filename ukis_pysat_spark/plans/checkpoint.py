@@ -34,6 +34,7 @@ the Parquet ``_SUCCESS`` protocol stays the default.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import time
@@ -76,12 +77,17 @@ class CheckpointedRun:
                     f"catalog {catalog!r} is not resolvable; omit catalog= "
                     "for the Parquet fallback"
                 )
+            # sanitized name + short hash of the RAW string: distinct
+            # bases that sanitize identically (/data/run-1 vs
+            # /data/run_1) must not share a namespace/table
             ns = re.sub(r"[^A-Za-z0-9_]+", "_", self.base).strip("_") or "ckpt"
-            self._ns = f"{catalog}.{ns}"
+            tag = hashlib.md5(self.base.encode()).hexdigest()[:8]
+            self._ns = f"{catalog}.{ns}_{tag}"
             spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self._ns}")
 
     def _tbl(self, stage: str) -> str:
-        return f"{self._ns}.{re.sub(r'[^A-Za-z0-9_]+', '_', stage)}"
+        safe = re.sub(r"[^A-Za-z0-9_]+", "_", stage)
+        return f"{self._ns}.{safe}_{hashlib.md5(stage.encode()).hexdigest()[:8]}"
 
     # -- commit side --------------------------------------------------------
 

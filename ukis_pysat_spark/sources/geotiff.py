@@ -698,6 +698,14 @@ def _lzw_encode(data: bytes) -> bytes:
     if prev >= 0:
         emit(prev)
         wemit(nbits)
+        # LZWPostEncode width sync: the decoder adds one more table
+        # entry while consuming this final code, so when that entry is
+        # (1<<nbits)-2 (i.e. our next_code sits one below the early-
+        # change boundary) the decoder widens BEFORE reading EOI — the
+        # EOI must be written at the widened width or it is misread as
+        # a data code, appending garbage bytes to the strip.
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
     emit(257)
     wemit(nbits)
     return _lzw_pack_codes(codes, widths)
