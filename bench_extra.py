@@ -55,6 +55,45 @@ def noop(df) -> int:
     return -1
 
 
+def _sj_cand_ids(images, aois, res):
+    """spatial_join's FILTER phase only: cell cover join + bbox overlap
+    + pair dedup (the ids-only candidate set, no geometry re-attach, no
+    Python refine)."""
+    from ukis_pysat_spark.operators.spatial_join import lon_interval, with_cells
+    i_lon0, i_lon1 = lon_interval(F.col("footprint_lon"))
+    img_cells = with_cells(
+        images.select("image_id", "footprint_lon", "footprint_lat"),
+        "footprint_lon", "footprint_lat", res,
+    ).select(
+        "image_id", "cell",
+        i_lon0.alias("i_lon0"), i_lon1.alias("i_lon1"),
+        F.array_min("footprint_lat").alias("i_lat_min"),
+        F.array_max("footprint_lat").alias("i_lat_max"),
+    )
+    from ukis_pysat_spark.operators.spatial_join import lon_intervals_overlap
+    a_lon0, a_lon1 = lon_interval(F.col("ring_lon"))
+    aoi_cells = with_cells(
+        aois.select("aoi_id", "ring_lon", "ring_lat", "lat_min", "lat_max"),
+        "ring_lon", "ring_lat", res,
+    ).select(
+        "aoi_id", "cell",
+        a_lon0.alias("a_lon0"), a_lon1.alias("a_lon1"),
+        "lat_min", "lat_max",
+    )
+    return (
+        img_cells.join(aoi_cells, ["cell"])
+        .filter(
+            lon_intervals_overlap(
+                F.col("i_lon0"), F.col("i_lon1"), F.col("a_lon0"), F.col("a_lon1")
+            )
+            & (F.col("i_lat_min") <= F.col("lat_max"))
+            & (F.col("i_lat_max") >= F.col("lat_min"))
+        )
+        .select("image_id", "aoi_id")
+        .dropDuplicates(["image_id", "aoi_id"])
+    )
+
+
 def build_registry(spark, sf: float):
     base = f"/tmp/upss_bench_sf{sf}"
     paths = benchmod.materialize_synthetic(spark, sf, base)
@@ -138,6 +177,22 @@ def build_registry(spark, sf: float):
             dedup.hamming_blocks(
                 hashes.select("image_id", "phash"), "image_id", "phash", 4, 64
             )
+        ),
+        "ph_sj_cand": lambda: noop(_sj_cand_ids(images, aois, 12)),
+        "ph_ngram_choose": lambda: int(
+            dedup.choose_prefix_filter(entrymod._t(spark, SF_DIR, "documents"), 3)
+        ),
+        "ngram_prefix": lambda: dedup.ngram_jaccard_pairs(
+            entrymod._t(spark, SF_DIR, "documents"), n=3, threshold=0.4,
+            prefix_filter=True,
+        ).count(),
+        "ngram_naive": lambda: dedup.ngram_jaccard_pairs(
+            entrymod._t(spark, SF_DIR, "documents"), n=3, threshold=0.4,
+            prefix_filter=False,
+        ).count(),
+        "ph_dn2toa_noop": lambda: noop(transforms.dn2toa(toa_images, toa_metadata)),
+        "ph_gtiff_write_noop": lambda: noop(
+            sinks.to_geotiff(toa_images, compression="deflate")
         ),
     }
 

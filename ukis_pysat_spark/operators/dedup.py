@@ -368,20 +368,28 @@ def simhash64_col(
         "doc_id",
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    h = (word_hash or F.xxhash64)(F.col("w"))
-    votes = words.groupBy("doc_id").agg(
+    # hash once in a projection BELOW the aggregate: referencing the
+    # hash expression inside n_bits sum() updates would evaluate the
+    # (md5/xxhash) hash up to n_bits times per word row
+    hashed_words = words.select("doc_id", (word_hash or F.xxhash64)(F.col("w")).alias("h"))
+    # votes algebra: sum(bit*2 - 1) > 0  <=>  2*sum(bit) > count — one
+    # cheap (h>>b)&1 sum per bit plus a single shared count, instead of
+    # the twice-as-wide ±1 expression per bit
+    votes = hashed_words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nw"),
         *[
             F.sum(
-                (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long")
             ).alias(f"v{b}")
             for b in range(n_bits)
-        ]
+        ],
     )
     sh64 = None
     for b in range(n_bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"v{b}") * 2 > F.col("nw"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
         sh64 = bit if sh64 is None else sh64.bitwiseOR(bit)
     hashed = votes.select("doc_id", sh64.alias("sh64"))
     # wordless documents (empty/whitespace text) hash to 0
@@ -465,6 +473,16 @@ def hamming_blocks(
     ).select(id_col, hash_col, F.col("e.blk").alias("blk"), F.col("e.key").alias("key"))
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no
+    bitwise_count): byte-view + 256-entry lookup, summed per word."""
+    b = _POPCNT8[x.view(np.uint8)]
+    return b.reshape(*x.shape, 8).sum(axis=-1, dtype=np.int32)
+
+
 def hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -477,26 +495,58 @@ def hamming_pairs(
     plan shared by simhash_pairs and phash_neardup.
 
     (max_hamming+1) near-equal bit blocks; h differing bits cannot
-    touch all h+1 blocks, so candidates from the per-block equi-joins
-    have recall 1.0 by construction, and the exact popcount filter
-    runs INSIDE the join stage so only true pairs reach the
-    dropDuplicates shuffle."""
+    touch all h+1 blocks, so candidates grouped by (block, key) have
+    recall 1.0 by construction.  Each bucket is verified in ONE
+    vectorized numpy pass (chunked pairwise XOR + popcount) inside a
+    grouped Arrow stage instead of a row-at-a-time equi-join: simhash
+    buckets over natural text are heavily skewed (bit votes are
+    correlated across documents), and a hot bucket is a SINGLE join
+    key — unsplittable by AQE, so the SMJ pays the whole s^2 candidate
+    set on one core at row-machinery rates.  The numpy pass does the
+    same s^2 popcounts ~100x faster and only true pairs leave the
+    stage; dropDuplicates then folds the per-block copies."""
     bucketed = hamming_blocks(df, id_col, hash_col, max_hamming, n_bits)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    hamming = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (hamming <= max_hamming),
+    id_type = df.schema[id_col].dataType.simpleString()
+    h = int(max_hamming)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = len(pdf)
+        empty = {"id_a": [], "id_b": [], "hamming": []}
+        if s < 2:
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].values
+        hv = pdf[hash_col].values.astype(np.int64).view(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        chunk = max(1, (2 << 20) // s)  # ~16 MB XOR matrix per step
+        for i0 in range(0, s - 1, chunk):
+            i1 = min(i0 + chunk, s)
+            x = hv[i0:i1, None] ^ hv[None, :]
+            pc = _popcount_u64(x)
+            ii, jj = np.nonzero(pc <= h)
+            keep = jj > (ii + i0)  # each unordered pair once
+            if not keep.any():
+                continue
+            ii, jj = ii[keep], jj[keep]
+            ia, ib = ids[ii + i0], ids[jj]
+            ne = ia != ib
+            ia, ib = ia[ne], ib[ne]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_h.append(pc[ii, jj][ne])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming.alias("hamming"),
+
+    return (
+        bucketed.groupBy("blk", "key")
+        .applyInPandas(
+            verify, schema=f"id_a {id_type}, id_b {id_type}, hamming int"
         )
         .dropDuplicates(["id_a", "id_b"])
     )

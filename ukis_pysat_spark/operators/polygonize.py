@@ -127,12 +127,17 @@ def _region_table(plane: np.ndarray, nod):
 
 def _region_batches(band: int, quantize: float | None):
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        num_names = [n for n in _PA_SCHEMA.names if n != "image_id"]
         for batch in batches:
             ids = batch.column("image_id").to_pylist()
             payload = batch.column("bytes")
             transforms_col = batch.column("transform").to_pylist()
             nodatas = batch.column("nodata").to_pylist()
-            cols: dict[str, list] = {n: [] for n in _PA_SCHEMA.names}
+            # numpy chunk accumulation (regions-out is tens of millions
+            # of rows at scale: per-element list extends were ~half the
+            # stage); one concatenate per column per batch
+            sid: list = []
+            chunks: dict[str, list] = {n: [] for n in num_names}
             for ri in range(batch.num_rows):
                 arr = codec.decode(payload[ri].as_buffer()).astype(np.float64)
                 nb, h, w = arr.shape
@@ -144,26 +149,27 @@ def _region_batches(band: int, quantize: float | None):
                 nk = int(keep.sum())
                 if nk == 0:
                     continue
-                cols["image_id"].extend([ids[ri]] * nk)
-                cols["region_id"].extend(region_ids[keep].tolist())
-                cols["value"].extend(vals[keep].tolist())
-                cols["n_pixels"].extend(counts[keep].tolist())
-                cols["r0"].extend(r0[keep].tolist())
-                cols["c0"].extend(c0[keep].tolist())
-                cols["r1"].extend(r1[keep].tolist())
-                cols["c1"].extend(c1[keep].tolist())
-                cols["left"].extend((c + c0[keep] * a).tolist())
-                cols["top"].extend((f_ + r0[keep] * e).tolist())
-                cols["right"].extend((c + (c1[keep] + 1) * a).tolist())
-                cols["bottom"].extend((f_ + (r1[keep] + 1) * e).tolist())
-            if cols["image_id"]:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(cols[f.name], type=f.type)
-                        for f in _PA_SCHEMA
-                    ],
-                    schema=_PA_SCHEMA,
-                )
+                sid.append([ids[ri]] * nk)
+                kr0, kc0, kr1, kc1 = r0[keep], c0[keep], r1[keep], c1[keep]
+                chunks["region_id"].append(region_ids[keep])
+                chunks["value"].append(vals[keep])
+                chunks["n_pixels"].append(counts[keep])
+                chunks["r0"].append(kr0.astype(np.int32))
+                chunks["c0"].append(kc0.astype(np.int32))
+                chunks["r1"].append(kr1.astype(np.int32))
+                chunks["c1"].append(kc1.astype(np.int32))
+                chunks["left"].append(c + kc0 * a)
+                chunks["top"].append(f_ + kr0 * e)
+                chunks["right"].append(c + (kc1 + 1) * a)
+                chunks["bottom"].append(f_ + (kr1 + 1) * e)
+            if sid:
+                arrays = [pa.array([v for ch in sid for v in ch], type=pa.string())]
+                for n in num_names:
+                    f = _PA_SCHEMA.field(n)
+                    arrays.append(
+                        pa.array(np.concatenate(chunks[n]), type=f.type)
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, schema=_PA_SCHEMA)
 
     return run
 
