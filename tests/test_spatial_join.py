@@ -524,3 +524,59 @@ def test_spatial_join_auto_res(spark):
     auto = _pairs(spatial_join.spatial_join(imgs, aois, res=None))
     fixed = _pairs(spatial_join.spatial_join(imgs, aois, res=12))
     assert auto == fixed
+
+
+def test_sat_fast_path_adversarial_rings(spark):
+    """The r7 relational SAT fast path (box image x convex-certified
+    AOI decided in the join) must match the brute-force Python refine
+    on rings built to defeat a naive convexity gate: a 5/2 pentagram
+    (same-sign crosses, winding 2 — interior is even-odd, NOT the
+    hull), a quad with a collinear vertex, a touching-edge quad, and
+    ordinary convex diamonds."""
+    import math as m
+
+    def ring(pts):
+        pts = pts + [pts[0]]
+        return [p[0] for p in pts], [p[1] for p in pts]
+
+    # pentagram centered at (0, 0), radius 1
+    star = [
+        (m.cos(m.radians(90 + 144 * i)), m.sin(m.radians(90 + 144 * i)))
+        for i in range(5)
+    ]
+    diamond = [(0.5, -0.25), (0.75, 0.0), (0.5, 0.25), (0.25, 0.0)]
+    collinear = [(-1.0, -1.0), (0.0, -1.0), (1.0, -1.0), (0.0, 1.0)]
+    touch = [(1.0, 0.0), (2.0, -1.0), (3.0, 0.0), (2.0, 1.0)]  # touches box x=1 edge
+    rows = []
+    for i, p in enumerate([star, diamond, collinear, touch]):
+        lons, lats = ring(p)
+        rows.append((f"aoi{i}", lons, lats, min(lats), max(lats)))
+    aois = spark.createDataFrame(
+        rows, ["aoi_id", "ring_lon", "ring_lat", "lat_min", "lat_max"]
+    )
+    # box scenes probing the pentagram's even-odd holes (the center
+    # pocket is INSIDE the hull but inside the even-odd interior too
+    # for the pentagram core; the notches between arms are not)
+    boxes = []
+    k = 0
+    for cx, cy in [
+        (0.0, 0.0), (0.0, 0.55), (0.45, 0.35), (-0.45, 0.35),
+        (0.5, 0.0), (0.9, 0.0), (0.0, -0.9), (2.0, 0.0), (0.9, 0.9),
+    ]:
+        for half in (0.05, 0.12):
+            lon0, lon1 = cx - half, cx + half
+            lat0, lat1 = cy - half, cy + half
+            boxes.append(
+                (
+                    f"img{k}",
+                    [lon0, lon1, lon1, lon0, lon0],
+                    [lat1, lat1, lat0, lat0, lat1],
+                )
+            )
+            k += 1
+    imgs = spark.createDataFrame(
+        boxes, ["image_id", "footprint_lon", "footprint_lat"]
+    )
+    got = _pairs(spatial_join.spatial_join(imgs, aois, res=8))
+    exp = _pairs(spatial_join.spatial_join_bruteforce(imgs, aois))
+    assert got == exp

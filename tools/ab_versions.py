@@ -43,12 +43,16 @@ base = sys.argv[2]
 queries = sys.argv[3].split(",")
 reps = int(os.environ.get("AB_REPS", "3"))
 
-from ukis_pysat_spark.operators import knn, spatial_join, tiling, transforms
+from ukis_pysat_spark.operators import dedup, graph, knn, polygonize, rasterize, spatial_join, tiling, transforms, zonal
+from ukis_pysat_spark import sinks
+from ukis_pysat_spark.operators import terrain
 
 spark = (
     SparkSession.builder.master(f"local[{cores}]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    .config("spark.sql.parquet.columnarReaderBatchSize", "128")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -56,12 +60,37 @@ images = spark.read.parquet(f"{base}/images")
 aois = spark.read.parquet(f"{base}/aois")
 toa_images = spark.read.parquet(f"{base}/toa_images")
 toa_metadata = spark.read.parquet(f"{base}/toa_metadata")
+SF_DIR = os.environ.get("AB_SF_DIR", "/root/testdata/sf0.1")
 
 FNS = {
     "spatial_join": lambda: spatial_join.spatial_join(images, aois, res=12).count(),
     "tile_pixels": lambda: tiling.tile_pixels(images, 32, 32, 4).count(),
     "knn_indexed": lambda: knn.knn_indexed(images, aois, k=5, res=6, ring=2).count(),
     "dn2toa_pixels": lambda: transforms.dn2toa(toa_images, toa_metadata).count(),
+    "zonal_stats": lambda: zonal.zonal_stats(images, aois, res=12).count(),
+    "zonal_mode": lambda: zonal.zonal_mode(images, aois, res=12).count(),
+    "rasterize": lambda: rasterize.rasterize(images, aois, res=12).count(),
+    "polygonize": lambda: polygonize.polygonize(images, band=0, quantize=256.0).count(),
+    "phash_neardup": lambda: dedup.phash_neardup(
+        spark.read.parquet(f"{base}/hashes"), max_hamming=4
+    ).count(),
+    "gtiff_roundtrip": lambda: sinks.from_geotiff(
+        sinks.to_geotiff(toa_images, compression="deflate")
+    ).count(),
+    "viewshed": lambda: transforms.apply_transforms(
+        images, [terrain.viewshed((64, 64), oh=2.0, maxdist=24)], out_fmt="raw"
+    ).count(),
+    "simhash_docs": lambda: dedup.simhash_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), max_hamming=6
+    ).count(),
+    "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), n=3, threshold=0.4
+    ).count(),
+    "dedup_clusters_blocked": lambda: graph.connected_components(
+        dedup.embedding_neardup_blocked(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.35
+        )
+    ).count(),
 }
 out = {}
 for q in queries:

@@ -132,7 +132,7 @@ def expected_candidate_blowup(
 def choose_prefix_filter(
     documents: DataFrame,
     n: int = 3,
-    naive_blowup_factor: float = 20.0,
+    naive_blowup_factor: float = 80.0,
     sample_mod: int = 10,
 ) -> bool:
     """True when the measured candidate volume of the naive shingle
@@ -140,7 +140,16 @@ def choose_prefix_filter(
     shingle row — i.e. the join's OUTPUT would dwarf its input and the
     AllPairs/PPJoin prefix path is the right plan.  Measured on the
     deterministic sample; the threshold rescales by the sample
-    fraction (see expected_candidate_blowup)."""
+    fraction (see expected_candidate_blowup).
+
+    Threshold calibration (r7, measured at sf1.0/local[32]): the naive
+    join is ~linear in candidate pairs (120M pairs -> 18 s) while the
+    prefix path's cost is dominated by the per-doc HOF work
+    (array_sort + slice + array_intersect, ~31 s on the same corpus,
+    weakly dependent on the ratio) — so the crossover sits near 80
+    candidates per shingle row, not the previous 20.  Boilerplate-
+    ridden web corpora announce themselves at ratios in the thousands
+    and still route to the prefix path."""
     cand, rows, p = expected_candidate_blowup(documents, n, sample_mod)
     if rows == 0:  # degenerate/tiny sample: keep the naive default
         return False

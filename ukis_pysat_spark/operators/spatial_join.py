@@ -159,6 +159,100 @@ def axis_aligned_box(lon_col: Column, lat_col: Column) -> Column:
     )
 
 
+def convex_simple_ring(lon_col: Column, lat_col: Column) -> Column:
+    """True when a CLOSED ring (first == last vertex) is strictly
+    convex and simply wound — the relational twin of the Python-side
+    ``zonal._convex_orient`` certificate: all edge cross products share
+    one strict sign (collinear/repeated vertices fail closed, routing
+    the pair to the exact Python refine) AND the total turning is
+    ±2π within 1e-6 (a same-sign test alone would admit star
+    polygons, whose even-odd interior differs from the convex hull).
+    Pure JVM array expressions; O(V) per ring."""
+    n = F.size(lon_col) - 1  # true vertex count (closing dup dropped)
+    xs = F.slice(lon_col, 1, n)
+    ys = F.slice(lat_col, 1, n)
+    nxt = lambda a: F.concat(F.slice(a, 2, n - 1), F.slice(a, 1, 1))  # noqa: E731
+    ex = F.zip_with(nxt(xs), xs, lambda b, a: b - a)
+    ey = F.zip_with(nxt(ys), ys, lambda b, a: b - a)
+    ex2 = F.concat(F.slice(ex, 2, n - 1), F.slice(ex, 1, 1))
+    ey2 = F.concat(F.slice(ey, 2, n - 1), F.slice(ey, 1, 1))
+    cr = F.zip_with(
+        F.zip_with(ex, ey2, lambda a, b: a * b),
+        F.zip_with(ey, ex2, lambda a, b: a * b),
+        lambda a, b: a - b,
+    )
+    dt = F.zip_with(
+        F.zip_with(ex, ex2, lambda a, b: a * b),
+        F.zip_with(ey, ey2, lambda a, b: a * b),
+        lambda a, b: a + b,
+    )
+    turn = F.aggregate(
+        F.zip_with(cr, dt, lambda c, d: F.atan2(c, d)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    same_sign = F.forall(cr, lambda c: c > 0.0) | F.forall(cr, lambda c: c < 0.0)
+    closed = (
+        (F.element_at(lon_col, 1) == F.element_at(lon_col, -1))
+        & (F.element_at(lat_col, 1) == F.element_at(lat_col, -1))
+    )
+    return (
+        (n >= 3)
+        & closed
+        & same_sign
+        & (F.abs(F.abs(turn) - F.lit(2.0 * math.pi)) <= F.lit(1e-6))
+    )
+
+
+def sat_axes(lon_col: Column, lat_col: Column) -> Column:
+    """(nx, ny, qmin, qmax) per edge of a convex closed ring."""
+    n = F.size(lon_col) - 1
+    xs = F.slice(lon_col, 1, n)
+    ys = F.slice(lat_col, 1, n)
+    nxt = lambda a: F.concat(F.slice(a, 2, n - 1), F.slice(a, 1, 1))  # noqa: E731
+    nx = F.zip_with(nxt(ys), ys, lambda b, a: -(b - a))
+    ny = F.zip_with(nxt(xs), xs, lambda b, a: b - a)
+    return F.zip_with(
+        nx,
+        ny,
+        lambda nxi, nyi: F.struct(
+            nxi.alias("nx"),
+            nyi.alias("ny"),
+            F.array_min(
+                F.zip_with(xs, ys, lambda x, y: nxi * x + nyi * y)
+            ).alias("qmin"),
+            F.array_max(
+                F.zip_with(xs, ys, lambda x, y: nxi * x + nyi * y)
+            ).alias("qmax"),
+        ),
+    )
+
+
+def sat_box_separated(axes: Column, x0, x1, y0, y1) -> Column:
+    """True iff some AOI edge normal STRICTLY separates the convex
+    ring from the axis-aligned box [x0,x1]x[y0,y1] (closed semantics:
+    touching is intersecting, so separation is strict).  The box's own
+    axes were already tested by the closed bbox overlap in the cell
+    join, so by SAT: not separated here <=> the polygons intersect."""
+    return F.exists(
+        axes,
+        lambda e: (
+            e["qmin"]
+            > (
+                F.greatest(e["nx"] * x0, e["nx"] * x1)
+                + F.greatest(e["ny"] * y0, e["ny"] * y1)
+            )
+        )
+        | (
+            e["qmax"]
+            < (
+                F.least(e["nx"] * x0, e["nx"] * x1)
+                + F.least(e["ny"] * y0, e["ny"] * y1)
+            )
+        ),
+    )
+
+
 def scene_bounds(images: DataFrame) -> DataFrame:
     """Relational scene bbox from (transform, w, h) — no pixel decode."""
     a = F.element_at("transform", 1)
@@ -285,34 +379,71 @@ def spatial_join(
         .dropDuplicates(["image_id", "aoi_id"])
     )
 
-    # re-attach geometry for the exact refine only.  Box-box pairs are
-    # ALREADY exact (for axis-aligned rectangles bbox overlap == exact
-    # intersection, and the overlap test ran inside the cell join), so
-    # their geometry arrays are nulled out — they ride through the
-    # refine stage as an id-copy fast path with no Arrow array payload
-    # and no PIP math.  Satellite scenes + box AOIs make this the
-    # common case; nulling (instead of a filtered union) keeps ONE
-    # candidate subtree in the plan (a union would recompute the cell
-    # join per branch).
+    # re-attach geometry for the exact refine only.  Two relational
+    # exactness fast paths keep pairs OUT of the Python refine:
+    #
+    # - box-box: for axis-aligned rectangles the closed bbox overlap
+    #   (already tested inside the cell join) IS the exact test;
+    # - box-convex (r7): when the image footprint is an axis box and
+    #   the AOI ring certifies strictly-convex + simply-wound
+    #   (convex_simple_ring) with no antimeridian wrap on either side,
+    #   the separating-axis test over the AOI's edge normals decides
+    #   the pair exactly IN the join (the box's own axes are the bbox
+    #   overlap).  The AOI-side normals + projection ranges are
+    #   precomputed once per AOI row (sat_axes), so the per-pair cost
+    #   is O(edges) flops of codegen'd expressions — at a hotspot this
+    #   removes tens of millions of rows from the Arrow boundary,
+    #   which measurement showed was the refine stage's actual cost
+    #   (the PIP math itself was ~4 s of 19 s).
+    #
+    # Decided pairs ride as an id-copy with geometry nulled; decided
+    # non-intersections are filtered out before the Python stage.
+    # Nulling (instead of a filtered union) keeps ONE candidate
+    # subtree in the plan (a union would recompute the cell join per
+    # branch).
+    no_wrap_i = (F.array_max("footprint_lon") - F.array_min("footprint_lon")) <= 180.0
     img_geom = images.select(
         "image_id", "footprint_lon", "footprint_lat",
         axis_aligned_box(F.col("footprint_lon"), F.col("footprint_lat")).alias("_ibox"),
+        (no_wrap_i & axis_aligned_box(F.col("footprint_lon"), F.col("footprint_lat"))).alias(
+            "_ibox_nw"
+        ),
     )
+    no_wrap_a = (F.array_max("ring_lon") - F.array_min("ring_lon")) <= 180.0
     aoi_geom = aois.select(
         "aoi_id", "ring_lon", "ring_lat",
         axis_aligned_box(F.col("ring_lon"), F.col("ring_lat")).alias("_abox"),
+        (
+            no_wrap_a
+            & ~axis_aligned_box(F.col("ring_lon"), F.col("ring_lat"))
+            & convex_simple_ring(F.col("ring_lon"), F.col("ring_lat"))
+        ).alias("_aconv"),
+        F.when(
+            no_wrap_a & convex_simple_ring(F.col("ring_lon"), F.col("ring_lat")),
+            sat_axes(F.col("ring_lon"), F.col("ring_lat")),
+        ).alias("_sat"),
     )
     easy = F.col("_ibox") & F.col("_abox")
+    sat_pair = F.col("_ibox_nw") & F.col("_aconv")
+    separated = sat_box_separated(
+        F.col("_sat"),
+        F.array_min("footprint_lon"),
+        F.array_max("footprint_lon"),
+        F.array_min("footprint_lat"),
+        F.array_max("footprint_lat"),
+    )
+    decided = easy | sat_pair
     cand = (
         cand_ids.join(img_geom, "image_id")
         .join(aoi_geom, "aoi_id")
+        .filter(~sat_pair | ~separated)
         .select(
             "image_id",
             "aoi_id",
-            F.when(~easy, F.col("footprint_lon")).alias("footprint_lon"),
-            F.when(~easy, F.col("footprint_lat")).alias("footprint_lat"),
-            F.when(~easy, F.col("ring_lon")).alias("ring_lon"),
-            F.when(~easy, F.col("ring_lat")).alias("ring_lat"),
+            F.when(~decided, F.col("footprint_lon")).alias("footprint_lon"),
+            F.when(~decided, F.col("footprint_lat")).alias("footprint_lat"),
+            F.when(~decided, F.col("ring_lon")).alias("ring_lon"),
+            F.when(~decided, F.col("ring_lat")).alias("ring_lat"),
         )
     )
 
@@ -344,9 +475,17 @@ def _refine_batches(batches):
     ``mapInArrow`` (round 5; the pandas version paid ~1.5 s/160k-scene
     join just materializing per-row list objects into object columns),
     appends raw RecordBatches, and processes accumulated chunks with
-    Arrow-level filters + numpy views over the list buffers."""
+    Arrow-level filters + numpy views over the list buffers.
+
+    Verdicts are MEMOIZED per distinct geometry pair (r7): co-
+    registered scene stacks repeat footprints exactly, so a hotspot's
+    millions of (same footprint, same AOI) candidate pairs pay one PIP
+    each — the cache key is the raw coordinate bytes, so equality is
+    exact, never hash-trusted."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    verdicts: dict[bytes, bool] = {}
 
     def process(tbl: pa.Table):
         # null geometry marks a pair pre-proven by the relational
@@ -360,12 +499,30 @@ def _refine_batches(batches):
         for b in ids.filter(pre).combine_chunks().to_batches():
             yield b
         hard = tbl.filter(pc.invert(pre)).combine_chunks()
-        keep = geometry.polygon_intersects_pairwise(
-            _ring_views(hard.column("footprint_lon")),
-            _ring_views(hard.column("footprint_lat")),
-            _ring_views(hard.column("ring_lon")),
-            _ring_views(hard.column("ring_lat")),
-        )
+        fl = _ring_views(hard.column("footprint_lon"))
+        fa = _ring_views(hard.column("footprint_lat"))
+        rl = _ring_views(hard.column("ring_lon"))
+        ra = _ring_views(hard.column("ring_lat"))
+        nh = len(fl)
+        keys = [
+            fl[i].tobytes() + fa[i].tobytes() + b"|" + rl[i].tobytes() + ra[i].tobytes()
+            for i in range(nh)
+        ]
+        keep = np.empty(nh, dtype=bool)
+        miss = [i for i, k in enumerate(keys) if verdicts.get(k) is None]
+        if miss:
+            got = geometry.polygon_intersects_pairwise(
+                [fl[i] for i in miss],
+                [fa[i] for i in miss],
+                [rl[i] for i in miss],
+                [ra[i] for i in miss],
+            )
+            if len(verdicts) > 200_000:  # bound worker memory (~60 MB)
+                verdicts.clear()
+            for i, v in zip(miss, got):
+                verdicts[keys[i]] = bool(v)
+        for i, k in enumerate(keys):
+            keep[i] = verdicts[k]
         kept = hard.select(["image_id", "aoi_id"]).filter(pa.array(keep))
         for b in kept.combine_chunks().to_batches():
             yield b

@@ -389,8 +389,17 @@ def viewshed(
         zt_num = z + tz - zo
         blocked = np.zeros(z.shape, dtype=bool)
         kmax = int(d.max()) if maxdist is None else min(int(d.max()), int(maxdist))
+        # targets beyond maxdist emit out_value regardless of
+        # visibility (the final np.where overwrites them), and each
+        # target's LOS is independent — so they are excluded from the
+        # ray loop outright.  On a maxdist-bounded scene this shrinks
+        # the active set from O(h*w) to O(maxdist^2) with identical
+        # output pixels.
+        target_ok = (
+            valid_t if maxdist is None else (valid_t & (d <= int(maxdist)))
+        )
         for k in range(1, kmax):
-            rs, cs = np.nonzero((d > k) & ~blocked & valid_t)
+            rs, cs = np.nonzero((d > k) & ~blocked & target_ok)
             if rs.size == 0:
                 break
             dr_s = rs - orow
