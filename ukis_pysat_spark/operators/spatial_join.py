@@ -433,21 +433,24 @@ def spatial_join(
         F.array_max("footprint_lat"),
     )
     decided = easy | sat_pair
-    cand = (
-        cand_ids.join(img_geom, "image_id")
-        .join(aoi_geom, "aoi_id")
-        .filter(~sat_pair | ~separated)
-        .select(
-            "image_id",
-            "aoi_id",
-            F.when(~decided, F.col("footprint_lon")).alias("footprint_lon"),
-            F.when(~decided, F.col("footprint_lat")).alias("footprint_lat"),
-            F.when(~decided, F.col("ring_lon")).alias("ring_lon"),
-            F.when(~decided, F.col("ring_lat")).alias("ring_lat"),
-        )
+    keep_rel = easy | (sat_pair & ~separated)
+    base = cand_ids.join(img_geom, "image_id").join(aoi_geom, "aoi_id")
+    # decided pairs NEVER cross the Python boundary: they leave on a
+    # JVM-only branch, and only the (rare) undecided pairs carry their
+    # geometry into the Arrow refine.  Both branches re-derive from
+    # the same candidate subtree; its expensive part (cell join +
+    # pair-dedup exchange) is physically identical in both, so
+    # AQE/ReuseExchange computes that shuffle once — measurement
+    # showed shipping 39 M id-copy rows through the Python stage cost
+    # more than the whole candidate phase.
+    decided_ids = base.filter(keep_rel).select("image_id", "aoi_id")
+    hard = base.filter(~decided).select(
+        "image_id", "aoi_id",
+        "footprint_lon", "footprint_lat", "ring_lon", "ring_lat",
     )
-
-    return cand.mapInArrow(_refine_batches, schema="image_id string, aoi_id string")
+    return decided_ids.unionByName(
+        hard.mapInArrow(_refine_batches, schema="image_id string, aoi_id string")
+    )
 
 
 _REFINE_CHUNK = 1 << 16  # rows per vectorized refine call
