@@ -468,15 +468,22 @@ def test_ngram_jaccard_auto_path_selection(spark):
     docs = _docs(spark).limit(200)
     # benign low-df corpus -> naive
     assert dedup.choose_prefix_filter(docs, n=3) is False
-    # hot corpus: half the documents are one shared boilerplate page
-    # (df ~ 100 on ~600 shingles) -> sum C(df,2) blows past 20x shingle
-    # rows and the naive join's output would dwarf its input
+    # hot corpus: 400 documents all sharing one boilerplate page —
+    # ~(k_sampled-1)/2 candidate pairs per shingle row in the 1/10
+    # measuring sample, past the measured r7 crossover of 80 (the
+    # previous 100-dup fixture sat between the old threshold 20 and
+    # the recalibrated 80)
     boiler = " ".join(f"boilerplate{i} token{i}" for i in range(300))
+    wide = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).withColumn("text", F.lit(boiler))
+    assert dedup.choose_prefix_filter(wide, n=3) is True
+    # path-equality on a half-hot corpus (kept small: the verify join
+    # over 400 identical docs is quadratic)
     hot = docs.withColumn(
         "text",
         F.when(F.col("doc_id") % 2 == 0, F.lit(boiler)).otherwise(F.col("text")),
     )
-    assert dedup.choose_prefix_filter(hot, n=3) is True
     auto = dedup.ngram_jaccard_pairs(hot, n=3, threshold=0.4)  # default = auto
     naive = dedup.ngram_jaccard_pairs(hot, n=3, threshold=0.4, prefix_filter=False)
     a = {(r.id_a, r.id_b): r.jaccard for r in auto.collect()}

@@ -46,12 +46,13 @@ def test_spatial_join_filter_stage_is_jvm(spark, images_parquet):
     images = spark.read.parquet(images_parquet)
     aois = datagen.gen_aois(spark, 10)
     plan = _plan(spatial_join.spatial_join(images, aois, res=12))
-    # aois come from a datagen MapInPandas source; discount source nodes
-    # by checking that no Python node sits between the joins and the
-    # top-level refine: exactly ONE MapInArrow above the join tree.
-    join_part = plan.split("SortMergeJoin")[0].split("BroadcastHashJoin")[0]
-    assert join_part.count("MapInArrow") == 1  # the refine only
-    assert join_part.count("MapInPandas") == 0
+    # r7 shape: a Union of (JVM-decided pairs) and (hard pairs ->
+    # exact refine).  The ONLY MapInArrow in the whole join plan is
+    # that refine; relationally decided pairs never reach Python
+    # (datagen's MapInPandas source nodes for the aoi side are
+    # discounted — they are the test fixture's source, not the join).
+    assert "Union" in plan
+    assert plan.count("MapInArrow") == 1  # the hard-pair refine only
     assert "ArrowEvalPython" not in plan  # no pandas-UDF cell cover
 
 

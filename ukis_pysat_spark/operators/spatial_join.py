@@ -149,12 +149,17 @@ def axis_aligned_box(lon_col: Column, lat_col: Column) -> Column:
     rectilinear = F.forall(
         F.zip_with(edge_lon_eq, edge_lat_eq, lambda a, b: a != b), lambda x: x
     )
+    # try_element_at: common-subexpression elimination can hoist the
+    # index-5 access out of the size==5 short-circuit when this
+    # predicate appears in several conjuncts of one projection (r7) —
+    # with try_, a short ring yields NULL and `false AND null = false`
+    # keeps the verdict identical
     return (
         (F.size(lon_col) == 5)
         & (F.size(F.array_distinct(lon_col)) == 2)
         & (F.size(F.array_distinct(lat_col)) == 2)
-        & (F.element_at(lon_col, 1) == F.element_at(lon_col, 5))
-        & (F.element_at(lat_col, 1) == F.element_at(lat_col, 5))
+        & (F.try_element_at(lon_col, F.lit(1)) == F.try_element_at(lon_col, F.lit(5)))
+        & (F.try_element_at(lat_col, F.lit(1)) == F.try_element_at(lat_col, F.lit(5)))
         & rectilinear
     )
 
