@@ -191,6 +191,54 @@ def build_registry(spark, sf: float):
             prefix_filter=False,
         ).count(),
         "ph_dn2toa_noop": lambda: noop(transforms.dn2toa(toa_images, toa_metadata)),
+        # point_sample phase probes
+        "ph_psamp_cand": lambda: spatial_join.points_in_aois(
+            bench_pts,
+            images.select(
+                F.col("image_id").alias("aoi_id"),
+                F.col("footprint_lon").alias("ring_lon"),
+                F.col("footprint_lat").alias("ring_lat"),
+            ),
+            res=12, exact=False,
+        ).count(),
+        "ph_psamp_pairs": lambda: spatial_join.points_in_aois(
+            bench_pts,
+            images.select(
+                F.col("image_id").alias("aoi_id"),
+                F.col("footprint_lon").alias("ring_lon"),
+                F.col("footprint_lat").alias("ring_lat"),
+            ),
+            res=12,
+        ).count(),
+        "ph_psamp_fold": lambda: noop(
+            spatial_join.points_in_aois(
+                bench_pts,
+                images.select(
+                    F.col("image_id").alias("aoi_id"),
+                    F.col("footprint_lon").alias("ring_lon"),
+                    F.col("footprint_lat").alias("ring_lat"),
+                ),
+                res=12,
+            )
+            .withColumnRenamed("aoi_id", "image_id")
+            .join(
+                bench_pts.select(
+                    "point_id",
+                    F.col("lon").alias("plon"),
+                    F.col("lat").alias("plat"),
+                ),
+                "point_id",
+            )
+            .groupBy("image_id")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("point_id").alias("pid"), "plon", "plat")
+                ).alias("pts")
+            )
+        ),
+        "ph_psamp_noop": lambda: noop(
+            pointsample.sample_points(images, bench_pts, res=12)
+        ),
         "ph_gtiff_write_noop": lambda: noop(
             sinks.to_geotiff(toa_images, compression="deflate")
         ),

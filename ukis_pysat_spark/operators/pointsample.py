@@ -164,23 +164,25 @@ def sample_points(
         F.col("footprint_lon").alias("ring_lon"),
         F.col("footprint_lat").alias("ring_lat"),
     )
+    # keep_coords: the pair set arrives with each point's coordinates
+    # already attached (they rode the candidate join), so the fold
+    # consumes them directly — no re-join of the point table against
+    # the full pair set (r7: that join sorted tens of millions of rows
+    # by the string point id at a hotspot)
     pairs = sj.points_in_aois(
-        points, fp, id_col=id_col, lon_col=lon_col, lat_col=lat_col, res=res
+        points, fp, id_col=id_col, lon_col=lon_col, lat_col=lat_col, res=res,
+        keep_coords=True,
     )
     per_img = (
         pairs.withColumnRenamed("aoi_id", "image_id")
-        .join(
-            points.select(
-                F.col(id_col),
-                F.col(lon_col).alias("plon"),
-                F.col(lat_col).alias("plat"),
-            ),
-            id_col,
-        )
         .groupBy("image_id")
         .agg(
             F.collect_list(
-                F.struct(F.col(id_col).alias("pid"), "plon", "plat")
+                F.struct(
+                    F.col(id_col).alias("pid"),
+                    F.col(lon_col).alias("plon"),
+                    F.col(lat_col).alias("plat"),
+                )
             ).alias("pts")
         )
     )

@@ -567,11 +567,17 @@ def points_in_aois(
     lat_col: str = "lat",
     res: int = DEFAULT_RES,
     exact: bool = True,
+    keep_coords: bool = False,
 ) -> DataFrame:
     """Point-in-polygon join: cell equi-join + exact PIP refine.
 
     The point side only needs cell_of_points (one cell per point — pure
     relational arithmetic, no UDF); the AOI side gets a polygon cover.
+
+    keep_coords=True additionally returns the point's (lon_col,
+    lat_col) columns — they already ride the candidate join, so callers
+    that need coordinates per pair (point sampling's fold) avoid
+    re-joining the point table against the full pair set (r7).
     """
     n = F.lit(1 << res)
     # lon folds modulo n (a point at exactly +180 lands in seam cell 0,
@@ -587,10 +593,21 @@ def points_in_aois(
         + iy.cast("long")
     )
     pts = points.withColumn("cell", cell)
+    # per-ring bounds are PRECOMPUTED as plain columns on the AOI side
+    # BEFORE the cell join (r7, guide §2.3): lon_interval expands to a
+    # CASE WHEN + array_filter lambda tree, and referencing it in the
+    # join condition makes Spark re-evaluate that tree PER CANDIDATE
+    # PAIR (measured: a hot cell at sf1.0 spent minutes in
+    # HashJoin.boundCondition).  As columns the per-pair test is four
+    # scalar comparisons.
+    r_lon0, r_lon1 = lon_interval(F.col("ring_lon"))
     aoi_cells = with_cells(
         aois.select(
             "aoi_id", "ring_lon", "ring_lat",
             axis_aligned_box(F.col("ring_lon"), F.col("ring_lat")).alias("_abox"),
+            r_lon0.alias("_rl0"), r_lon1.alias("_rl1"),
+            F.array_min("ring_lat").alias("_rlat0"),
+            F.array_max("ring_lat").alias("_rlat1"),
         ),
         "ring_lon",
         "ring_lat",
@@ -598,41 +615,36 @@ def points_in_aois(
     )
     # relational point-in-bbox pre-refine kills most false candidates
     # (cell covers are bbox supersets) before any Python runs; for
-    # axis-aligned box AOIs point-in-bbox IS the exact test, so their
-    # rings are nulled out and ride the refine as an id-copy fast path.
-    # The lon test is circular (antimeridian-correct; reduces to plain
-    # closed between for ordinary rings).
-    r_lon0, r_lon1 = lon_interval(F.col("ring_lon"))
+    # axis-aligned box AOIs point-in-bbox IS the exact test.  The lon
+    # test is circular (antimeridian-correct; reduces to plain closed
+    # between for ordinary rings).
     cand = (
         pts.join(aoi_cells, "cell")
         .filter(
-            (F.pmod(F.col(lon_col) - r_lon0, F.lit(360.0)) <= (r_lon1 - r_lon0))
-            & (F.col(lat_col) >= F.array_min("ring_lat"))
-            & (F.col(lat_col) <= F.array_max("ring_lat"))
+            (F.pmod(F.col(lon_col) - F.col("_rl0"), F.lit(360.0))
+             <= (F.col("_rl1") - F.col("_rl0")))
+            & (F.col(lat_col) >= F.col("_rlat0"))
+            & (F.col(lat_col) <= F.col("_rlat1"))
         )
-        .select(
-            id_col,
-            lon_col,
-            lat_col,
-            "aoi_id",
-            F.when(~F.col("_abox"), F.col("ring_lon")).alias("ring_lon"),
-            F.when(~F.col("_abox"), F.col("ring_lat")).alias("ring_lat"),
-        )
+        .select(id_col, lon_col, lat_col, "aoi_id", "_abox", "ring_lon", "ring_lat")
     )
+    out_cols = [id_col, lon_col, lat_col, "aoi_id"] if keep_coords else [id_col, "aoi_id"]
     if not exact:
-        return cand.select(id_col, "aoi_id")
+        return cand.select(*out_cols)
 
     def refine(batches):
         """Arrow-native PIP refine (round 5, same shape as the
         polygon-polygon _refine_batches): RecordBatch accumulation into
-        large chunks, Arrow filters for the box fast path, pairwise PIP
-        over list-buffer views — no pandas, no per-row list objects."""
+        large chunks, pairwise PIP over list-buffer views — no pandas,
+        no per-row list objects.  Only hard (non-box) pairs reach this
+        stage since r7's branch split; the null-ring guard is kept for
+        robustness."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         def process(tbl: pa.Table):
             pre = pc.is_null(tbl.column("ring_lon"))
-            ids = tbl.select([id_col, "aoi_id"])
+            ids = tbl.select(out_cols)
             if pc.all(pre).as_py():  # box AOIs: bbox test already exact
                 yield from ids.combine_chunks().to_batches()
                 return
@@ -644,7 +656,7 @@ def points_in_aois(
                 _ring_views(hard.column("ring_lon")),
                 _ring_views(hard.column("ring_lat")),
             )
-            kept = hard.select([id_col, "aoi_id"]).filter(pa.array(keep))
+            kept = hard.select(out_cols).filter(pa.array(keep))
             yield from kept.combine_chunks().to_batches()
 
         buf: list[pa.RecordBatch] = []
@@ -660,4 +672,19 @@ def points_in_aois(
         if buf:
             yield from process(pa.Table.from_batches(buf))
 
-    return cand.mapInArrow(refine, schema=f"{id_col} string, aoi_id string")
+    # branch split at the Python boundary (r7, the spatial_join
+    # pattern): box-AOI pairs are DECIDED by the bbox test above, so
+    # they leave on a JVM-only branch instead of round-tripping through
+    # the Arrow stage as id-copies — at a hotspot that removes tens of
+    # millions of rows from the Python boundary.  Only the (rare)
+    # non-box rings carry their geometry into the exact PIP refine.
+    decided_ids = cand.filter(F.col("_abox")).select(*out_cols)
+    hard = cand.filter(~F.col("_abox")).select(
+        id_col, lon_col, lat_col, "aoi_id", "ring_lon", "ring_lat"
+    )
+    coord_schema = f", {lon_col} double, {lat_col} double" if keep_coords else ""
+    return decided_ids.unionByName(
+        hard.mapInArrow(
+            refine, schema=f"{id_col} string{coord_schema}, aoi_id string"
+        )
+    )
