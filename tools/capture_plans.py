@@ -26,8 +26,8 @@ def main() -> None:
     os.makedirs(outdir, exist_ok=True)
 
     from ukis_pysat_spark.operators import (
-        dedup, knn, polygonize, rasterize, spatial_join, terrain, tiling,
-        transforms, zonal,
+        dedup, knn, pointsample, polygonize, rasterize, spatial_join, terrain,
+        tiling, transforms, zonal,
     )
     from ukis_pysat_spark import sinks
 
@@ -66,6 +66,17 @@ def main() -> None:
         "dn2toa_pixels": lambda: transforms.dn2toa(toa_images, toa_metadata),
         "tile_pixels": lambda: tiling.tile_pixels(images, 32, 32, 4),
         "knn_indexed": lambda: knn.knn_indexed(images, aois, k=5, res=6, ring=2),
+        "point_sample": lambda: pointsample.sample_points(
+            images,
+            images.where(
+                F.substring("image_id", 4, 8).cast("long") % 16 == 0
+            ).select(
+                F.concat(F.lit("pt"), F.col("image_id")).alias("point_id"),
+                ((F.array_min("footprint_lon") + F.array_max("footprint_lon")) / 2).alias("lon"),
+                ((F.array_min("footprint_lat") + F.array_max("footprint_lat")) / 2).alias("lat"),
+            ),
+            res=12,
+        ),
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for name, fn in qs.items():
