@@ -706,6 +706,56 @@ def test_hamming_pairs_int64_including_negative(spark):
     assert len(exp) >= 4  # the planted near-dups must be found
 
 
+def test_hamming_pairs_verify_paths_identical(spark):
+    """The segmented (production) and relational-join verify plans
+    must emit identical rows, with string ids (lexicographic min/max
+    canonicalization) and with a hot bucket that exercises the
+    segmented stage's row-blocked hot-run sweep."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**63), 2**63, 60, dtype=np.int64)
+    vals = list(base)
+    for i in range(0, 30, 3):  # planted near-dups
+        v = np.uint64(base[i])
+        for b in rng.choice(64, int(rng.integers(1, 7)), replace=False):
+            v ^= np.uint64(1) << np.uint64(b)
+        vals.append(v.astype(np.int64))
+    df = spark.createDataFrame(
+        [(f"d{i}", int(v)) for i, v in enumerate(vals)], "id string, h long"
+    )
+    paths = {}
+    for mode in ("join", "segmented"):
+        paths[mode] = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.hamming_pairs(
+                df, "id", "h", max_hamming=6, verify=mode
+            ).collect()
+        }
+    assert paths["join"] == paths["segmented"]
+    assert len(paths["join"]) >= 10
+
+    # hot bucket: all rows share block-2's key (top bits constant) but
+    # differ in far more than max_hamming of the remaining bits — the
+    # single-key bucket that stalls a join must sweep clean here, and
+    # a handful of planted near-dups inside it must still surface
+    n = 3000
+    rng2 = np.random.default_rng(11)
+    low = rng2.integers(0, 2**40, n, dtype=np.int64)
+    rows = [(f"h{i:05d}", int((7 << 60) | v)) for i, v in enumerate(low)]
+    rows.append(("hdup1", rows[5][1] ^ 1))  # hamming 1 from h00005
+    rows.append(("hdup2", rows[9][1]))  # exact dup of h00009
+    hot = spark.createDataFrame(rows, "id string, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_pairs(hot, "id", "h", max_hamming=2).collect()
+    }
+    exp = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_pairs(hot, "id", "h", max_hamming=2, verify="join").collect()
+    }
+    assert got == exp
+    assert ("h00005", "hdup1", 1) in got and ("h00009", "hdup2", 0) in got
+
+
 def test_phash_neardup_finds_duplicate_images(spark):
     """phash_neardup over the images table: byte-identical images have
     equal phash (hamming 0); the plan must not decode any pixels."""
@@ -718,13 +768,14 @@ def test_phash_neardup_finds_duplicate_images(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     assert {("img00000000", "img00000000_copy"),
             ("img00000001", "img00000001_copy")} <= got
-    # the operator itself adds no Python stage: over a plain relational
-    # source the whole plan is JVM-side (datagen's synth source is
-    # Python, so the plan check uses createDataFrame)
+    # the plan never decodes pixels and contains no row-at-a-time
+    # Python; the only Python stage is the single segmented Arrow
+    # verify (r7) fed by the (blk, key) exchange
     rel = spark.createDataFrame([("a", 1), ("b", 2)], "image_id string, phash long")
     plan = dedup.phash_neardup(rel)._jdf.queryExecution().executedPlan().toString()
-    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+    assert plan.count("MapInArrow") == 1
 
 
 def test_phash64_arr_matches_datagen_scalar():

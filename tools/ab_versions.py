@@ -144,7 +144,13 @@ def run_leg(zip_path: str, cores: int, base: str) -> dict:
     timeout = int(os.environ.get("AB_LEG_TIMEOUT", "1200"))
     for attempt in (1, 2):
         try:
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+            # cwd must NOT be the repo: PySpark workers put the driver's
+            # cwd on sys.path, and a leg running rev B would mix B's
+            # zipped modules with HEAD modules imported from the repo
+            # tree (observed: old rasterize calling new zonal._ring_info)
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout, cwd="/tmp"
+            )
         except subprocess.TimeoutExpired:
             print(f"leg attempt {attempt} timed out; retrying", file=sys.stderr)
             continue

@@ -498,65 +498,157 @@ def hamming_pairs(
     hash_col: str,
     max_hamming: int = 3,
     n_bits: int = 64,
+    verify: str = "segmented",
+    stats: dict | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs whose ``hash_col`` values differ in at
     most ``max_hamming`` of ``n_bits`` bits — the pigeonhole-blocked
     plan shared by simhash_pairs and phash_neardup.
 
     (max_hamming+1) near-equal bit blocks; h differing bits cannot
-    touch all h+1 blocks, so candidates grouped by (block, key) have
-    recall 1.0 by construction.  Each bucket is verified in ONE
-    vectorized numpy pass (chunked pairwise XOR + popcount) inside a
-    grouped Arrow stage instead of a row-at-a-time equi-join: simhash
-    buckets over natural text are heavily skewed (bit votes are
-    correlated across documents), and a hot bucket is a SINGLE join
-    key — unsplittable by AQE, so the SMJ pays the whole s^2 candidate
-    set on one core at row-machinery rates.  The numpy pass does the
-    same s^2 popcounts ~100x faster and only true pairs leave the
-    stage; dropDuplicates then folds the per-block copies."""
+    touch all h+1 blocks, so candidates sharing a (block, key) have
+    recall 1.0 by construction.  Verification (``verify="segmented"``,
+    the default): rows are hash-partitioned and sorted by (blk, key);
+    ONE mapInArrow stage detects the equal-key runs vectorized and
+    verifies every candidate pair with chunked numpy XOR+popcount —
+    segmented-arange index generation, so there is no per-bucket
+    Python/pandas overhead (200k cold 5-row buckets cost the same as
+    one array pass) AND a hot bucket is swept at numpy rates instead
+    of stalling one core in a join (simhash bit votes over natural
+    text are heavily correlated: a hot bucket is a SINGLE join key,
+    unsplittable by AQE, so a self-join pays its whole s^2 candidate
+    set on one core at row-machinery rates — measured minutes at 17k
+    rows/bucket where the numpy sweep takes ~1 s).  Measured at sf0.1
+    (cold buckets) the segmented stage matches the relational join
+    within noise, so it is the only production path; ``verify="join"``
+    keeps the round-6 self-equi-join for differential tests.
+
+    Both plans produce identical rows; dropDuplicates folds the
+    per-block copies."""
     bucketed = hamming_blocks(df, id_col, hash_col, max_hamming, n_bits)
     id_type = df.schema[id_col].dataType.simpleString()
     h = int(max_hamming)
+    if stats is not None:
+        stats.update({"verify": verify})
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = len(pdf)
-        empty = {"id_a": [], "id_b": [], "hamming": []}
-        if s < 2:
-            return pd.DataFrame(empty)
-        ids = pdf[id_col].values
-        hv = pdf[hash_col].values.astype(np.int64).view(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        chunk = max(1, (2 << 20) // s)  # ~16 MB XOR matrix per step
-        for i0 in range(0, s - 1, chunk):
-            i1 = min(i0 + chunk, s)
-            x = hv[i0:i1, None] ^ hv[None, :]
-            pc = _popcount_u64(x)
-            ii, jj = np.nonzero(pc <= h)
-            keep = jj > (ii + i0)  # each unordered pair once
-            if not keep.any():
-                continue
-            ii, jj = ii[keep], jj[keep]
-            ia, ib = ids[ii + i0], ids[jj]
-            ne = ia != ib
-            ia, ib = ia[ne], ib[ne]
-            out_a.append(np.minimum(ia, ib))
-            out_b.append(np.maximum(ia, ib))
-            out_h.append(pc[ii, jj][ne])
-        if not out_a:
-            return pd.DataFrame(empty)
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
-            }
+    if verify == "join":
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        hamming = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+        return (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (hamming <= max_hamming),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
+
+    def segmented(batches):
+        """One mapInArrow over (blk,key)-partitioned, sorted rows: runs
+        of equal (blk,key) are detected vectorized, candidate (i,j)
+        index pairs for ALL small runs of a chunk are generated with
+        segmented-arange arithmetic (no per-bucket Python or pandas
+        objects), and a run too big for one chunk falls back to a
+        row-blocked XOR sweep.  Only verified pairs leave the stage."""
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        buf = [b for b in batches if b.num_rows]
+        if not buf:
+            return
+        tbl = pa.Table.from_batches(buf).combine_chunks()
+        ids_arr = tbl.column(id_col).combine_chunks()
+        out_schema = pa.schema(
+            [("id_a", ids_arr.type), ("id_b", ids_arr.type), ("hamming", pa.int32())]
+        )
+        hv = (
+            tbl.column(hash_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        blk = tbl.column("blk").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        n = len(hv)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (blk[1:] != blk[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        live = sizes >= 2
+        starts, sizes = starts[live], sizes[live].astype(np.int64)
+        if not len(starts):
+            return
+        pair_counts = sizes * sizes
+        CH = 1 << 23  # ~8M (i,j) probes per chunk bounds memory
+
+        def emit(ii: np.ndarray, jj: np.ndarray):
+            pc = _popcount_u64(hv[ii] ^ hv[jj])
+            good = np.flatnonzero(pc <= h)
+            if not good.size:
+                return None
+            ia = ids_arr.take(pa.array(ii[good]))
+            ib = ids_arr.take(pa.array(jj[good]))
+            ne = pc_.invert(pc_.equal(ia, ib))
+            if not pc_.any(ne).as_py():
+                return None
+            ia, ib = ia.filter(ne), ib.filter(ne)
+            hm = pa.array(pc[good], type=pa.int32()).filter(ne)
+            # if_else(less) instead of min/max_element_wise: works for
+            # string ids too (lexicographic bytes == Spark UTF8 order)
+            a_lt = pc_.less(ia, ib)
+            lo = pc_.if_else(a_lt, ia, ib)
+            hi = pc_.if_else(a_lt, ib, ia)
+            return pa.RecordBatch.from_arrays([lo, hi, hm], schema=out_schema)
+
+        r = 0
+        n_runs = len(starts)
+        cum = np.concatenate([[0], np.cumsum(pair_counts)])
+        while r < n_runs:
+            if pair_counts[r] > CH:
+                # hot run: row-blocked sweep against the whole run
+                s0, sz = int(starts[r]), int(sizes[r])
+                rows = max(1, CH // sz)
+                for i0 in range(0, sz - 1, rows):
+                    i1 = min(i0 + rows, sz)
+                    ii = np.repeat(np.arange(i0, i1, dtype=np.int64), sz)
+                    jj = np.tile(np.arange(sz, dtype=np.int64), i1 - i0)
+                    keep = jj > ii
+                    b = emit(ii[keep] + s0, jj[keep] + s0)
+                    if b is not None:
+                        yield b
+                r += 1
+                continue
+            r1 = int(np.searchsorted(cum, cum[r] + CH, side="right")) - 1
+            r1 = max(r1, r + 1)
+            pp = pair_counts[r:r1]
+            st = starts[r:r1]
+            ss = sizes[r:r1]
+            off = np.concatenate([[0], np.cumsum(pp)])
+            run_of = np.repeat(np.arange(len(pp), dtype=np.int64), pp)
+            within = np.arange(off[-1], dtype=np.int64) - off[run_of]
+            si = ss[run_of]
+            base = st[run_of]
+            ii = within // si + base
+            jj = within % si + base
+            keep = jj > ii
+            b = emit(ii[keep], jj[keep])
+            if b is not None:
+                yield b
+            r = r1
 
     return (
-        bucketed.groupBy("blk", "key")
-        .applyInPandas(
-            verify, schema=f"id_a {id_type}, id_b {id_type}, hamming int"
-        )
+        bucketed.repartition("blk", "key")
+        .sortWithinPartitions("blk", "key")
+        .mapInArrow(segmented, schema=f"id_a {id_type}, id_b {id_type}, hamming int")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -55,10 +55,10 @@ def haversine_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Col
 
 def scene_centroids(images: DataFrame) -> DataFrame:
     """Relational scene centroid from (transform, w, h) — no decode."""
-    a = F.element_at("transform", 1)
-    c = F.element_at("transform", 3)
-    e = F.element_at("transform", 5)
-    f_ = F.element_at("transform", 6)
+    a = F.get("transform", 0)
+    c = F.get("transform", 2)
+    e = F.get("transform", 4)
+    f_ = F.get("transform", 5)
     return images.select(
         "image_id",
         (c + F.col("w").cast("double") / 2 * a).alias("scene_lon"),

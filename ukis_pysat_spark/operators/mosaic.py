@@ -72,10 +72,10 @@ def _tile_cover(images: DataFrame, grid_transform, grid_w, grid_h, tile):
     """(image row) -> one row per overlapped target tile, computed with
     closed-form column arithmetic (no UDF, no geometry)."""
     ga, gc, ge, gf = grid_transform[0], grid_transform[2], grid_transform[4], grid_transform[5]
-    a = F.element_at("transform", 1)
-    c = F.element_at("transform", 3)
-    e = F.element_at("transform", 5)
-    f_ = F.element_at("transform", 6)
+    a = F.get("transform", 0)
+    c = F.get("transform", 2)
+    e = F.get("transform", 4)
+    f_ = F.get("transform", 5)
     # image bounds in target pixel space (a > 0, e < 0 north-up grids)
     x0 = (c - F.lit(gc)) / F.lit(ga)
     x1 = (c + F.col("w") * a - F.lit(gc)) / F.lit(ga)

@@ -304,10 +304,10 @@ def proximity_grid(
     )
 
     txc = F.round(
-        (F.element_at("transform", 3) - F.lit(gc0)) / F.lit(ga * tile)
+        (F.get("transform", 2) - F.lit(gc0)) / F.lit(ga * tile)
     ).cast("int")
     tyc = F.round(
-        (F.element_at("transform", 6) - F.lit(gf0)) / F.lit(ge * tile)
+        (F.get("transform", 5) - F.lit(gf0)) / F.lit(ge * tile)
     ).cast("int")
     joined = (
         tiles.select("image_id", "bytes", "transform", "nodata")

@@ -149,17 +149,21 @@ def axis_aligned_box(lon_col: Column, lat_col: Column) -> Column:
     rectilinear = F.forall(
         F.zip_with(edge_lon_eq, edge_lat_eq, lambda a, b: a != b), lambda x: x
     )
-    # try_element_at: common-subexpression elimination can hoist the
-    # index-5 access out of the size==5 short-circuit when this
-    # predicate appears in several conjuncts of one projection (r7) —
-    # with try_, a short ring yields NULL and `false AND null = false`
-    # keeps the verdict identical
+    # F.get (0-based, null-safe): common-subexpression elimination can
+    # hoist the index-4 access out of the size==5 short-circuit when
+    # this predicate appears in several conjuncts of one projection
+    # (r7) — with get, a short ring yields NULL and
+    # `false AND null = false` keeps the verdict identical.  get is
+    # used instead of try_element_at because ElementAt's codegen
+    # mis-scopes its isNull flag when the conjunct tree is split into
+    # helper methods (janino "isNull_N is not an rvalue"), silently
+    # dropping the whole stage to interpreted execution.
     return (
         (F.size(lon_col) == 5)
         & (F.size(F.array_distinct(lon_col)) == 2)
         & (F.size(F.array_distinct(lat_col)) == 2)
-        & (F.try_element_at(lon_col, F.lit(1)) == F.try_element_at(lon_col, F.lit(5)))
-        & (F.try_element_at(lat_col, F.lit(1)) == F.try_element_at(lat_col, F.lit(5)))
+        & (F.get(lon_col, 0) == F.get(lon_col, 4))
+        & (F.get(lat_col, 0) == F.get(lat_col, 4))
         & rectilinear
     )
 
@@ -198,8 +202,8 @@ def convex_simple_ring(lon_col: Column, lat_col: Column) -> Column:
     )
     same_sign = F.forall(cr, lambda c: c > 0.0) | F.forall(cr, lambda c: c < 0.0)
     closed = (
-        (F.element_at(lon_col, 1) == F.element_at(lon_col, -1))
-        & (F.element_at(lat_col, 1) == F.element_at(lat_col, -1))
+        (F.get(lon_col, 0) == F.get(lon_col, F.size(lon_col) - 1))
+        & (F.get(lat_col, 0) == F.get(lat_col, F.size(lat_col) - 1))
     )
     return (
         (n >= 3)
@@ -260,10 +264,10 @@ def sat_box_separated(axes: Column, x0, x1, y0, y1) -> Column:
 
 def scene_bounds(images: DataFrame) -> DataFrame:
     """Relational scene bbox from (transform, w, h) — no pixel decode."""
-    a = F.element_at("transform", 1)
-    c = F.element_at("transform", 3)
-    e = F.element_at("transform", 5)
-    f_ = F.element_at("transform", 6)
+    a = F.get("transform", 0)
+    c = F.get("transform", 2)
+    e = F.get("transform", 4)
+    f_ = F.get("transform", 5)
     return images.withColumns(
         {
             "img_lon_min": c,

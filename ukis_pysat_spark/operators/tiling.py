@@ -89,10 +89,10 @@ def tile_windows(
     )
     col_off, tw = _clip(F.col("col_off0"), F.col("w"), width, overlap)
     row_off, th = _clip(F.col("row_off0"), F.col("h"), height, overlap)
-    a = F.element_at("transform", 1)
-    c = F.element_at("transform", 3)
-    e = F.element_at("transform", 5)
-    f = F.element_at("transform", 6)
+    a = F.get("transform", 0)
+    c = F.get("transform", 2)
+    e = F.get("transform", 4)
+    f = F.get("transform", 5)
     left = c + col_off.cast("double") * a
     top = f + row_off.cast("double") * e
     return df.select(

@@ -617,10 +617,10 @@ def zonal_stats_grid(
 
     tiles: rows with bytes, w, h, transform, nodata (tx/ty or
     image_id — an id is derived from the transform when absent)."""
-    a = F.element_at("transform", 1)
-    c = F.element_at("transform", 3)
-    e = F.element_at("transform", 5)
-    f_ = F.element_at("transform", 6)
+    a = F.get("transform", 0)
+    c = F.get("transform", 2)
+    e = F.get("transform", 4)
+    f_ = F.get("transform", 5)
     lon1 = c + F.col("w").cast("double") * a
     lat1 = f_ + F.col("h").cast("double") * e
     t = tiles
