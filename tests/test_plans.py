@@ -165,8 +165,10 @@ def test_sessionize_single_user_exchange(spark):
 
 
 def test_zonal_rasterize_plan_shape(spark, images_parquet, tmp_path_factory):
-    """Round 5: zonal_stats and rasterize run exactly TWO Arrow stages
-    (the spatial-join exact refine + the stats/burn stage), zero
+    """zonal_stats and rasterize run exactly ONE Arrow stage (the
+    stats/burn stage — since r7 their pair source is the relational
+    bbox candidate superset, so the spatial-join exact-refine Arrow
+    stage is gone: the window mask is the exact test), zero
     MapInPandas / per-row Python, with the folded AOI side broadcast;
     the footprint-only scans never read the payload column."""
     from ukis_pysat_spark.operators import rasterize, zonal
@@ -180,7 +182,7 @@ def test_zonal_rasterize_plan_shape(spark, images_parquet, tmp_path_factory):
         rasterize.rasterize(images, aois, res=8),
     ):
         plan = _plan(df)
-        assert plan.count("MapInArrow") == 2, plan
+        assert plan.count("MapInArrow") == 1, plan
         assert "MapInPandas" not in plan, plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -176,7 +176,11 @@ def rasterize(
     burn_val = (
         F.col(value_col).cast("double") if value_col else F.lit(1.0)
     )
-    pairs = sj.spatial_join(
+    # bbox candidate superset, not the exact join (r7): a target emits
+    # a canvas iff >= 1 pixel CENTER is inside >= 1 ring (win_cache
+    # returns None otherwise), so false candidates burn nothing and
+    # never create a row — identical output, no refine machinery
+    pairs = sj.candidate_pairs(
         targets.select("image_id", "footprint_lon", "footprint_lat"), aois, res=res
     )
     per_img = (

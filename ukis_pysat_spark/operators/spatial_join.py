@@ -319,6 +319,107 @@ def choose_res(images: DataFrame, aois: DataFrame, sample: int = 1024) -> int:
     return max(3, min(res, 16))
 
 
+def _cell_tables(
+    images: DataFrame, aois: DataFrame, res: int, flags: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Exploded cell tables carrying ids + the 4-double bbox (32 B/row)
+    — NOT the geometry arrays.  The bbox rides along so the overlap
+    pre-refine can kill false candidates IN the cell join, before the
+    pair-dedup shuffle.  With ``flags`` the per-geometry exactness
+    certificates (axis-box, convexity, SAT axes) are computed ONCE per
+    input row BEFORE the cell explode and ride the join too, so pair
+    decisions happen in-join with no geometry re-attach."""
+    i_lon0, i_lon1 = lon_interval(F.col("footprint_lon"))
+    img_cols = {
+        "i_lon0": i_lon0,
+        "i_lon1": i_lon1,
+        "i_lat_min": F.array_min("footprint_lat"),
+        "i_lat_max": F.array_max("footprint_lat"),
+    }
+    if flags:
+        ibox = axis_aligned_box(F.col("footprint_lon"), F.col("footprint_lat"))
+        no_wrap_i = (
+            F.array_max("footprint_lon") - F.array_min("footprint_lon")
+        ) <= 180.0
+        img_cols["_ibox"] = ibox
+        img_cols["_ibox_nw"] = no_wrap_i & ibox
+    img_cells = with_cells(
+        images.select("image_id", "footprint_lon", "footprint_lat").withColumns(
+            img_cols
+        ),
+        "footprint_lon",
+        "footprint_lat",
+        res,
+    ).drop("footprint_lon", "footprint_lat")
+
+    a_lon0, a_lon1 = lon_interval(F.col("ring_lon"))
+    aoi_cols = {"a_lon0": a_lon0, "a_lon1": a_lon1}
+    if flags:
+        abox = axis_aligned_box(F.col("ring_lon"), F.col("ring_lat"))
+        conv = convex_simple_ring(F.col("ring_lon"), F.col("ring_lat"))
+        no_wrap_a = (F.array_max("ring_lon") - F.array_min("ring_lon")) <= 180.0
+        aoi_cols["_abox"] = abox
+        aoi_cols["_aconv"] = no_wrap_a & ~abox & conv
+        aoi_cols["_sat"] = F.when(
+            no_wrap_a & conv, sat_axes(F.col("ring_lon"), F.col("ring_lat"))
+        )
+    aoi_cells = with_cells(
+        aois.select("aoi_id", "ring_lon", "ring_lat", "lat_min", "lat_max").withColumns(
+            aoi_cols
+        ),
+        "ring_lon",
+        "ring_lat",
+        res,
+    ).drop("ring_lon", "ring_lat")
+    return img_cells, aoi_cells
+
+
+def _bbox_overlap() -> Column:
+    """Closed bbox overlap of a joined (image, AOI) cell row.  The lon
+    test is circular-interval overlap (antimeridian-correct); for
+    ordinary footprints it reduces to the plain closed overlap."""
+    return (
+        lon_intervals_overlap(
+            F.col("i_lon0"), F.col("i_lon1"), F.col("a_lon0"), F.col("a_lon1")
+        )
+        & (F.col("i_lat_min") <= F.col("lat_max"))
+        & (F.col("i_lat_max") >= F.col("lat_min"))
+    )
+
+
+def candidate_pairs(
+    images: DataFrame,
+    aois: DataFrame,
+    res: int | None = DEFAULT_RES,
+    salt: int | None = None,
+) -> DataFrame:
+    """Deduped (image_id, aoi_id) bbox-overlap candidates — a SUPERSET
+    of ``spatial_join`` with recall 1.0 (a false candidate exists only
+    where the bboxes overlap but the rings do not).
+
+    Consumers that re-test containment exactly per pixel/point anyway
+    (zonal_stats, zonal_mode, rasterize: their window masks emit rows
+    only where >= 1 pixel CENTER lies inside the ring, so false pairs
+    contribute nothing) get identical results from this superset and
+    skip the whole refine machinery — the geometry re-join, the SAT
+    evaluation and the Python refine of the exact join (r7; measured
+    ~16 s of zonal_stats' 40 s at the sf1.0 hotspot)."""
+    if res is None:
+        res = choose_res(images, aois)
+    img_cells, aoi_cells = _cell_tables(images, aois, res, flags=False)
+    if salt:
+        img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
+    return (
+        img_cells.join(aoi_cells, join_keys)
+        .filter(_bbox_overlap())
+        .select("image_id", "aoi_id")
+        .dropDuplicates(["image_id", "aoi_id"])
+    )
+
+
 def spatial_join(
     images: DataFrame,
     aois: DataFrame,
@@ -330,132 +431,74 @@ def spatial_join(
     Returns distinct (image_id, aoi_id) pairs whose geometries
     intersect.  res=None measures the inputs and picks the cell
     resolution itself (choose_res).
-    """
+
+    Exactness fast paths decide pairs INSIDE the cell join (r7):
+
+    - box-box: for axis-aligned rectangles the closed bbox overlap IS
+      the exact test;
+    - box-convex: when the image footprint is an axis box and the AOI
+      ring certifies strictly-convex + simply-wound
+      (convex_simple_ring) with no antimeridian wrap on either side,
+      the separating-axis test over the AOI's edge normals decides the
+      pair exactly (the box's own axes are the bbox overlap).  The
+      normals + projection ranges are precomputed once per AOI row
+      BEFORE the cell explode (sat_axes), so the per-pair cost is
+      O(edges) flops of codegen'd expressions.
+
+    Certificates are per-geometry booleans computed before the explode
+    and riding the cell join, so decided pairs reach the dedup as
+    (ids, hard=false) rows with no geometry re-attach at all; decided
+    non-intersections are filtered before the dedup shuffle.  Only the
+    (rare) hard pairs re-join their geometry and cross the Arrow
+    refine — measurement showed shipping 39 M id-copy rows through the
+    Python stage cost more than the whole candidate phase, and the
+    r7 follow-up showed the two post-dedup geometry joins of the
+    branch-split plan cost another ~16 s at sf1.0."""
     if res is None:
         res = choose_res(images, aois)
-    # cell tables carry ids + the 4-double bbox (32 B/row) — NOT the
-    # geometry arrays.  The bbox rides along so the overlap pre-refine
-    # can kill false candidates IN the cell join, before the pair-dedup
-    # shuffle; geometry re-attaches only for the exact refine.
-    i_lon0, i_lon1 = lon_interval(F.col("footprint_lon"))
-    img_cells = with_cells(
-        images.select("image_id", "footprint_lon", "footprint_lat"),
-        "footprint_lon",
-        "footprint_lat",
-        res,
-    ).select(
-        "image_id",
-        "cell",
-        i_lon0.alias("i_lon0"),
-        i_lon1.alias("i_lon1"),
-        F.array_min("footprint_lat").alias("i_lat_min"),
-        F.array_max("footprint_lat").alias("i_lat_max"),
-    )
-    a_lon0, a_lon1 = lon_interval(F.col("ring_lon"))
-    aoi_cells = with_cells(
-        aois.select("aoi_id", "ring_lon", "ring_lat", "lat_min", "lat_max"),
-        "ring_lon",
-        "ring_lat",
-        res,
-    ).select(
-        "aoi_id",
-        "cell",
-        a_lon0.alias("a_lon0"),
-        a_lon1.alias("a_lon1"),
-        "lat_min",
-        "lat_max",
-    )
-
+    img_cells, aoi_cells = _cell_tables(images, aois, res, flags=True)
     if salt:
         img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
         join_keys = ["cell", "_salt"]
     else:
         join_keys = ["cell"]
 
-    # FILTER: cell equi-join + bbox overlap -> distinct candidate pairs.
-    # The lon test is circular-interval overlap (antimeridian-correct);
-    # for ordinary footprints it reduces to the plain closed overlap.
-    cand_ids = (
-        img_cells.join(aoi_cells, join_keys)
-        .filter(
-            lon_intervals_overlap(
-                F.col("i_lon0"), F.col("i_lon1"), F.col("a_lon0"), F.col("a_lon1")
-            )
-            & (F.col("i_lat_min") <= F.col("lat_max"))
-            & (F.col("i_lat_max") >= F.col("lat_min"))
-        )
-        .select("image_id", "aoi_id")
-        .dropDuplicates(["image_id", "aoi_id"])
-    )
-
-    # re-attach geometry for the exact refine only.  Two relational
-    # exactness fast paths keep pairs OUT of the Python refine:
-    #
-    # - box-box: for axis-aligned rectangles the closed bbox overlap
-    #   (already tested inside the cell join) IS the exact test;
-    # - box-convex (r7): when the image footprint is an axis box and
-    #   the AOI ring certifies strictly-convex + simply-wound
-    #   (convex_simple_ring) with no antimeridian wrap on either side,
-    #   the separating-axis test over the AOI's edge normals decides
-    #   the pair exactly IN the join (the box's own axes are the bbox
-    #   overlap).  The AOI-side normals + projection ranges are
-    #   precomputed once per AOI row (sat_axes), so the per-pair cost
-    #   is O(edges) flops of codegen'd expressions — at a hotspot this
-    #   removes tens of millions of rows from the Arrow boundary,
-    #   which measurement showed was the refine stage's actual cost
-    #   (the PIP math itself was ~4 s of 19 s).
-    #
-    # Decided pairs ride as an id-copy with geometry nulled; decided
-    # non-intersections are filtered out before the Python stage.
-    # Nulling (instead of a filtered union) keeps ONE candidate
-    # subtree in the plan (a union would recompute the cell join per
-    # branch).
-    no_wrap_i = (F.array_max("footprint_lon") - F.array_min("footprint_lon")) <= 180.0
-    img_geom = images.select(
-        "image_id", "footprint_lon", "footprint_lat",
-        axis_aligned_box(F.col("footprint_lon"), F.col("footprint_lat")).alias("_ibox"),
-        (no_wrap_i & axis_aligned_box(F.col("footprint_lon"), F.col("footprint_lat"))).alias(
-            "_ibox_nw"
-        ),
-    )
-    no_wrap_a = (F.array_max("ring_lon") - F.array_min("ring_lon")) <= 180.0
-    aoi_geom = aois.select(
-        "aoi_id", "ring_lon", "ring_lat",
-        axis_aligned_box(F.col("ring_lon"), F.col("ring_lat")).alias("_abox"),
-        (
-            no_wrap_a
-            & ~axis_aligned_box(F.col("ring_lon"), F.col("ring_lat"))
-            & convex_simple_ring(F.col("ring_lon"), F.col("ring_lat"))
-        ).alias("_aconv"),
-        F.when(
-            no_wrap_a & convex_simple_ring(F.col("ring_lon"), F.col("ring_lat")),
-            sat_axes(F.col("ring_lon"), F.col("ring_lat")),
-        ).alias("_sat"),
-    )
     easy = F.col("_ibox") & F.col("_abox")
     sat_pair = F.col("_ibox_nw") & F.col("_aconv")
     separated = sat_box_separated(
         F.col("_sat"),
-        F.array_min("footprint_lon"),
-        F.array_max("footprint_lon"),
-        F.array_min("footprint_lat"),
-        F.array_max("footprint_lat"),
+        F.col("i_lon0"),
+        F.col("i_lon1"),
+        F.col("i_lat_min"),
+        F.col("i_lat_max"),
     )
     decided = easy | sat_pair
     keep_rel = easy | (sat_pair & ~separated)
-    base = cand_ids.join(img_geom, "image_id").join(aoi_geom, "aoi_id")
-    # decided pairs NEVER cross the Python boundary: they leave on a
-    # JVM-only branch, and only the (rare) undecided pairs carry their
-    # geometry into the Arrow refine.  Both branches re-derive from
-    # the same candidate subtree; its expensive part (cell join +
-    # pair-dedup exchange) is physically identical in both, so
-    # AQE/ReuseExchange computes that shuffle once — measurement
-    # showed shipping 39 M id-copy rows through the Python stage cost
-    # more than the whole candidate phase.
-    decided_ids = base.filter(keep_rel).select("image_id", "aoi_id")
-    hard = base.filter(~decided).select(
-        "image_id", "aoi_id",
-        "footprint_lon", "footprint_lat", "ring_lon", "ring_lat",
+    tagged = (
+        img_cells.join(aoi_cells, join_keys)
+        .filter(_bbox_overlap())
+        .filter(~decided | keep_rel)  # decided non-intersections out
+        .select("image_id", "aoi_id", (~decided).alias("_hard"))
+        .dropDuplicates(["image_id", "aoi_id"])
+        # localCheckpoint: the union's two branches consume this subtree
+        # and exchange reuse does NOT fire for it (the hard branch's
+        # downstream join pushes an extra isnotnull through the dedup
+        # aggregate into the scan, so the subtrees no longer
+        # canonicalize equal) — without the checkpoint the whole cell
+        # join + dedup runs twice.  Rows are (2 ids, bool): tiny
+        # relative to the inputs, same discipline as graph.py's edge
+        # checkpoint.
+        .localCheckpoint()
+    )
+    decided_ids = tagged.filter(~F.col("_hard")).select("image_id", "aoi_id")
+    hard = (
+        tagged.filter(F.col("_hard"))
+        .join(images.select("image_id", "footprint_lon", "footprint_lat"), "image_id")
+        .join(aois.select("aoi_id", "ring_lon", "ring_lat"), "aoi_id")
+        .select(
+            "image_id", "aoi_id",
+            "footprint_lon", "footprint_lat", "ring_lon", "ring_lat",
+        )
     )
     return decided_ids.unionByName(
         hard.mapInArrow(_refine_batches, schema="image_id string, aoi_id string")

@@ -442,8 +442,13 @@ def zonal_stats(
 
     Returns (image_id, aoi_id, band, n_valid, sum, mean, min, max) for
     every pair x band with >= 1 valid pixel whose CENTER lies inside
-    the ring (closed boundary)."""
-    pairs = sj.spatial_join(
+    the ring (closed boundary).
+
+    Pairs come from the bbox candidate SUPERSET, not the exact join
+    (r7): output rows exist only where the window mask finds >= 1
+    inside pixel center, so a false candidate contributes nothing and
+    the exact-refine machinery is pure overhead here."""
+    pairs = sj.candidate_pairs(
         images.select("image_id", "footprint_lon", "footprint_lat"), aois, res=res
     )
     per_img = (
@@ -574,11 +579,11 @@ def zonal_mode(
     each image restricted to each intersecting AOI — the land-cover /
     classification zonal stat (ArcGIS ZonalStatistics MAJORITY).  Ties
     break to the SMALLEST value (total, partitioning-independent).
-    Same fused plan as :func:`zonal_stats`: one spatial join on ids,
-    rings fold to one row per image, one mapInArrow stage decodes each
-    image once.  Returns (image_id, aoi_id, band, mode, n_mode,
-    n_valid)."""
-    pairs = sj.spatial_join(
+    Same fused plan as :func:`zonal_stats`: bbox candidate pairs on ids
+    (the window mask is the exact test — see zonal_stats), rings fold
+    to one row per image, one mapInArrow stage decodes each image
+    once.  Returns (image_id, aoi_id, band, mode, n_mode, n_valid)."""
+    pairs = sj.candidate_pairs(
         images.select("image_id", "footprint_lon", "footprint_lat"), aois, res=res
     )
     per_img = (
