@@ -456,6 +456,17 @@ def spatial_join(
     branch-split plan cost another ~16 s at sf1.0."""
     if res is None:
         res = choose_res(images, aois)
+    # explicit isnotnull on the join ids: the hard branch's downstream
+    # geometry join infers these and pushes them through the dedup
+    # aggregate into the shared subtree — with the filters already
+    # present, both union branches canonicalize EQUAL and exchange
+    # reuse computes the cell join + dedup once (without this the
+    # whole candidate phase runs twice; a localCheckpoint also fixes
+    # it but its persisted blocks linger in executor storage across
+    # queries and starve later big shuffles — measured point_sample
+    # 21 s -> 169 s later in the same bench process)
+    images = images.filter(F.col("image_id").isNotNull())
+    aois = aois.filter(F.col("aoi_id").isNotNull())
     img_cells, aoi_cells = _cell_tables(images, aois, res, flags=True)
     if salt:
         img_cells, aoi_cells = salt_cells(img_cells, aoi_cells, salt)
@@ -480,15 +491,6 @@ def spatial_join(
         .filter(~decided | keep_rel)  # decided non-intersections out
         .select("image_id", "aoi_id", (~decided).alias("_hard"))
         .dropDuplicates(["image_id", "aoi_id"])
-        # localCheckpoint: the union's two branches consume this subtree
-        # and exchange reuse does NOT fire for it (the hard branch's
-        # downstream join pushes an extra isnotnull through the dedup
-        # aggregate into the scan, so the subtrees no longer
-        # canonicalize equal) — without the checkpoint the whole cell
-        # join + dedup runs twice.  Rows are (2 ids, bool): tiny
-        # relative to the inputs, same discipline as graph.py's edge
-        # checkpoint.
-        .localCheckpoint()
     )
     decided_ids = tagged.filter(~F.col("_hard")).select("image_id", "aoi_id")
     hard = (
