@@ -78,7 +78,7 @@ def main() -> None:
     from ukis_pysat_spark.operators import mosaic, polygonize, rasterize, zonal
 
     plans.update({
-        "zonal_stats (round 5: two Arrow stages — spatial-join refine + fused window/mask/stats; broadcast ring fold)":
+        "zonal_stats (r7: ONE Arrow stage — bbox candidate pairs + fused window/mask/stats; broadcast ring fold)":
             zonal.zonal_stats(images, aois, res=12),
         "rasterize (round 5: canvas born in the Arrow stage; payload-free footprint scans)":
             rasterize.rasterize(images, aois, res=12),
